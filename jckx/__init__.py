@@ -1,0 +1,27 @@
+"""jckx — TPU-native adversarial image generation framework.
+
+A from-scratch JAX / XLA / pjit / Pallas rebuild of the capabilities of
+``hy-vision-learning/jck-generation`` (DCGAN / CGAN training on CIFAR-class
+datasets at 64x64 with Inception-based FID / IS / intra-FID evaluation),
+re-designed TPU-first:
+
+- models are pure-functional pytrees (NHWC, bfloat16 compute on the MXU),
+- the alternating G/D adversarial update (label smoothing, instance noise,
+  WGAN-GP gradient penalty) runs as ONE fused jitted step with zero mid-step
+  host syncs,
+- data-parallel scaling is a `jax.sharding.Mesh` + sharded-batch jit: XLA
+  inserts the gradient/batch-stat collectives over ICI,
+- the evaluation stack (InceptionV3 features, FID via on-device Newton-Schulz
+  matrix square root, Inception Score, per-superclass intra-FID) runs on
+  device,
+- hot elementwise chains (BatchNorm + activation, instance-noise blending)
+  are fused Pallas TPU kernels.
+
+Public surface mirrors the reference (preprocessors / trainers / metrics /
+logger / CLI flags / run-dir layout); see SURVEY.md for the capability map.
+"""
+
+__version__ = "0.1.0"
+
+from jckx.enums import ModelEnum  # noqa: F401
+from jckx.rng import RANDOMSEED  # noqa: F401

@@ -1,0 +1,148 @@
+"""Configuration system.
+
+The reference's config surface is 11 argparse flags (``main.py:40-61``) plus
+hyper-parameters hard-coded inside the trainers (lambda_gp=10, Adam betas
+(0.5, 0.999), label smoothing 0.9/0.1, instance-noise blend 0.9/0.1,
+eval-every-500; ``train/dcgan_trainer.py:49,61-64,135-137,160,171,198``).
+
+Here everything lives in one dataclass. The CLI mirrors the reference flag
+names and defaults exactly (including the flags the reference parses but never
+reads: ``-t``, ``-milr``, ``-wd``, ``-snt`` — kept for CLI parity), and the
+previously hard-coded constants are promoted to config fields whose defaults
+are the reference values.
+
+TPU-specific knobs (mesh shape, compute dtype, donation, eval batch) are new;
+they have no reference analog because the reference is single-GPU PyTorch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+from jckx.enums import ModelEnum
+from jckx.rng import RANDOMSEED
+
+
+@dataclass
+class Config:
+    # --- reference CLI flags (names/defaults preserved, main.py:40-61) ---
+    test: int = 0                      # -t   (parsed-but-unused in reference)
+    model_path: str = ""               # -pm  run-dir name to reuse
+    log_file: int = 1                  # -lf  write a log file
+    model: ModelEnum = ModelEnum.DCGAN  # -m
+    num_worker: int = 0                # -w   host-side loader workers
+    batch_size: int = 128              # -b   GLOBAL batch size
+    epoch: int = 100                   # -e
+    max_learning_rate: float = 0.1     # -mlr (Adam lr, dcgan_trainer.py:61)
+    min_learning_rate: float = 1e-4    # -milr (parsed-but-unused in reference)
+    weight_decay: float = 5e-4         # -wd  (parsed-but-unused in reference)
+    nesterov: int = 1                  # -snt (parsed-but-unused in reference)
+
+    # --- promoted trainer constants (reference values as defaults) ---
+    lambda_gp: float = 10.0            # dcgan_trainer.py:49
+    adam_beta1: float = 0.5            # dcgan_trainer.py:61-62
+    adam_beta2: float = 0.999
+    label_real: float = 0.9            # dcgan_trainer.py:136
+    label_fake: float = 0.1            # dcgan_trainer.py:137
+    instance_noise: float = 0.1        # blend 0.9*x + 0.1*N(0,1), :160,171
+    eval_every: int = 500              # dcgan_trainer.py:198
+    log_every: int = 100               # dcgan_trainer.py:191
+    # Faithful-vs-fixed quirk gate: the reference DCGAN trainer computes the
+    # gradient penalty but never backprops it (dcgan_trainer.py:178-180 has no
+    # backward on error_d); the CGAN trainer does (cgan_trainer.py:201-203).
+    # Default: the fixed behavior (GP in D's gradient) for both; set False to
+    # replicate the DCGAN quirk bit-for-bit.
+    gp_in_d_grad: bool = True
+
+    # --- model / data geometry ---
+    z_dim: int = 100                   # DCGAN.py:42 (latent 100)
+    num_classes: int = 100             # CIFAR-100
+    image_size: int = 64               # pipeline Resize(64)
+    channels: int = 3
+    dataset: str = "cifar100"          # cifar100 | cifar10 | mnist | synthetic
+    data_dir: str = "./data"
+
+    # --- seeding ---
+    seed: int = RANDOMSEED
+
+    # --- TPU-native knobs (no reference analog) ---
+    mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel; None = all devices on 'data'
+    mesh_axes: tuple = ("data",)
+    compute_dtype: str = "bfloat16"    # matmul/conv compute dtype; params stay f32
+    eval_batch_size: int = 256         # metric feature-extraction batch (bs*2 in ref)
+    sample_count: int = 64             # fixed-noise eval grid (dcgan_trainer.py:143)
+    metric_backbone: str = ""          # path to InceptionV3 checkpoint ('' = auto)
+    sanitize: bool = False             # jax_debug_nans analog of set_detect_anomaly
+    profile_dir: str = ""              # jax.profiler trace dir ('' = off)
+    save_root: str = "./save"
+    resume: bool = False               # auto-resume from latest checkpoint
+
+    # populated by main()/trainers, mirrors reference args.save_path
+    save_path: str = ""
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["model"] = str(self.model)
+        d["mesh_shape"] = list(self.mesh_shape) if self.mesh_shape else None
+        d["mesh_axes"] = list(self.mesh_axes)
+        return json.dumps(d, indent=2)
+
+
+def get_arg_parse(argv: Optional[list] = None) -> Config:
+    """CLI mirroring reference ``main.py:40-61`` plus jckx extensions."""
+    parser = argparse.ArgumentParser(description="jckx - TPU-native DCGAN/CGAN")
+    d = Config()
+
+    # reference flags (short/long names preserved)
+    parser.add_argument("-t", "--test", type=int, default=d.test, help="test mode")
+    parser.add_argument("-pm", "--model_path", type=str, default=d.model_path, help="run-dir name to reuse")
+    parser.add_argument("-lf", "--log_file", type=int, default=d.log_file, help="write log file 0/1")
+    parser.add_argument("-m", "--model", type=ModelEnum, choices=list(ModelEnum), default=d.model, help="model family")
+    parser.add_argument("-w", "--num_worker", type=int, default=d.num_worker, help="loader workers")
+    parser.add_argument("-b", "--batch_size", type=int, default=d.batch_size, help="global batch size")
+    parser.add_argument("-e", "--epoch", type=int, default=d.epoch, help="epochs")
+    parser.add_argument("-mlr", "--max_learning_rate", type=float, default=d.max_learning_rate, help="optimizer max lr")
+    parser.add_argument("-milr", "--min_learning_rate", type=float, default=d.min_learning_rate, help="optimizer min lr")
+    parser.add_argument("-wd", "--weight_decay", type=float, default=d.weight_decay, help="weight decay")
+    parser.add_argument("-snt", "--nesterov", type=int, default=d.nesterov, help="nesterov sgd 0/1")
+
+    # jckx extensions
+    parser.add_argument("--dataset", type=str, default=d.dataset, choices=["cifar100", "cifar10", "mnist", "synthetic"])
+    parser.add_argument("--data_dir", type=str, default=d.data_dir)
+    parser.add_argument("--seed", type=int, default=d.seed)
+    parser.add_argument("--lambda_gp", type=float, default=d.lambda_gp)
+    parser.add_argument("--eval_every", type=int, default=d.eval_every)
+    parser.add_argument("--log_every", type=int, default=d.log_every)
+    parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype, choices=["bfloat16", "float32"])
+    parser.add_argument("--gp_in_d_grad", type=int, default=int(d.gp_in_d_grad), help="1=fixed (GP in D grad), 0=faithful DCGAN quirk")
+    parser.add_argument("--image_size", type=int, default=d.image_size)
+    parser.add_argument("--metric_backbone", type=str, default=d.metric_backbone)
+    parser.add_argument("--sanitize", action="store_true", default=d.sanitize)
+    parser.add_argument("--profile_dir", type=str, default=d.profile_dir)
+    parser.add_argument("--save_root", type=str, default=d.save_root)
+    parser.add_argument("--resume", action="store_true", default=d.resume)
+    parser.add_argument("--mesh_shape", type=str, default="", help="comma ints, e.g. '8' or '4,2'")
+    parser.add_argument("--mesh_axes", type=str, default=",".join(d.mesh_axes))
+
+    ns = parser.parse_args(argv)
+    cfg = Config(
+        **{
+            f.name: getattr(ns, f.name)
+            for f in dataclasses.fields(Config)
+            if hasattr(ns, f.name) and f.name not in ("mesh_shape", "mesh_axes", "gp_in_d_grad", "save_path")
+        }
+    )
+    cfg.gp_in_d_grad = bool(ns.gp_in_d_grad)
+    cfg.mesh_shape = tuple(int(x) for x in ns.mesh_shape.split(",")) if ns.mesh_shape else None
+    cfg.mesh_axes = tuple(ns.mesh_axes.split(","))
+    # dataset-dependent geometry defaults
+    if cfg.dataset == "cifar10":
+        cfg.num_classes = 10
+    elif cfg.dataset == "mnist":
+        cfg.num_classes = 10
+        cfg.channels = 1
+    return cfg

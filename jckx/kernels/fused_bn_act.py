@@ -1,0 +1,113 @@
+"""Fused BatchNorm + activation.
+
+This is the hot elementwise chain of both GAN nets (reference runs
+BatchNorm2d + (Leaky)ReLU after every conv, model/DCGAN.py:10-28/42-58).
+On TPU the chain is HBM-bandwidth-bound; keeping normalize+scale+activate in
+one pass over VMEM-resident tiles is the win.
+
+Two implementations:
+- ``_bn_act_xla``: jnp composition. XLA fuses the normalize/activate chain
+  into the conv epilogue; crucially it is differentiable to ANY order, which
+  the WGAN-GP double-backward (grad-of-grad through D) requires.
+- ``_bn_act_pallas``: a Pallas TPU kernel for the normalize+activate stage
+  (stats still via XLA's optimal reduce). Used on the non-differentiated
+  fast paths (sampling / eval). Grid over (N*H*W // TILE) rows, channels on
+  the 128-wide lane axis.
+
+``bn_act`` dispatches: Pallas only when explicitly enabled, shapes are
+lane-aligned, and we are on TPU; otherwise XLA. The two paths agree to
+float tolerance (tested in tests/test_kernels.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_USE_PALLAS = False  # flipped by enable_pallas(); XLA path is always correct
+
+
+def enable_pallas(on: bool = True) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = on
+
+
+def _stats(x: jax.Array):
+    xf = x.astype(jnp.float32)
+    axes = tuple(range(x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+    return mean, var
+
+
+def _bn_act_xla(x, scale, bias, act, negative_slope, eps):
+    mean, var = _stats(x)
+    inv = jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32)
+    shift = bias.astype(jnp.float32) - mean * inv
+    y = x.astype(jnp.float32) * inv + shift
+    if act == "relu":
+        y = jnp.maximum(y, 0.0)
+    elif act == "leaky_relu":
+        y = jnp.where(y >= 0, y, negative_slope * y)
+    elif act != "none":
+        raise ValueError(f"unknown act {act}")
+    return y.astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("act", "negative_slope", "eps"))
+def _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, chans = x2d.shape
+    tile_r = 256 if rows % 256 == 0 else 8
+
+    def kernel(x_ref, inv_ref, shift_ref, o_ref):
+        y = x_ref[:].astype(jnp.float32) * inv_ref[:] + shift_ref[:]
+        if act == "relu":
+            y = jnp.maximum(y, 0.0)
+        elif act == "leaky_relu":
+            y = jnp.where(y >= 0, y, negative_slope * y)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+        grid=(rows // tile_r,),
+        in_specs=[
+            pl.BlockSpec((tile_r, chans), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chans), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chans), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_r, chans), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )(x2d, inv, shift)
+
+
+def _bn_act_pallas(x, scale, bias, act, negative_slope, eps):
+    mean, var = _stats(x)
+    inv = (jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32))[None, :]
+    shift = (bias.astype(jnp.float32) - mean * inv[0])[None, :]
+    x2d = x.reshape(-1, x.shape[-1])
+    y = _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps)
+    return y.reshape(x.shape)
+
+
+def bn_act(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    act: str = "none",
+    negative_slope: float = 0.2,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Batch-stat BN fused with activation. See module docstring."""
+    if (
+        _USE_PALLAS
+        and jax.default_backend() == "tpu"
+        and x.shape[-1] % 128 == 0
+        and (x.size // x.shape[-1]) % 8 == 0
+    ):
+        return _bn_act_pallas(x, scale, bias, act, negative_slope, eps)
+    return _bn_act_xla(x, scale, bias, act, negative_slope, eps)

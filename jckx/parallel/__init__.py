@@ -1,0 +1,8 @@
+from jckx.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    DATA_AXIS,
+    MODEL_AXIS,
+)

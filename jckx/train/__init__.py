@@ -1,0 +1,3 @@
+from jckx.train.trainer import Trainer  # noqa: F401
+from jckx.train.state import GANTrainState, create_dcgan_state, create_cgan_state  # noqa: F401
+from jckx.train.steps import make_dcgan_train_step, make_cgan_train_step  # noqa: F401

@@ -1,0 +1,79 @@
+"""Training state — one pytree holding both adversaries.
+
+The reference scatters state across two nn.Modules + two torch Adam
+optimizers + python loop counters (train/dcgan_trainer.py:46-62,130-148).
+Here it is a single immutable pytree: {params_g, params_d, opt_g, opt_d,
+step, rng}; the fused train step maps state → state with buffers donated, so
+the whole update lives on device with zero host round-trips.
+
+Optimizer: optax.adam(lr, b1=0.5, b2=0.999, eps=1e-8) — identical math to
+torch.optim.Adam as configured at dcgan_trainer.py:61-62 (incl. bias
+correction); lr comes from ``max_learning_rate`` exactly as the reference
+wires it.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+
+from jckx.configs import Config
+from jckx.models import cgan, dcgan
+from jckx.models.dcgan import GANGeometry
+
+
+@struct.dataclass
+class GANTrainState:
+    params_g: Any
+    params_d: Any
+    opt_g: Any
+    opt_d: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+def make_optimizer(cfg: Config) -> optax.GradientTransformation:
+    return optax.adam(cfg.max_learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=1e-8)
+
+
+def geometry(cfg: Config) -> GANGeometry:
+    return GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size, channels=cfg.channels)
+
+
+def create_dcgan_state(cfg: Config, key: jax.Array) -> GANTrainState:
+    import jax.numpy as jnp
+
+    geo = geometry(cfg)
+    kg, kd, krun = jax.random.split(key, 3)
+    params_g = dcgan.generator_init(kg, geo)
+    params_d = dcgan.discriminator_init(kd, geo)
+    tx = make_optimizer(cfg)
+    return GANTrainState(
+        params_g=params_g,
+        params_d=params_d,
+        opt_g=tx.init(params_g),
+        opt_d=tx.init(params_d),
+        step=jnp.zeros((), jnp.int32),
+        rng=krun,
+    )
+
+
+def create_cgan_state(cfg: Config, key: jax.Array) -> GANTrainState:
+    import jax.numpy as jnp
+
+    geo = geometry(cfg)
+    kg, kd, krun = jax.random.split(key, 3)
+    params_g = cgan.cgenerator_init(kg, geo, cfg.num_classes)
+    params_d = cgan.cdiscriminator_init(kd, geo, cfg.num_classes)
+    tx = make_optimizer(cfg)
+    return GANTrainState(
+        params_g=params_g,
+        params_d=params_d,
+        opt_g=tx.init(params_g),
+        opt_d=tx.init(params_d),
+        step=jnp.zeros((), jnp.int32),
+        rng=krun,
+    )
