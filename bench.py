@@ -1,0 +1,104 @@
+"""jckx headline benchmark — fused G+D train-step throughput.
+
+North-star metric (BASELINE.json): images/sec/chip for the fused DCGAN
+G+D adversarial step (incl. gradient-penalty double-backward, both Adam
+updates, and on-device uint8 gather+decode) at 64×64, global batch 128,
+bfloat16 compute.
+
+Methodology: the production trainer runs K train steps per device launch
+via ``lax.scan`` over an HBM-resident uint8 dataset ("superstep"), so host
+dispatch / tunnel latency is off the hot path. We time several supersteps
+back-to-back from a blocked start and divide; the first post-compile launch
+is excluded (the remote runtime reports it complete early). A device→host
+read of the final loss closes the timing region so nothing can be left in
+flight.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no GAN training throughput (SURVEY.md
+§6); its only recorded number is ≈374 img/s for the InceptionV3 fine-tune
+train loop on an unnamed CUDA GPU (inceptionnet.ipynb cell 14). We report
+relative to that anchor.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_IMG_PER_SEC = 374.0  # inceptionnet.ipynb cell 14 (2.92 it/s * 128)
+
+
+def main():
+    from jckx.configs import Config
+    from jckx.data.datasets import synthetic_dataset
+    from jckx.data.pipeline import decode_batch
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.train.state import GANTrainState, make_optimizer
+    from jckx.train.steps import make_dcgan_train_step
+
+    cfg = Config()  # reference defaults: bs=128, 64x64, z=100
+    cfg.compute_dtype = "bfloat16"
+    cfg.max_learning_rate = 2e-4
+    geo = GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size, channels=cfg.channels)
+
+    tx = make_optimizer(cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    state = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                          opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
+                          rng=jax.random.PRNGKey(2))
+
+    base_step = make_dcgan_train_step(cfg, geo)
+    K = 50  # steps per device launch
+
+    def superstep(state, data_u8, idx):
+        def body(s, batch_idx):
+            u8 = jnp.take(data_u8, batch_idx, axis=0)
+            return base_step(s, decode_batch(u8, cfg.image_size, jnp.bfloat16))
+
+        state, ms = jax.lax.scan(body, state, idx)
+        return state, jax.tree.map(lambda v: v[-1], ms)
+
+    sstep = jax.jit(superstep, donate_argnums=(0,))
+
+    x_u8, _ = synthetic_dataset(4096, 32, 3, 100, seed=0)
+    data = jax.device_put(jnp.asarray(x_u8))
+    rng = np.random.RandomState(0)
+
+    def launch(state):
+        idx = jnp.asarray(rng.randint(0, data.shape[0], size=(K, cfg.batch_size)), jnp.int32)
+        return sstep(state, data, idx)
+
+    # compile + flush the early-completion artifact of the remote runtime
+    for _ in range(2):
+        state, metrics = launch(state)
+    jax.block_until_ready(state)
+    float(metrics["loss_d"])  # hard host sync
+
+    supersteps = 5
+    t0 = time.perf_counter()
+    for _ in range(supersteps):
+        state, metrics = launch(state)
+    jax.block_until_ready(state)
+    loss_d = float(metrics["loss_d"])  # device→host read closes the region
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    total_images = cfg.batch_size * K * supersteps
+    img_per_sec_per_chip = total_images / dt / n_chips
+    assert np.isfinite(loss_d), "non-finite training loss"
+
+    print(json.dumps({
+        "metric": "images/sec/chip fused DCGAN G+D step (64x64, bs128, bf16, incl. GP + on-device decode)",
+        "value": round(img_per_sec_per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec_per_chip / REFERENCE_IMG_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

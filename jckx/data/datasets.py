@@ -1,0 +1,192 @@
+"""Dataset loading: CIFAR-100 / CIFAR-10 / MNIST from local archives, plus a
+deterministic synthetic fallback.
+
+The reference pulls CIFAR-100 through torchvision with download=True
+(preprocess/dcgan_data_preprocessor.py:20-21). This environment has no
+network egress and no torchvision, so jckx parses the standard archive
+formats directly from ``data_dir`` (the same ./data layout torchvision
+uses) and falls back to a seeded synthetic set — clearly logged — when no
+archive is present, so every pipeline/trainer/benchmark path still runs.
+
+Also hosts the CIFAR-100 class metadata: the 100 fine-class names (the
+reference builds idx→name from torchvision dataset metadata,
+cgan_data_preprocessor.py:31-33) and the fine→superclass map the metrics
+engine needs (reference hardcodes a 100-entry index dict, metrics.py:23-44;
+here it is derived from the canonical named 20×5 superclass table, which is
+self-documenting and testable against the reference's indices).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import pickle
+import struct
+import tarfile
+from typing import Tuple
+
+import numpy as np
+
+# Canonical CIFAR-100 fine-label names in label-index (alphabetical) order.
+CIFAR100_CLASSES = [
+    "apple", "aquarium_fish", "baby", "bear", "beaver", "bed", "bee", "beetle",
+    "bicycle", "bottle", "bowl", "boy", "bridge", "bus", "butterfly", "camel",
+    "can", "castle", "caterpillar", "cattle", "chair", "chimpanzee", "clock",
+    "cloud", "cockroach", "couch", "crab", "crocodile", "cup", "dinosaur",
+    "dolphin", "elephant", "flatfish", "forest", "fox", "girl", "hamster",
+    "house", "kangaroo", "keyboard", "lamp", "lawn_mower", "leopard", "lion",
+    "lizard", "lobster", "man", "maple_tree", "motorcycle", "mountain",
+    "mouse", "mushroom", "oak_tree", "orange", "orchid", "otter", "palm_tree",
+    "pear", "pickup_truck", "pine_tree", "plain", "plate", "poppy",
+    "porcupine", "possum", "rabbit", "raccoon", "ray", "road", "rocket",
+    "rose", "sea", "seal", "shark", "shrew", "skunk", "skyscraper", "snail",
+    "snake", "spider", "squirrel", "streetcar", "sunflower", "sweet_pepper",
+    "table", "tank", "telephone", "television", "tiger", "tractor", "train",
+    "trout", "tulip", "turtle", "wardrobe", "whale", "willow_tree", "wolf",
+    "woman", "worm",
+]
+
+# Canonical CIFAR-100 superclass table (20 coarse × 5 fine), by name.
+CIFAR100_SUPERCLASSES = [
+    ("aquatic_mammals", ["beaver", "dolphin", "otter", "seal", "whale"]),
+    ("fish", ["aquarium_fish", "flatfish", "ray", "shark", "trout"]),
+    ("flowers", ["orchid", "poppy", "rose", "sunflower", "tulip"]),
+    ("food_containers", ["bottle", "bowl", "can", "cup", "plate"]),
+    ("fruit_and_vegetables", ["apple", "mushroom", "orange", "pear", "sweet_pepper"]),
+    ("household_electrical_devices", ["clock", "keyboard", "lamp", "telephone", "television"]),
+    ("household_furniture", ["bed", "chair", "couch", "table", "wardrobe"]),
+    ("insects", ["bee", "beetle", "butterfly", "caterpillar", "cockroach"]),
+    ("large_carnivores", ["bear", "leopard", "lion", "tiger", "wolf"]),
+    ("large_man-made_outdoor_things", ["bridge", "castle", "house", "road", "skyscraper"]),
+    ("large_natural_outdoor_scenes", ["cloud", "forest", "mountain", "plain", "sea"]),
+    ("large_omnivores_and_herbivores", ["camel", "cattle", "chimpanzee", "elephant", "kangaroo"]),
+    ("medium_mammals", ["fox", "porcupine", "possum", "raccoon", "skunk"]),
+    ("non-insect_invertebrates", ["crab", "lobster", "snail", "spider", "worm"]),
+    ("people", ["baby", "boy", "girl", "man", "woman"]),
+    ("reptiles", ["crocodile", "dinosaur", "lizard", "snake", "turtle"]),
+    ("small_mammals", ["hamster", "mouse", "rabbit", "shrew", "squirrel"]),
+    ("trees", ["maple_tree", "oak_tree", "palm_tree", "pine_tree", "willow_tree"]),
+    ("vehicles_1", ["bicycle", "bus", "motorcycle", "pickup_truck", "train"]),
+    ("vehicles_2", ["lawn_mower", "rocket", "streetcar", "tank", "tractor"]),
+]
+
+_NAME_TO_IDX = {n: i for i, n in enumerate(CIFAR100_CLASSES)}
+# fine-label index -> superclass index (equivalent to reference metrics.py:23-44)
+FINE_TO_SUPERCLASS = np.zeros(100, np.int32)
+for _sidx, (_, _members) in enumerate(CIFAR100_SUPERCLASSES):
+    for _m in _members:
+        FINE_TO_SUPERCLASS[_NAME_TO_IDX[_m]] = _sidx
+
+
+def superclass_of(fine_label: int) -> int:
+    return int(FINE_TO_SUPERCLASS[fine_label])
+
+
+# ------------------------------------------------------------------ loaders
+
+def _unpickle(f) -> dict:
+    return pickle.load(f, encoding="bytes")
+
+
+def _maybe_extract(data_dir: str, tar_name: str, member_dir: str) -> None:
+    tar_path = os.path.join(data_dir, tar_name)
+    out_dir = os.path.join(data_dir, member_dir)
+    if os.path.exists(tar_path) and not os.path.exists(out_dir):
+        with tarfile.open(tar_path, "r:gz") as t:
+            t.extractall(data_dir)
+
+
+def load_cifar100(data_dir: str, train: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (images uint8 (N,32,32,3) HWC, fine labels int32 (N,))."""
+    _maybe_extract(data_dir, "cifar-100-python.tar.gz", "cifar-100-python")
+    path = os.path.join(data_dir, "cifar-100-python", "train" if train else "test")
+    with open(path, "rb") as f:
+        d = _unpickle(f)
+    x = d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+    y = np.asarray(d[b"fine_labels"], np.int32)
+    return np.ascontiguousarray(x), y
+
+
+def load_cifar10(data_dir: str, train: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    _maybe_extract(data_dir, "cifar-10-python.tar.gz", "cifar-10-batches-py")
+    base = os.path.join(data_dir, "cifar-10-batches-py")
+    files = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    xs, ys = [], []
+    for name in files:
+        with open(os.path.join(base, name), "rb") as f:
+            d = _unpickle(f)
+        xs.append(d[b"data"].reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1))
+        ys.append(np.asarray(d[b"labels"], np.int32))
+    return np.ascontiguousarray(np.concatenate(xs)), np.concatenate(ys)
+
+
+def load_mnist(data_dir: str, train: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (images uint8 (N,28,28,1), labels int32). Reads idx(.gz) files."""
+    prefix = "train" if train else "t10k"
+    base_candidates = [data_dir, os.path.join(data_dir, "MNIST", "raw")]
+    for base in base_candidates:
+        img_path = os.path.join(base, f"{prefix}-images-idx3-ubyte")
+        lab_path = os.path.join(base, f"{prefix}-labels-idx1-ubyte")
+        for p in (img_path, lab_path):
+            if not os.path.exists(p) and os.path.exists(p + ".gz"):
+                with gzip.open(p + ".gz", "rb") as fin, open(p, "wb") as fout:
+                    fout.write(fin.read())
+        if os.path.exists(img_path) and os.path.exists(lab_path):
+            with open(img_path, "rb") as f:
+                _, n, rows, cols = struct.unpack(">IIII", f.read(16))
+                x = np.frombuffer(f.read(), np.uint8).reshape(n, rows, cols, 1)
+            with open(lab_path, "rb") as f:
+                _, n = struct.unpack(">II", f.read(8))
+                y = np.frombuffer(f.read(), np.uint8).astype(np.int32)
+            return x, y
+    raise FileNotFoundError(f"MNIST idx files not found under {base_candidates}")
+
+
+def synthetic_dataset(
+    n: int = 2048, size: int = 32, channels: int = 3, num_classes: int = 100, seed: int = 0
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic class-structured fake data (smoke tests / no-egress runs).
+
+    Each class gets a distinct smooth color/stripe pattern plus noise, so
+    conditional models have real signal to fit.
+    """
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, num_classes, size=n).astype(np.int32)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    imgs = np.empty((n, size, size, channels), np.float32)
+    for c in range(channels):
+        phase = (y[:, None, None] * (0.37 + 0.11 * c)) % 1.0
+        imgs[..., c] = 0.5 + 0.4 * np.sin(
+            2 * np.pi * (phase + xx[None] * ((y[:, None, None] % 4) + 1) * 0.25
+                         + yy[None] * ((y[:, None, None] % 3) + 1) * 0.25)
+        )
+    imgs += rng.randn(*imgs.shape).astype(np.float32) * 0.05
+    return (np.clip(imgs, 0, 1) * 255).astype(np.uint8), y
+
+
+def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0):
+    """Dispatch; returns (images uint8 NHWC, labels int32, num_classes, names).
+
+    Falls back to synthetic data (with the real geometry) when the named
+    archive is absent — callers log the substitution.
+    """
+    try:
+        if name == "cifar100":
+            x, y = load_cifar100(data_dir, train)
+            return x, y, 100, CIFAR100_CLASSES, False
+        if name == "cifar10":
+            x, y = load_cifar10(data_dir, train)
+            names = ["airplane", "automobile", "bird", "cat", "deer",
+                     "dog", "frog", "horse", "ship", "truck"]
+            return x, y, 10, names, False
+        if name == "mnist":
+            x, y = load_mnist(data_dir, train)
+            return x, y, 10, [str(i) for i in range(10)], False
+    except FileNotFoundError:
+        pass
+    if name == "synthetic" or True:  # fallback
+        ch = 1 if name == "mnist" else 3
+        ncls = 10 if name in ("cifar10", "mnist") else 100
+        names = CIFAR100_CLASSES if ncls == 100 else [str(i) for i in range(ncls)]
+        x, y = synthetic_dataset(4096, 32 if ch == 3 else 28, ch, ncls, seed)
+        return x, y, ncls, names, True

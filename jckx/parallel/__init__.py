@@ -3,6 +3,7 @@ from jckx.parallel.mesh import (  # noqa: F401
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    local_batch_size,
     DATA_AXIS,
     MODEL_AXIS,
 )

@@ -1,0 +1,232 @@
+"""Fused adversarial train steps — ONE jitted function per model family.
+
+The reference's hot loop (train/dcgan_trainer.py:130-239) is ~10 separate
+device launches per iteration with `.item()` host syncs after each phase.
+Here the WHOLE iteration — D forward on real/fake, gradient-penalty
+double-backward, D Adam update, G forward/backward through the *updated* D,
+G Adam update — is a single XLA program: state in, state out, all buffers
+donated, zero host round-trips. Telemetry scalars ship back as one small
+dict read at logging cadence only.
+
+Reference-semantic details preserved (all flag-gated via Config):
+- label smoothing real=0.9 / fake=0.1 (dcgan_trainer.py:136-137),
+- instance noise 0.9·x + 0.1·N(0,1) on real AND fake (:160,171),
+- the SAME noisy fake batch is reused for D's fake pass and G's pass
+  (the reference builds `fake` once, :168-171,185),
+- GP on the post-sigmoid D output at α-interpolates (:110-127),
+- G's update flows through the ALREADY-UPDATED D (optimizer_d.step()
+  precedes the G forward, :180-185),
+- DCGAN quirk: GP contributes to the reported loss_d but (optionally) not
+  to D's gradients (:178-180 — no backward on error_d); CGAN backprops it
+  (cgan_trainer.py:201-203). `cfg.gp_in_d_grad` selects; default fixed=True.
+- CGAN: labels condition G and D; fresh dropout mask per D forward
+  (torch semantics); GP uses detached real/fake (cgan_trainer.py:200).
+
+Per-step randomness derives on-device from ``state.rng`` + ``state.step``
+(fold_in), so the step function is closed — no per-step key upload.
+
+Multi-chip: jit the returned function with the batch sharded on the mesh's
+``data`` axis and the state replicated. The batch-stat means inside BN and
+the loss means ARE global reductions — XLA emits the ICI all-reduces, giving
+bit-identical semantics to one giant device (sync-BN + grad all-reduce for
+free, the scaling-book recipe).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from jckx.configs import Config
+from jckx.models import cgan, dcgan
+from jckx.models.dcgan import GANGeometry
+from jckx.ops.losses import bce_from_logits, gradient_penalty, instance_noise_blend
+from jckx.train.state import GANTrainState, make_optimizer
+
+
+def _dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def make_dcgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
+    """Returns step(state, real_batch) -> (new_state, metrics). Jit-ready."""
+    cd = _dtype(cfg)
+    tx = make_optimizer(cfg)
+    lam, f = cfg.lambda_gp, cfg.instance_noise
+
+    def step(state: GANTrainState, real: jax.Array):
+        k = jax.random.fold_in(state.rng, state.step)
+        k_real, k_z, k_fake, k_alpha = jax.random.split(k, 4)
+
+        real_n = instance_noise_blend(k_real, real.astype(cd), f)
+        z = jax.random.normal(k_z, (real.shape[0], geo.z_dim), jnp.float32)
+        fake_noise = jax.random.normal(k_fake, real.shape, jnp.float32).astype(cd)
+
+        # fake batch from the CURRENT generator; D never differentiates G
+        fake = dcgan.generator_apply(state.params_g, z, geo, cd)
+        fake_n = (1.0 - f) * jax.lax.stop_gradient(fake) + f * fake_noise
+
+        # ---- D update -----------------------------------------------------
+        def d_loss_fn(params_d):
+            logits_r = dcgan.discriminator_apply(params_d, real_n, geo, cd)
+            logits_f = dcgan.discriminator_apply(params_d, fake_n, geo, cd)
+            bce = bce_from_logits(logits_r, cfg.label_real) + bce_from_logits(
+                logits_f, cfg.label_fake
+            )
+            gp = gradient_penalty(
+                lambda x: jax.nn.sigmoid(dcgan.discriminator_apply(params_d, x, geo, cd)),
+                k_alpha,
+                real_n,
+                fake_n,
+            )
+            loss_for_grad = bce + (lam * gp if cfg.gp_in_d_grad else 0.0)
+            aux = {
+                "loss_d": bce + lam * gp,  # reference's reported error_d (:179)
+                "gp": gp,
+                "d_x": jnp.mean(jax.nn.sigmoid(logits_r)),
+                "d_gz1": jnp.mean(jax.nn.sigmoid(logits_f)),
+            }
+            return loss_for_grad, aux
+
+        grads_d, aux = jax.grad(d_loss_fn, has_aux=True)(state.params_d)
+        upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, upd_d)
+
+        # ---- G update (through the updated D, same noisy-blend draw) ------
+        def g_loss_fn(params_g):
+            fk = dcgan.generator_apply(params_g, z, geo, cd)
+            fk_n = (1.0 - f) * fk + f * fake_noise
+            logits = dcgan.discriminator_apply(params_d, fk_n, geo, cd)
+            return bce_from_logits(logits, cfg.label_real), jnp.mean(jax.nn.sigmoid(logits))
+
+        (loss_g, d_gz2), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_g)
+        upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, upd_g)
+
+        metrics = {**aux, "loss_g": loss_g, "d_gz2": d_gz2}
+        metrics = {n: v.astype(jnp.float32) for n, v in metrics.items()}
+        new_state = GANTrainState(
+            params_g=params_g,
+            params_d=params_d,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
+    """Conditional variant: step(state, real_batch, labels_onehot)."""
+    cd = _dtype(cfg)
+    tx = make_optimizer(cfg)
+    lam, f = cfg.lambda_gp, cfg.instance_noise
+
+    def step(state: GANTrainState, real: jax.Array, labels: jax.Array):
+        k = jax.random.fold_in(state.rng, state.step)
+        (k_real, k_z, k_fake, k_alpha, k_dr, k_df, k_di, k_dg) = jax.random.split(k, 8)
+
+        labels = labels.astype(jnp.float32)
+        real_n = instance_noise_blend(k_real, real.astype(cd), f)
+        z = jax.random.normal(k_z, (real.shape[0], geo.z_dim), jnp.float32)
+        fake_noise = jax.random.normal(k_fake, real.shape, jnp.float32).astype(cd)
+
+        fake = cgan.cgenerator_apply(state.params_g, z, labels, geo, cd)
+        fake_n = (1.0 - f) * jax.lax.stop_gradient(fake) + f * fake_noise
+
+        def d_loss_fn(params_d):
+            logits_r = cgan.cdiscriminator_apply(
+                params_d, real_n, labels, geo, cd, dropout_key=k_dr
+            )
+            logits_f = cgan.cdiscriminator_apply(
+                params_d, fake_n, labels, geo, cd, dropout_key=k_df
+            )
+            bce = bce_from_logits(logits_r, cfg.label_real) + bce_from_logits(
+                logits_f, cfg.label_fake
+            )
+            gp = gradient_penalty(
+                lambda x: jax.nn.sigmoid(
+                    cgan.cdiscriminator_apply(params_d, x, labels, geo, cd, dropout_key=k_di)
+                ),
+                k_alpha,
+                real_n,
+                fake_n,
+            )
+            # CGAN backprops the full error_d incl. GP (cgan_trainer.py:201-203)
+            loss_for_grad = bce + lam * gp
+            aux = {
+                "loss_d": bce + lam * gp,
+                "gp": gp,
+                "d_x": jnp.mean(jax.nn.sigmoid(logits_r)),
+                "d_gz1": jnp.mean(jax.nn.sigmoid(logits_f)),
+            }
+            return loss_for_grad, aux
+
+        grads_d, aux = jax.grad(d_loss_fn, has_aux=True)(state.params_d)
+        upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
+        params_d = optax.apply_updates(state.params_d, upd_d)
+
+        def g_loss_fn(params_g):
+            fk = cgan.cgenerator_apply(params_g, z, labels, geo, cd)
+            fk_n = (1.0 - f) * fk + f * fake_noise
+            logits = cgan.cdiscriminator_apply(
+                params_d, fk_n, labels, geo, cd, dropout_key=k_dg
+            )
+            return bce_from_logits(logits, cfg.label_real), jnp.mean(jax.nn.sigmoid(logits))
+
+        (loss_g, d_gz2), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_g)
+        upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
+        params_g = optax.apply_updates(state.params_g, upd_g)
+
+        metrics = {**aux, "loss_g": loss_g, "d_gz2": d_gz2}
+        metrics = {n: v.astype(jnp.float32) for n, v in metrics.items()}
+        new_state = GANTrainState(
+            params_g=params_g,
+            params_d=params_d,
+            opt_g=opt_g,
+            opt_d=opt_d,
+            step=state.step + 1,
+            rng=state.rng,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def jit_train_step(
+    step: Callable,
+    mesh=None,
+    donate_state: bool = True,
+):
+    """Jit a train step, optionally laying it out over a mesh.
+
+    With a mesh: state replicated, batch (and labels) sharded on 'data'.
+    XLA inserts all-reduces for the global batch-stat and loss means.
+    """
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate_state else ())
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+
+    def in_shardings(nargs):
+        return (repl,) + (data,) * (nargs - 1)
+
+    # support both (state, batch) and (state, batch, labels)
+    import inspect
+
+    nargs = len(inspect.signature(step).parameters)
+    return jax.jit(
+        step,
+        in_shardings=in_shardings(nargs),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else (),
+    )

@@ -1,0 +1,90 @@
+"""Data layer tests: synthetic determinism, loader mechanics, decode
+golden (normalize to [-1,1], resize), superclass map vs reference indices."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from jckx.configs import Config
+from jckx.data.datasets import (
+    CIFAR100_CLASSES,
+    FINE_TO_SUPERCLASS,
+    superclass_of,
+    synthetic_dataset,
+)
+from jckx.data.pipeline import (
+    CGANDataPreprocessor,
+    DCGANDataPreprocessor,
+    DeviceDataLoader,
+    decode_batch,
+)
+
+
+def test_superclass_map_matches_reference_samples():
+    # spot-check against the reference's numeric dict (metrics.py:23-44):
+    # {4,30,55,72,95}→0, {1,32,67,73,91}→1, {41,69,81,85,89}→19
+    for idx in (4, 30, 55, 72, 95):
+        assert superclass_of(idx) == 0
+    for idx in (1, 32, 67, 73, 91):
+        assert superclass_of(idx) == 1
+    for idx in (41, 69, 81, 85, 89):
+        assert superclass_of(idx) == 19
+    # every superclass has exactly 5 members
+    counts = np.bincount(FINE_TO_SUPERCLASS, minlength=20)
+    assert (counts == 5).all()
+    assert len(CIFAR100_CLASSES) == 100
+    assert CIFAR100_CLASSES == sorted(CIFAR100_CLASSES)  # alphabetical index order
+
+
+def test_synthetic_deterministic_and_classful():
+    x1, y1 = synthetic_dataset(128, 32, 3, 100, seed=5)
+    x2, y2 = synthetic_dataset(128, 32, 3, 100, seed=5)
+    assert (x1 == x2).all() and (y1 == y2).all()
+    assert x1.dtype == np.uint8 and x1.shape == (128, 32, 32, 3)
+    # different classes → different images (signal for the conditional model)
+    a = x1[y1 == y1[0]][0].astype(int)
+    other = x1[y1 != y1[0]][0].astype(int)
+    assert np.abs(a - other).mean() > 2
+
+
+def test_decode_batch_range_and_resize():
+    u8 = jnp.asarray((np.arange(2 * 32 * 32 * 3) % 256).reshape(2, 32, 32, 3).astype(np.uint8))
+    out = decode_batch(u8, 64)
+    assert out.shape == (2, 64, 64, 3)
+    assert float(out.min()) >= -1.0 and float(out.max()) <= 1.0
+    # identity path when already at size
+    u8s = jnp.zeros((2, 64, 64, 3), jnp.uint8)
+    out2 = decode_batch(u8s, 64)
+    assert float(out2.min()) == -1.0  # 0 → -1
+
+
+def test_device_loader_epoch_mechanics():
+    x, y = synthetic_dataset(100, 16, 3, 10, seed=1)
+    dl = DeviceDataLoader(x, y, batch_size=32, seed=0)
+    assert len(dl) == 3  # drops remainder
+    seen = []
+    for bx, by in dl:
+        assert bx.shape == (32, 16, 16, 3) and by.shape == (32,)
+        seen.append(np.asarray(by))
+    # second epoch reshuffles
+    second = [np.asarray(by) for _, by in dl]
+    assert not all((a == b).all() for a, b in zip(seen, second))
+
+
+def test_preprocessor_api_parity():
+    cfg = Config()
+    cfg.dataset = "synthetic"
+    cfg.batch_size = 16
+    cfg.log_file = 0
+    pre = DCGANDataPreprocessor(cfg)
+    assert len(pre.data_mean) == 3 and len(pre.data_std) == 3
+    pre.transform_data()
+    train_loader, metric_source = pre.get_data_loader()
+    bx, by = next(iter(train_loader))
+    assert bx.shape[0] == 16
+    imgs, labels = metric_source
+    assert imgs.dtype == np.uint8
+
+    cpre = CGANDataPreprocessor(cfg)
+    assert cpre.idx_to_labels[0] == CIFAR100_CLASSES[0]
+    oh = cpre.one_hot(np.array([1, 2]))
+    assert oh.shape == (2, cpre.num_classes)

@@ -1,0 +1,161 @@
+"""Integration tests for the fused G+D train steps (SURVEY.md §4: 1-step
+train on tiny data, finite losses, params change, sharded == unsharded)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jckx.configs import Config
+from jckx.models.dcgan import GANGeometry
+from jckx.parallel import make_mesh
+from jckx.train.state import create_cgan_state, create_dcgan_state
+from jckx.train.steps import jit_train_step, make_cgan_train_step, make_dcgan_train_step
+
+TINY = dict(image_size=16, compute_dtype="float32", batch_size=8,
+            max_learning_rate=2e-4, num_classes=10)
+
+
+def tiny_cfg(**kw):
+    cfg = Config(**{})
+    for k, v in {**TINY, **kw}.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def tiny_geo(cfg):
+    return GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size,
+                       channels=cfg.channels, base_width=8)
+
+
+def _leaf_delta(a, b):
+    return max(
+        float(jnp.abs(x - y).max())
+        for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    )
+
+
+def test_dcgan_step_updates_and_finite():
+    cfg = tiny_cfg()
+    geo = tiny_geo(cfg)
+    state = create_dcgan_state(cfg, jax.random.PRNGKey(0))
+    # geometry override: rebuild params with tiny geo
+    from jckx.models import dcgan
+    from jckx.train.state import make_optimizer
+    tx = make_optimizer(cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(1), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(2), geo)
+    state = state.replace(params_g=pg, params_d=pd, opt_g=tx.init(pg), opt_d=tx.init(pd))
+
+    step = jit_train_step(make_dcgan_train_step(cfg, geo), donate_state=False)
+    real = jax.random.uniform(jax.random.PRNGKey(3), (8, 16, 16, 3), minval=-1, maxval=1)
+    new_state, m = step(state, real)
+
+    for k in ("loss_d", "loss_g", "gp", "d_x", "d_gz1", "d_gz2"):
+        assert np.isfinite(float(m[k])), k
+    # probabilities in (0,1)
+    for k in ("d_x", "d_gz1", "d_gz2"):
+        assert 0.0 < float(m[k]) < 1.0
+    # both adversaries moved, step incremented
+    assert _leaf_delta(new_state.params_g, pg) > 0
+    assert _leaf_delta(new_state.params_d, pd) > 0
+    assert int(new_state.step) == 1
+
+
+def test_dcgan_step_deterministic():
+    cfg = tiny_cfg()
+    geo = tiny_geo(cfg)
+    from jckx.models import dcgan
+    from jckx.train.state import make_optimizer, GANTrainState
+    tx = make_optimizer(cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(1), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(2), geo)
+
+    def fresh():
+        return GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                             opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
+                             rng=jax.random.PRNGKey(7))
+
+    step = jit_train_step(make_dcgan_train_step(cfg, geo), donate_state=False)
+    real = jax.random.uniform(jax.random.PRNGKey(3), (8, 16, 16, 3), minval=-1, maxval=1)
+    s1, m1 = step(fresh(), real)
+    s2, m2 = step(fresh(), real)
+    assert float(m1["loss_d"]) == float(m2["loss_d"])
+    assert _leaf_delta(s1.params_g, s2.params_g) == 0.0
+
+
+def test_dcgan_gp_quirk_flag_changes_d_grads():
+    geo_cfg = tiny_cfg()
+    geo = tiny_geo(geo_cfg)
+    from jckx.models import dcgan
+    from jckx.train.state import make_optimizer, GANTrainState
+    tx = make_optimizer(geo_cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(1), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(2), geo)
+
+    def run(gp_in_grad):
+        cfg = tiny_cfg(gp_in_d_grad=gp_in_grad)
+        step = jit_train_step(make_dcgan_train_step(cfg, geo), donate_state=False)
+        st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                           opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
+                           rng=jax.random.PRNGKey(7))
+        s, m = step(st, jax.random.uniform(jax.random.PRNGKey(3), (8, 16, 16, 3)))
+        return s, m
+
+    s_fix, m_fix = run(True)
+    s_quirk, m_quirk = run(False)
+    # same reported loss (error_d always includes the GP term)...
+    assert abs(float(m_fix["loss_d"]) - float(m_quirk["loss_d"])) < 1e-5
+    # ...different D parameter update (GP only flows in fixed mode)
+    assert _leaf_delta(s_fix.params_d, s_quirk.params_d) > 0
+
+
+def test_cgan_step_runs():
+    cfg = tiny_cfg(num_classes=10)
+    geo = tiny_geo(cfg)
+    from jckx.models import cgan
+    from jckx.train.state import make_optimizer, GANTrainState
+    tx = make_optimizer(cfg)
+    pg = cgan.cgenerator_init(jax.random.PRNGKey(1), geo, 10)
+    pd = cgan.cdiscriminator_init(jax.random.PRNGKey(2), geo, 10)
+    st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                       opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.PRNGKey(7))
+    step = jit_train_step(make_cgan_train_step(cfg, geo), donate_state=False)
+    real = jax.random.uniform(jax.random.PRNGKey(3), (8, 16, 16, 3), minval=-1, maxval=1)
+    labels = jax.nn.one_hot(jnp.arange(8) % 10, 10)
+    new_state, m = step(st, real, labels)
+    assert all(np.isfinite(float(m[k])) for k in m)
+    assert _leaf_delta(new_state.params_g, pg) > 0
+
+
+def test_sharded_step_matches_single_device():
+    """8-way data-parallel must be numerically ≡ one big device (sync-BN +
+    global loss means via XLA collectives)."""
+    cfg = tiny_cfg()
+    geo = tiny_geo(cfg)
+    from jckx.models import dcgan
+    from jckx.train.state import make_optimizer, GANTrainState
+    tx = make_optimizer(cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(1), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(2), geo)
+
+    def fresh():
+        return GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                             opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
+                             rng=jax.random.PRNGKey(7))
+
+    real = jax.random.uniform(jax.random.PRNGKey(3), (8, 16, 16, 3), minval=-1, maxval=1)
+
+    step_1 = jit_train_step(make_dcgan_train_step(cfg, geo), donate_state=False)
+    s1, m1 = step_1(fresh(), real)
+
+    mesh = make_mesh()  # all 8 virtual CPU devices on 'data'
+    assert mesh.devices.size == 8
+    step_8 = jit_train_step(make_dcgan_train_step(cfg, geo), mesh=mesh, donate_state=False)
+    s8, m8 = step_8(fresh(), real)
+
+    assert abs(float(m1["loss_d"]) - float(m8["loss_d"])) < 1e-4
+    assert abs(float(m1["loss_g"]) - float(m8["loss_g"])) < 1e-4
+    assert _leaf_delta(s1.params_g, s8.params_g) < 1e-4
+    assert _leaf_delta(s1.params_d, s8.params_d) < 1e-4
