@@ -25,3 +25,6 @@ __version__ = "0.1.0"
 
 from jckx.enums import ModelEnum  # noqa: F401
 from jckx.rng import RANDOMSEED  # noqa: F401
+from jckx.utils.cache import enable_compilation_cache as _enable_cache
+
+_enable_cache()  # persistent XLA cache; opt out with JCKX_NO_COMPILE_CACHE=1

@@ -1,0 +1,73 @@
+"""Checkpoint / resume.
+
+Reference behavior (train/dcgan_trainer.py:76-99): on each new-best metric,
+delete the previous ``.pt`` in ``save/<model>/<ts>/<metric>/`` and write
+``{model_g, model_d, optimizer_g, optimizer_d}`` as ``<iters>_<value>.pt``
+plus a fake-image grid PNG. Restore was stubbed out, never implemented
+(dcgan_trainer.py:102-107).
+
+jckx keeps the retention policy and dir layout, serializes the ONE train
+state pytree (params_g/d + opt_g/d + step + rng) with flax msgpack, and
+implements the missing resume: ``latest.ckpt`` is refreshed at every eval
+boundary and ``restore_checkpoint`` rebuilds the exact state (bit-identical
+continuation is tested in tests/test_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Tuple
+
+from flax import serialization
+
+
+def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(state))
+    os.replace(tmp, path)  # atomic — a crash mid-write can't corrupt latest
+    if extra is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(extra, f)
+
+
+def restore_checkpoint(path: str, template_state: Any) -> Tuple[Any, dict]:
+    with open(path, "rb") as f:
+        state = serialization.from_bytes(template_state, f.read())
+    extra = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            extra = json.load(f)
+    return state, extra
+
+
+def latest_checkpoint(run_dir: str) -> Optional[str]:
+    p = os.path.join(run_dir, "latest.ckpt")
+    return p if os.path.exists(p) else None
+
+
+class BestMetricCheckpointer:
+    """One retained checkpoint per metric subdir, reference retention policy
+    (delete previous, filename encodes iters + metric values)."""
+
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+
+    def save(self, typ: str, iters: int, values: Tuple[float, ...], state: Any,
+             extra: Optional[dict] = None) -> str:
+        sub = os.path.join(self.run_dir, typ)
+        os.makedirs(sub, exist_ok=True)
+        for fn in os.listdir(sub):
+            if fn.endswith(".ckpt") or fn.endswith(".ckpt.json"):
+                os.remove(os.path.join(sub, fn))
+        tag = "_".join(f"{v:.04f}" for v in values)
+        path = os.path.join(sub, f"{iters}_{tag}.ckpt")
+        save_checkpoint(path, state, extra)
+        return path
+
+    def save_latest(self, state: Any, extra: Optional[dict] = None) -> str:
+        path = os.path.join(self.run_dir, "latest.ckpt")
+        save_checkpoint(path, state, extra)
+        return path

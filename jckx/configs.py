@@ -59,6 +59,7 @@ class Config:
     gp_in_d_grad: bool = True
 
     # --- model / data geometry ---
+    base_width: int = 64               # channel width at the last G stage
     z_dim: int = 100                   # DCGAN.py:42 (latent 100)
     num_classes: int = 100             # CIFAR-100
     image_size: int = 64               # pipeline Resize(64)
@@ -120,6 +121,7 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype, choices=["bfloat16", "float32"])
     parser.add_argument("--gp_in_d_grad", type=int, default=int(d.gp_in_d_grad), help="1=fixed (GP in D grad), 0=faithful DCGAN quirk")
     parser.add_argument("--image_size", type=int, default=d.image_size)
+    parser.add_argument("--base_width", type=int, default=d.base_width)
     parser.add_argument("--metric_backbone", type=str, default=d.metric_backbone)
     parser.add_argument("--sanitize", action="store_true", default=d.sanitize)
     parser.add_argument("--profile_dir", type=str, default=d.profile_dir)

@@ -164,11 +164,14 @@ def synthetic_dataset(
     return (np.clip(imgs, 0, 1) * 255).astype(np.uint8), y
 
 
-def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0):
-    """Dispatch; returns (images uint8 NHWC, labels int32, num_classes, names).
+def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
+                 num_classes: int = 0):
+    """Dispatch; returns (images uint8 NHWC, labels int32, num_classes,
+    names, is_synthetic).
 
     Falls back to synthetic data (with the real geometry) when the named
-    archive is absent — callers log the substitution.
+    archive is absent — callers log the substitution. ``num_classes``
+    overrides the class count for the synthetic path only.
     """
     try:
         if name == "cifar100":
@@ -184,9 +187,9 @@ def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0):
             return x, y, 10, [str(i) for i in range(10)], False
     except FileNotFoundError:
         pass
-    if name == "synthetic" or True:  # fallback
-        ch = 1 if name == "mnist" else 3
-        ncls = 10 if name in ("cifar10", "mnist") else 100
-        names = CIFAR100_CLASSES if ncls == 100 else [str(i) for i in range(ncls)]
-        x, y = synthetic_dataset(4096, 32 if ch == 3 else 28, ch, ncls, seed)
-        return x, y, ncls, names, True
+    # synthetic fallback
+    ch = 1 if name == "mnist" else 3
+    ncls = num_classes or (10 if name in ("cifar10", "mnist") else 100)
+    names = CIFAR100_CLASSES if ncls == 100 else [str(i) for i in range(ncls)]
+    x, y = synthetic_dataset(4096, 32 if ch == 3 else 28, ch, ncls, seed)
+    return x, y, ncls, names, True

@@ -105,7 +105,8 @@ class DCGANDataPreprocessor:
         self.cfg = cfg
         self.batch_size = cfg.batch_size
         x, y, ncls, names, synthetic = load_dataset(
-            cfg.dataset, cfg.data_dir, train=True, seed=cfg.seed
+            cfg.dataset, cfg.data_dir, train=True, seed=cfg.seed,
+            num_classes=cfg.num_classes,
         )
         if synthetic and cfg.dataset != "synthetic":
             self._logger.warning(

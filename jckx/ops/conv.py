@@ -37,16 +37,22 @@ _DIMS = ("NHWC", "HWIO", "NHWC")
 # double-backward), which requires operand dtypes to match.
 
 
-def conv2d(x: jax.Array, w: jax.Array, stride: int = 1, padding: int = 0) -> jax.Array:
+def conv2d(x: jax.Array, w: jax.Array, stride: int = 1, padding=0) -> jax.Array:
     """Cross-correlation, torch Conv2d semantics (bias-free).
 
     x: (N, H, W, Cin); w: (kh, kw, Cin, Cout).
+    ``padding``: int (symmetric) or (pad_h, pad_w) tuple — torch-style, the
+    same pad on both sides of each spatial dim (used by InceptionV3's 1×7 /
+    7×1 factorized convs).
     """
+    if isinstance(padding, int):
+        padding = (padding, padding)
+    ph, pw = padding
     return lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
-        padding=((padding, padding), (padding, padding)),
+        padding=((ph, ph), (pw, pw)),
         dimension_numbers=_DIMS,
     )
 

@@ -40,7 +40,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def geometry(cfg: Config) -> GANGeometry:
-    return GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size, channels=cfg.channels)
+    return GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size,
+                       channels=cfg.channels, base_width=cfg.base_width)
 
 
 def create_dcgan_state(cfg: Config, key: jax.Array) -> GANTrainState:

@@ -1,0 +1,76 @@
+"""jckx entry point — CLI-compatible with reference ``main.py``.
+
+Flow parity (main.py:64-96): parse flags → run dir ``save/<model>/<ts>`` →
+singleton logger → preprocessor → models → trainer → ``trainer.train()``.
+Seeding: one root PRNGKey(12345) (reference seeds every RNG globally,
+main.py:31-37). The always-on anomaly detector (main.py:28) maps to the
+opt-in ``--sanitize`` flag (jax_debug_nans), which unlike torch's costs
+nothing when off.
+
+Usage examples:
+    python main.py -m DCGAN -b 128 -e 100 --dataset cifar100
+    python main.py -m CGAN --dataset synthetic -e 1 --eval_every 50
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import jax
+
+from jckx.configs import Config, get_arg_parse
+from jckx.data.pipeline import CGANDataPreprocessor, DCGANDataPreprocessor
+from jckx.enums import ModelEnum
+from jckx.logging.main_logger import MainLogger
+from jckx.models import cgan, dcgan
+from jckx.models.dcgan import GANGeometry
+from jckx.rng import KeyChain, seed_everything
+from jckx.train.gan_trainer import CGANTrainer, DCGANTrainer
+
+
+def main(cfg: Config):
+    if cfg.sanitize:
+        jax.config.update("jax_debug_nans", True)
+
+    datetime_now = cfg.model_path or datetime.now().strftime("%Y%m%d_%H%M%S")
+    cfg.save_path = os.path.join(cfg.save_root, str(cfg.model).lower(), datetime_now)
+    os.makedirs(cfg.save_path, exist_ok=True)
+
+    logger = MainLogger(cfg)
+    logger.debug(f"config: {cfg.to_json()}")
+    logger.debug(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
+    logger.debug("init data preprocessing")
+
+    keys = KeyChain(seed_everything(cfg.seed))
+    geo = GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size,
+                      channels=cfg.channels, base_width=cfg.base_width)
+
+    if cfg.profile_dir:
+        jax.profiler.start_trace(cfg.profile_dir)
+
+    if cfg.model == ModelEnum.DCGAN:
+        data_pre = DCGANDataPreprocessor(cfg)
+        data_pre.transform_data()
+        params_g = dcgan.generator_init(keys.next(), geo)
+        params_d = dcgan.discriminator_init(keys.next(), geo)
+        trainer = DCGANTrainer(cfg, params_g, params_d, data_pre)
+    elif cfg.model == ModelEnum.CGAN:
+        data_pre = CGANDataPreprocessor(cfg)
+        data_pre.transform_data()
+        cfg.num_classes = data_pre.num_classes
+        params_g = cgan.cgenerator_init(keys.next(), geo, data_pre.num_classes)
+        params_d = cgan.cdiscriminator_init(keys.next(), geo, data_pre.num_classes)
+        trainer = CGANTrainer(cfg, params_g, params_d, data_pre)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown model {cfg.model}")
+
+    result = trainer.train()
+
+    if cfg.profile_dir:
+        jax.profiler.stop_trace()
+    return result
+
+
+if __name__ == "__main__":
+    main(get_arg_parse())

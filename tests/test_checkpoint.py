@@ -1,0 +1,59 @@
+"""Checkpoint round-trip: bytes → identical pytree, retention policy,
+atomicity basics."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jckx.checkpoint import (
+    BestMetricCheckpointer,
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from jckx.configs import Config
+from jckx.models import dcgan
+from jckx.models.dcgan import GANGeometry
+from jckx.train.state import GANTrainState, make_optimizer
+
+
+def _state(seed=0):
+    cfg = Config()
+    cfg.max_learning_rate = 2e-4
+    geo = GANGeometry(image_size=16, base_width=8)
+    tx = make_optimizer(cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(seed), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(seed + 1), geo)
+    return GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                         opt_d=tx.init(pd), step=jnp.asarray(7, jnp.int32),
+                         rng=jax.random.PRNGKey(9))
+
+
+def test_roundtrip_bit_exact(tmp_path):
+    s = _state()
+    p = os.path.join(tmp_path, "x.ckpt")
+    save_checkpoint(p, s, {"bests": {"fid": 1.5}})
+    restored, extra = restore_checkpoint(p, _state(seed=42))  # different template values
+    assert extra["bests"]["fid"] == 1.5
+    assert int(restored.step) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(s), jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_best_metric_retention(tmp_path):
+    ck = BestMetricCheckpointer(str(tmp_path))
+    s = _state()
+    p1 = ck.save("fid", 100, (12.3456,), s)
+    assert os.path.basename(p1) == "100_12.3456.ckpt"
+    p2 = ck.save("fid", 200, (10.0,), s)
+    files = [f for f in os.listdir(os.path.join(tmp_path, "fid")) if f.endswith(".ckpt")]
+    assert files == [os.path.basename(p2)]  # previous deleted
+
+
+def test_latest_checkpoint_lookup(tmp_path):
+    assert latest_checkpoint(str(tmp_path)) is None
+    ck = BestMetricCheckpointer(str(tmp_path))
+    ck.save_latest(_state())
+    assert latest_checkpoint(str(tmp_path)).endswith("latest.ckpt")

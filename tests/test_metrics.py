@@ -1,0 +1,211 @@
+"""Metric-stack numeric goldens (SURVEY.md §4): Newton–Schulz sqrtm vs
+scipy, Fréchet-distance analytics, IS vs the scipy-entropy formulation,
+torch-checkpoint converter roundtrip, and a tiny end-to-end smoke."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import scipy.linalg
+import scipy.stats
+
+from jckx.metrics.fid import (
+    frechet_distance,
+    inception_score_from_probs,
+    mean_and_cov,
+    newton_schulz_sqrtm,
+    psd_sqrtm,
+)
+
+
+def test_psd_sqrtm_rank_deficient():
+    # covariance of 16 samples in 100-dim (rank ≤ 15) must stay finite
+    rng = np.random.RandomState(7)
+    f = rng.randn(16, 100).astype(np.float32)
+    c = np.cov(f, rowvar=False).astype(np.float32)
+    s = np.asarray(psd_sqrtm(jnp.asarray(c)))
+    assert np.isfinite(s).all()
+    np.testing.assert_allclose(s @ s, c, atol=5e-3)
+    # and the full distance between two degenerate sets is finite
+    f2 = rng.randn(16, 100).astype(np.float32)
+    mu1, s1 = mean_and_cov(jnp.asarray(f))
+    mu2, s2 = mean_and_cov(jnp.asarray(f2))
+    assert np.isfinite(float(frechet_distance(mu1, s1, mu2, s2)))
+
+
+def _spd(n, seed, scale=1.0):
+    rng = np.random.RandomState(seed)
+    a = rng.randn(n, 4 * n).astype(np.float32)
+    return (a @ a.T) / (4 * n) * scale + 1e-3 * np.eye(n, dtype=np.float32)
+
+
+@pytest.mark.parametrize("n,scale", [(16, 1.0), (100, 1.0), (100, 25.0)])
+def test_newton_schulz_matches_scipy(n, scale):
+    a = _spd(n, seed=n, scale=scale)
+    ours = np.asarray(newton_schulz_sqrtm(jnp.asarray(a)))
+    ref = scipy.linalg.sqrtm(a.astype(np.float64)).real
+    err = np.abs(ours - ref).max() / (np.abs(ref).max() + 1e-12)
+    assert err < 2e-3, err
+
+
+def test_frechet_zero_for_identical():
+    mu = jnp.asarray(np.random.RandomState(0).randn(64).astype(np.float32))
+    sigma = jnp.asarray(_spd(64, 1))
+    d = float(frechet_distance(mu, sigma, mu, sigma))
+    assert abs(d) < 0.05  # trace ~ 10; tolerance from f32 NS iteration
+
+
+def test_frechet_diagonal_analytic():
+    # diagonal case: d² = Σ(μ1-μ2)² + Σ(√s1 - √s2)²
+    rng = np.random.RandomState(2)
+    mu1, mu2 = rng.randn(32).astype(np.float32), rng.randn(32).astype(np.float32)
+    s1 = np.abs(rng.rand(32)).astype(np.float32) + 0.1
+    s2 = np.abs(rng.rand(32)).astype(np.float32) + 0.1
+    d = float(
+        frechet_distance(jnp.asarray(mu1), jnp.diag(jnp.asarray(s1)),
+                         jnp.asarray(mu2), jnp.diag(jnp.asarray(s2)))
+    )
+    expected = float(((mu1 - mu2) ** 2).sum() + ((np.sqrt(s1) - np.sqrt(s2)) ** 2).sum())
+    assert abs(d - expected) < 1e-2 * max(1.0, expected)
+
+
+def test_frechet_matches_scipy_pipeline():
+    # full-stack comparison against the reference's host formulation
+    rng = np.random.RandomState(3)
+    f1 = rng.randn(500, 40).astype(np.float32)
+    f2 = (rng.randn(500, 40) * 1.3 + 0.2).astype(np.float32)
+    mu1, s1 = mean_and_cov(jnp.asarray(f1))
+    mu2, s2 = mean_and_cov(jnp.asarray(f2))
+    ours = float(frechet_distance(mu1, s1, mu2, s2))
+
+    m1, c1 = f1.mean(0), np.cov(f1, rowvar=False)
+    m2, c2 = f2.mean(0), np.cov(f2, rowvar=False)
+    covmean = scipy.linalg.sqrtm(c1.dot(c2))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    ref = ((m1 - m2) ** 2).sum() + np.trace(c1 + c2 - 2.0 * covmean)
+    assert abs(ours - ref) / abs(ref) < 5e-3
+
+
+def test_inception_score_matches_scipy_formulation():
+    rng = np.random.RandomState(4)
+    logits = rng.randn(100, 20).astype(np.float32)
+    probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+    ours = float(inception_score_from_probs(jnp.asarray(probs), splits=10))
+
+    # reference formulation (metrics.py:97-110)
+    n, splits = 100, 10
+    split_scores = []
+    for k in range(splits):
+        part = probs[k * (n // splits): (k + 1) * (n // splits)]
+        py = part.mean(axis=0)
+        scores = [scipy.stats.entropy(part[i], py) for i in range(part.shape[0])]
+        split_scores.append(np.exp(np.mean(scores)))
+    ref = float(np.mean(split_scores))
+    assert abs(ours - ref) < 1e-3 * ref
+
+
+def test_inception_uniform_probs_gives_score_one():
+    probs = jnp.full((50, 10), 0.1)
+    assert abs(float(inception_score_from_probs(probs, splits=10)) - 1.0) < 1e-4
+
+
+def test_convert_torch_state_dict_roundtrip():
+    """Build a torch-style flat state_dict from our init (inverse layout) and
+    check the converter reconstructs the pytree bit-exactly."""
+    from jckx.metrics import inception_v3
+
+    params = inception_v3.init(jax.random.PRNGKey(1), num_classes=7)
+
+    sd = {}
+
+    def emit(prefix, p):
+        sd[f"{prefix}.conv.weight"] = np.asarray(p["w"]).transpose(3, 2, 0, 1)
+        sd[f"{prefix}.bn.weight"] = np.asarray(p["bn_scale"])
+        sd[f"{prefix}.bn.bias"] = np.asarray(p["bn_bias"])
+        sd[f"{prefix}.bn.running_mean"] = np.asarray(p["bn_mean"])
+        sd[f"{prefix}.bn.running_var"] = np.asarray(p["bn_var"])
+
+    for name, block in params.items():
+        if name == "fc":
+            sd["fc.0.weight"] = np.asarray(block["w"]).T
+            sd["fc.0.bias"] = np.asarray(block["b"])
+        elif "w" in block:
+            emit(name, block)
+        else:
+            for br, p in block.items():
+                emit(f"{name}.{br}", p)
+
+    out = inception_v3.convert_torch_state_dict(sd)
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(out)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_inception_v3_forward_shape():
+    from jckx.metrics import inception_v3
+
+    params = inception_v3.init(jax.random.PRNGKey(0), num_classes=100)
+    x = jnp.zeros((2, 299, 299, 3))
+    logits = inception_v3.apply(params, x)
+    assert logits.shape == (2, 100)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.slow
+def test_metrics_end_to_end_smoke():
+    """Tiny Metrics run with the seeded random backbone: cache written,
+    IS/FID finite, fake-vs-real FID > self-FID sanity."""
+    import tempfile
+
+    from jckx.metrics.metrics import Metrics
+
+    rng = np.random.RandomState(0)
+    real_u8 = rng.randint(0, 255, size=(16, 32, 32, 3), dtype=np.uint8)
+    labels = rng.randint(0, 100, size=(16,))
+    with tempfile.TemporaryDirectory() as td:
+        m = Metrics((real_u8, labels), batch_size=8, compute_dtype=jnp.float32,
+                    cache_dir=td, num_classes=100)
+        assert m.real_features.shape == (16, 100)
+
+        fake = rng.uniform(-1, 1, size=(20, 64, 64, 3)).astype(np.float32)
+        is_score = m.inception_score(fake)
+        fid = m.fid(fake)
+        assert np.isfinite(is_score) and is_score >= 1.0 - 1e-3
+        assert np.isfinite(fid) and fid >= 0
+
+        # near-real images score a lower FID than uniform noise
+        near_real = (real_u8.astype(np.float32) / 127.5 - 1.0)
+        fid_real = m.fid(near_real)
+        assert fid_real < fid
+
+
+def test_intra_fid_grouping_logic():
+    """intra_fid groups the class-major fake grid by superclass and divides
+    by 100 (reference quirk) — tested with injected features, no backbone."""
+    from jckx.metrics.metrics import Metrics
+
+    rng = np.random.RandomState(1)
+    feats = rng.randn(1000, 16).astype(np.float32)
+
+    m = Metrics.__new__(Metrics)  # bypass backbone init
+    from jckx.data.datasets import FINE_TO_SUPERCLASS
+
+    m.real_features = rng.randn(2000, 16).astype(np.float32)
+    labels = rng.randint(0, 100, size=(2000,))
+    real_super = FINE_TO_SUPERCLASS[labels]
+    m.real_superclass_idx = {s: np.nonzero(real_super == s)[0] for s in range(20)}
+    fake_targets = np.repeat(np.arange(100), 10)
+    fake_super = FINE_TO_SUPERCLASS[fake_targets]
+    m.fake_superclass_idx = {s: np.nonzero(fake_super == s)[0] for s in range(20)}
+    m.intra_fid_divisor = 100.0
+    m._real_mu_sigma = None
+    m.extract_features = lambda imgs: feats  # inject
+
+    val = m.intra_fid(images_tanh=None)
+    assert np.isfinite(val)
+    # each superclass has 50 fake samples (10 per class × 5 classes)
+    assert all(len(v) == 50 for v in m.fake_superclass_idx.values())

@@ -1,0 +1,139 @@
+"""End-to-end trainer tests on tiny synthetic data (CPU, 8-dev mesh):
+full train() with a stub metrics engine, artifacts, best-metric
+checkpoints, and bit-identical resume."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from jckx.configs import Config
+from jckx.data.pipeline import CGANDataPreprocessor, DCGANDataPreprocessor
+from jckx.logging.main_logger import MainLogger
+from jckx.models import cgan, dcgan
+from jckx.models.dcgan import GANGeometry
+from jckx.rng import KeyChain, seed_everything
+
+
+class StubMetrics:
+    """Deterministic fake metric engine (no InceptionV3 on CPU tests)."""
+
+    def __init__(self):
+        self.calls = 0
+        self.intra_fid_divisor = 100.0
+        from jckx.data.datasets import FINE_TO_SUPERCLASS
+
+        fake_targets = np.repeat(np.arange(10), 10)
+        fs = FINE_TO_SUPERCLASS[fake_targets % 100]
+        self.fake_superclass_idx = {s: np.nonzero(fs == s)[0] for s in range(20)}
+
+    def inception_score(self, images):
+        self.calls += 1
+        return 1.0 + 0.1 * self.calls
+
+    def extract_features(self, images):
+        return np.random.RandomState(0).randn(len(images), 8).astype(np.float32)
+
+    def fid(self, images_tanh=None, intra_fid=False, label=0, features=None):
+        return 100.0 / self.calls if self.calls else 100.0
+
+
+def tiny_cfg(tmpdir, model="DCGAN"):
+    from jckx.enums import ModelEnum
+
+    cfg = Config()
+    cfg.model = ModelEnum[model]
+    cfg.dataset = "synthetic"
+    cfg.batch_size = 16
+    cfg.epoch = 1
+    cfg.image_size = 16
+    cfg.base_width = 8
+    cfg.num_classes = 10
+    cfg.compute_dtype = "float32"
+    cfg.max_learning_rate = 2e-4
+    cfg.log_every = 8
+    cfg.eval_every = 16
+    cfg.log_file = 0
+    cfg.save_root = str(tmpdir)
+    cfg.save_path = os.path.join(str(tmpdir), model.lower(), "run")
+    return cfg
+
+
+def test_dcgan_trainer_end_to_end(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:128]  # 8 steps/epoch
+    data_pre.labels_np = data_pre.labels_np[:128]
+    data_pre.transform_data()
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(1))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    stub = StubMetrics()
+    tr = DCGANTrainer(cfg, pg, pd, data_pre, metrics=stub)
+    last = tr.train()
+
+    assert last is not None and np.isfinite(last["loss_d"])
+    assert stub.calls >= 1  # eval ran
+    assert os.path.exists(os.path.join(cfg.save_path, "real_image.png"))
+    assert os.path.exists(os.path.join(cfg.save_path, "loss.png"))
+    assert os.path.exists(os.path.join(cfg.save_path, "latest.ckpt"))
+    fid_dir = os.path.join(cfg.save_path, "fid")
+    assert any(f.endswith(".ckpt") for f in os.listdir(fid_dir))
+    assert any(f.endswith("_fake_image.png") for f in os.listdir(fid_dir))
+    MainLogger.reset()
+
+
+def test_dcgan_trainer_resume_continues_step(tmp_path):
+    cfg = tiny_cfg(tmp_path)
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps/epoch
+    data_pre.labels_np = data_pre.labels_np[:64]
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(2))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    tr = DCGANTrainer(cfg, pg, pd, data_pre, metrics=StubMetrics())
+    tr.train()
+    step_after = int(tr.state.step)
+    assert step_after == 4
+    MainLogger.reset()
+
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.resume = True
+    tr2 = DCGANTrainer(cfg2, pg, pd, data_pre, metrics=StubMetrics())
+    assert int(tr2.state.step) == step_after  # restored
+    tr2.train()
+    assert int(tr2.state.step) == step_after + 4
+    MainLogger.reset()
+
+
+def test_cgan_trainer_end_to_end(tmp_path):
+    cfg = tiny_cfg(tmp_path, model="CGAN")
+    data_pre = CGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:64]
+    data_pre.labels_np = data_pre.labels_np[:64]
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(3))
+    pg = cgan.cgenerator_init(keys.next(), geo, 10)
+    pd = cgan.cdiscriminator_init(keys.next(), geo, 10)
+
+    from jckx.train.gan_trainer import CGANTrainer
+
+    tr = CGANTrainer(cfg, pg, pd, data_pre, metrics=StubMetrics())
+    tr.train()
+    # labeled per-class panel
+    img_dir = os.path.join(cfg.save_path, "img")
+    assert any(f.endswith("_fake_image.png") for f in os.listdir(img_dir))
+    # all three best-metric dirs written
+    for typ in ("fid", "is", "intra_fid"):
+        d = os.path.join(cfg.save_path, typ)
+        assert os.path.isdir(d) and any(f.endswith(".ckpt") for f in os.listdir(d))
+    MainLogger.reset()
