@@ -1,0 +1,59 @@
+"""On-device image augmentation.
+
+The notebook's fine-tune pipeline uses RandomResizedCrop(299) +
+RandomHorizontalFlip on host PIL images (inceptionnet.ipynb cell 4). Here
+both run on device, vectorized over the batch via ``scale_and_translate``
+(per-sample crop box → affine resample to the target size), so the host
+ships only raw uint8 batches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def random_resized_crop_flip(
+    key: jax.Array,
+    images: jax.Array,  # (N, H, W, C) float in [0,1] or any range
+    out_size: int = 299,
+    scale=(0.08, 1.0),
+    ratio=(3.0 / 4.0, 4.0 / 3.0),
+):
+    """torchvision RandomResizedCrop + HFlip semantics, batched on device.
+
+    Samples per-image crop area ∈ scale·(H·W) and aspect ∈ ratio, resamples
+    the crop bilinearly to (out_size, out_size), then flips with p=0.5.
+    (torchvision rejection-samples the box; we clamp instead — the induced
+    distribution differs only at extreme aspect ratios.)
+    """
+    n, h, w, c = images.shape
+    k_area, k_ratio, k_y, k_x, k_flip = jax.random.split(key, 5)
+    area = jax.random.uniform(k_area, (n,), minval=scale[0], maxval=scale[1]) * (h * w)
+    log_r = jax.random.uniform(
+        k_ratio, (n,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    r = jnp.exp(log_r)
+    cw = jnp.clip(jnp.sqrt(area * r), 1.0, w)
+    ch = jnp.clip(jnp.sqrt(area / r), 1.0, h)
+    y0 = jax.random.uniform(k_y, (n,)) * (h - ch)
+    x0 = jax.random.uniform(k_x, (n,)) * (w - cw)
+    flip = jax.random.bernoulli(k_flip, 0.5, (n,))
+
+    def one(img, ch_i, cw_i, y0_i, x0_i, flip_i):
+        scale_vec = jnp.stack([out_size / ch_i, out_size / cw_i])
+        trans = jnp.stack([-y0_i * out_size / ch_i, -x0_i * out_size / cw_i])
+        out = jax.image.scale_and_translate(
+            img.astype(jnp.float32),
+            (out_size, out_size, c),
+            (0, 1),
+            scale_vec,
+            trans,
+            method="bilinear",
+        )
+        return jnp.where(flip_i, out[:, ::-1, :], out)
+
+    return jax.vmap(one)(images, ch, cw, y0, x0, flip).astype(images.dtype)

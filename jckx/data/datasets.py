@@ -164,6 +164,26 @@ def synthetic_dataset(
     return (np.clip(imgs, 0, 1) * 255).astype(np.uint8), y
 
 
+def _with_cache(name: str, data_dir: str, train: bool, loader):
+    """Native binary cache around an archive parser: first call parses and
+    writes the flat cache (native/jckx_io.cpp format); later calls mmap it
+    (zero-copy, no pickle parse)."""
+    from jckx.data import native_io
+
+    split = "train" if train else "test"
+    cache = os.path.join(data_dir, f"jckx_cache_{name}_{split}.bin")
+    got = native_io.cache_open(cache)
+    if got is not None:
+        return got
+    x, y = loader(data_dir, train)
+    try:
+        os.makedirs(data_dir, exist_ok=True)
+        native_io.cache_write(cache, x, y)
+    except OSError:
+        pass
+    return x, y
+
+
 def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
                  num_classes: int = 0):
     """Dispatch; returns (images uint8 NHWC, labels int32, num_classes,
@@ -175,15 +195,15 @@ def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
     """
     try:
         if name == "cifar100":
-            x, y = load_cifar100(data_dir, train)
+            x, y = _with_cache(name, data_dir, train, load_cifar100)
             return x, y, 100, CIFAR100_CLASSES, False
         if name == "cifar10":
-            x, y = load_cifar10(data_dir, train)
+            x, y = _with_cache(name, data_dir, train, load_cifar10)
             names = ["airplane", "automobile", "bird", "cat", "deer",
                      "dog", "frog", "horse", "ship", "truck"]
             return x, y, 10, names, False
         if name == "mnist":
-            x, y = load_mnist(data_dir, train)
+            x, y = _with_cache(name, data_dir, train, load_mnist)
             return x, y, 10, [str(i) for i in range(10)], False
     except FileNotFoundError:
         pass

@@ -1,0 +1,211 @@
+"""InceptionV3 fine-tuning on CIFAR-100 — the metric-backbone trainer.
+
+JAX analog of the reference's offline notebook (inceptionnet.ipynb,
+SURVEY.md §2 #18): torchvision-architecture InceptionV3 with a 100-class
+head, trained with SGD(lr=0.1, momentum=0.9, nesterov, weight_decay=5e-4)
+at batch 128 on CIFAR-100 with RandomResizedCrop(299)+HFlip augmentation;
+per-epoch top-1 / top-5 / superclass accuracy on train and test splits;
+early stopping with a patience counter; best-acc / best-loss / last
+checkpoints (``acc_bset`` / ``loss_bset`` / ``last_bset`` — the reference's
+filenames, cell 14).
+
+Checkpoints are flat ``.npz`` pytrees that ``Metrics`` loads directly as
+the FID/IS backbone (``--metric_backbone path/loss_bset.npz``). A
+torch-trained ``loss_bset.pt`` remains loadable via the converter.
+
+TPU execution: augmentation + forward + backward + SGD in ONE jitted step;
+steps dispatched async (no per-step host sync); eval via the async-batched
+extraction pattern. BN runs in train mode with running-stat updates carried
+in the param tree (see inception_v3.apply_train).
+
+Usage: python -m jckx.metrics.inception_train --dataset cifar100 -e 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from jckx.data.augment import random_resized_crop_flip
+from jckx.data.datasets import FINE_TO_SUPERCLASS, load_dataset
+from jckx.logging.main_logger import MainLogger
+from jckx.logging.utils import time_to_str
+from jckx.metrics import inception_v3
+from jckx.metrics.metrics import IMAGENET_MEAN, IMAGENET_STD, flatten_params
+
+IMAGENET_MEAN_ARR = np.asarray(IMAGENET_MEAN, np.float32)
+IMAGENET_STD_ARR = np.asarray(IMAGENET_STD, np.float32)
+
+
+def _is_bn_stat(path: Tuple, _) -> bool:
+    return any(getattr(p, "key", None) in ("bn_mean", "bn_var") for p in path)
+
+
+def make_optimizer(lr: float, weight_decay: float = 5e-4, momentum: float = 0.9,
+                   nesterov: bool = True):
+    """torch SGD semantics: wd on parameters (not BN buffers), nesterov
+    momentum. torch couples wd into the gradient before momentum — matched
+    by optax.add_decayed_weights BEFORE trace."""
+    decay_mask = lambda params: jax.tree_util.tree_map_with_path(
+        lambda path, x: not _is_bn_stat(path, x), params
+    )
+    return optax.chain(
+        optax.masked(optax.add_decayed_weights(weight_decay), decay_mask),
+        optax.trace(decay=momentum, nesterov=nesterov),
+        optax.scale(-lr),
+    )
+
+
+def make_train_step(lr: float, weight_decay: float, compute_dtype=jnp.bfloat16):
+    tx = make_optimizer(lr, weight_decay)
+
+    def step(params, opt_state, u8, labels, key):
+        k_aug, k_drop = jax.random.split(key)
+        x01 = u8.astype(jnp.float32) / 255.0
+        x = random_resized_crop_flip(k_aug, x01, 299)
+        x = (x - IMAGENET_MEAN_ARR) / IMAGENET_STD_ARR
+
+        def loss_fn(p):
+            logits, new_p = inception_v3.apply_train(
+                p, x.astype(compute_dtype), dropout_key=k_drop,
+                compute_dtype=compute_dtype,
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            return jnp.mean(ce), (new_p, acc)
+
+        (loss, (new_params_stats, acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(new_params_stats, updates)
+        return params, opt_state, loss, acc
+
+    return jax.jit(step, donate_argnums=(0, 1)), tx
+
+
+def make_eval_fn(compute_dtype=jnp.bfloat16):
+    @jax.jit
+    def logits_fn(params, u8):
+        x01 = u8.astype(jnp.float32) / 255.0
+        x = jax.image.resize(x01, (x01.shape[0], 299, 299, x01.shape[3]), "bilinear")
+        x = (x - IMAGENET_MEAN_ARR) / IMAGENET_STD_ARR
+        return inception_v3.apply(params, x.astype(compute_dtype), compute_dtype)
+
+    return logits_fn
+
+
+def evaluate(params, logits_fn, images_u8, labels, batch_size=256):
+    """top-1 / top-5 / superclass accuracy + mean CE (notebook get_eval)."""
+    n = len(labels)
+    bs = min(batch_size, n)
+    nb = (n + bs - 1) // bs
+    pad = nb * bs - n
+    imgs = np.concatenate([images_u8, images_u8[-1:].repeat(pad, axis=0)]) if pad else images_u8
+    outs = [logits_fn(params, jnp.asarray(imgs[i * bs:(i + 1) * bs])) for i in range(nb)]
+    logits = np.asarray(jnp.concatenate(outs), np.float32)[:n]
+    top1 = (logits.argmax(-1) == labels).mean()
+    top5 = np.mean([labels[i] in np.argsort(logits[i])[-5:] for i in range(n)])
+    sup_pred = FINE_TO_SUPERCLASS[logits.argmax(-1) % 100]
+    sup_true = FINE_TO_SUPERCLASS[labels % 100]
+    sup = (sup_pred == sup_true).mean()
+    lse = logits - logits.max(-1, keepdims=True)
+    logp = lse - np.log(np.exp(lse).sum(-1, keepdims=True))
+    ce = -logp[np.arange(n), labels].mean()
+    return dict(top1=float(top1), top5=float(top5), superclass=float(sup), loss=float(ce))
+
+
+def save_npz(path: str, params) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, **flatten_params(jax.device_get(params)))
+
+
+def train(args):
+    logger = MainLogger(args)
+    x, y, ncls, _, synthetic = load_dataset(args.dataset, args.data_dir, train=True,
+                                            seed=args.seed)
+    xt, yt, _, _, _ = load_dataset(args.dataset, args.data_dir, train=False,
+                                   seed=args.seed + 1)
+    if synthetic:
+        logger.warning("archive not found — fine-tuning on synthetic data")
+    if x.shape[-1] == 1:
+        x, xt = x.repeat(3, axis=-1), xt.repeat(3, axis=-1)
+
+    params = inception_v3.init(args.seed, num_classes=ncls)
+    step, tx = make_train_step(args.max_learning_rate, args.weight_decay)
+    opt_state = tx.init(params)
+    logits_fn = make_eval_fn()
+
+    rng = np.random.RandomState(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    bs = args.batch_size
+    steps_per_epoch = len(y) // bs
+
+    best_acc, best_loss, patience = 0.0, 1e10, 0
+    start = time.time()
+    for epoch in range(args.epoch):
+        order = rng.permutation(len(y))[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
+        losses, accs = [], []
+        for i in range(steps_per_epoch):
+            key = jax.random.fold_in(key, 1)
+            params, opt_state, loss, acc = step(
+                params, opt_state,
+                jnp.asarray(x[order[i]]), jnp.asarray(y[order[i]]), key,
+            )
+            losses.append(loss)  # device arrays — no sync inside the epoch
+            accs.append(acc)
+        tr_loss = float(jnp.mean(jnp.stack(losses)))
+        tr_acc = float(jnp.mean(jnp.stack(accs)))
+
+        ev = evaluate(params, logits_fn, xt[: args.eval_samples], yt[: args.eval_samples])
+        logger.debug(
+            f"Epoch: {epoch}  train loss {tr_loss:.4f} acc {tr_acc:.4f}  "
+            f"valid top1 {ev['top1']:.4f} top5 {ev['top5']:.4f} "
+            f"super {ev['superclass']:.4f} loss {ev['loss']:.4f}"
+        )
+        logger.scalars({"epoch": epoch, "train_loss": tr_loss, "train_acc": tr_acc, **ev})
+
+        improved = False
+        if ev["top1"] > best_acc:
+            best_acc = ev["top1"]; improved = True
+            save_npz(os.path.join(args.save_dir, "acc_bset.npz"), params)
+        if ev["loss"] < best_loss:
+            best_loss = ev["loss"]; improved = True
+            save_npz(os.path.join(args.save_dir, "loss_bset.npz"), params)
+        save_npz(os.path.join(args.save_dir, "last_bset.npz"), params)
+        patience = 0 if improved else patience + 1
+        if patience >= args.early_stop:
+            logger.debug(f"early stopping at epoch {epoch} (patience {args.early_stop})")
+            break
+
+    logger.debug(f"fine-tune finish\ttime: {time_to_str(time.time() - start)}  "
+                 f"best top1 {best_acc:.4f} best loss {best_loss:.4f}")
+    return best_acc, best_loss
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="InceptionV3 fine-tune (metric backbone)")
+    p.add_argument("--dataset", default="cifar100")
+    p.add_argument("--data_dir", default="./data")
+    p.add_argument("-b", "--batch_size", type=int, default=128)
+    p.add_argument("-e", "--epoch", type=int, default=300)
+    p.add_argument("-mlr", "--max_learning_rate", type=float, default=0.1)
+    p.add_argument("-wd", "--weight_decay", type=float, default=5e-4)
+    p.add_argument("--early_stop", type=int, default=10)
+    p.add_argument("--eval_samples", type=int, default=10000)
+    p.add_argument("--seed", type=int, default=12345)
+    p.add_argument("--save_dir", default="./save/iception_v3")  # reference's (sic) dirname
+    p.add_argument("--save_path", default="")  # logger compat
+    p.add_argument("--log_file", type=int, default=0)
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    train(get_args())

@@ -89,14 +89,48 @@ def _bconv_init(rng: np.random.RandomState, kh, kw, cin, cout):
     }
 
 
-def _bconv_apply(p, x, stride=1, padding=0, eps=1e-3):
-    """BasicConv2d eval forward: conv → BN(running stats) → relu.
+class _BNCtx:
+    """Trace-time context for train-mode BN (fine-tuning). When active,
+    each BasicConv2d normalizes by BATCH statistics (torch train-mode
+    semantics) and records its updated running stats keyed by the identity
+    of its param subdict; ``apply_train`` rebuilds the params tree from
+    those records afterwards. Identity keying avoids threading path names
+    through every block function; it is sound because the keys are python
+    dict objects of the params tree being traced."""
 
-    BN is folded to one scale+shift; computed in f32, applied in x.dtype.
+    def __init__(self, momentum: float = 0.1):
+        self.momentum = momentum
+        self.updates: dict = {}
+
+
+_bn_ctx: _BNCtx | None = None
+
+
+def _bconv_apply(p, x, stride=1, padding=0, eps=1e-3):
+    """BasicConv2d forward: conv → BN → relu.
+
+    Eval (default): running stats folded to one scale+shift.
+    Train (``_bn_ctx`` set): batch stats, running-stat update recorded.
+    Stats math in f32 regardless of activation dtype.
     """
     y = conv2d(x, p["w"].astype(x.dtype), stride=stride, padding=padding)
-    inv = jax.lax.rsqrt(p["bn_var"].astype(jnp.float32) + eps) * p["bn_scale"].astype(jnp.float32)
-    shift = p["bn_bias"].astype(jnp.float32) - p["bn_mean"].astype(jnp.float32) * inv
+    if _bn_ctx is not None:
+        yf = y.astype(jnp.float32)
+        axes = (0, 1, 2)
+        mean = jnp.mean(yf, axis=axes)
+        var = jnp.mean(jnp.square(yf), axis=axes) - jnp.square(mean)
+        n = y.size // y.shape[-1]
+        unbiased = var * (n / max(n - 1, 1))
+        mom = _bn_ctx.momentum
+        _bn_ctx.updates[id(p)] = (
+            (1 - mom) * p["bn_mean"].astype(jnp.float32) + mom * mean,
+            (1 - mom) * p["bn_var"].astype(jnp.float32) + mom * unbiased,
+        )
+    else:
+        mean = p["bn_mean"].astype(jnp.float32)
+        var = p["bn_var"].astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + eps) * p["bn_scale"].astype(jnp.float32)
+    shift = p["bn_bias"].astype(jnp.float32) - mean * inv
     y = y.astype(jnp.float32) * inv + shift
     return jnp.maximum(y, 0.0).astype(x.dtype)
 
@@ -286,6 +320,56 @@ def apply(params: Dict, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
     x = _inception_e(params["Mixed_7c"], x)                           # 8, 2048
     x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)                  # GAP
     return x @ params["fc"]["w"] + params["fc"]["b"]
+
+
+def apply_train(params: Dict, x: jax.Array, dropout_key=None,
+                compute_dtype=jnp.float32, momentum: float = 0.1):
+    """Train-mode forward for fine-tuning (inceptionnet.ipynb analog):
+    batch-stat BN + p=0.5 dropout before fc (torchvision semantics).
+
+    → (logits, params_with_updated_running_stats). Differentiate only the
+    logits path; running-stat updates carry no gradient (stop_gradient).
+    """
+    global _bn_ctx
+    _bn_ctx = _BNCtx(momentum)
+    try:
+        x = x.astype(compute_dtype)
+        x = _bconv_apply(params["Conv2d_1a_3x3"], x, stride=2)
+        x = _bconv_apply(params["Conv2d_2a_3x3"], x)
+        x = _bconv_apply(params["Conv2d_2b_3x3"], x, padding=1)
+        x = _max_pool(x, 3, 2)
+        x = _bconv_apply(params["Conv2d_3b_1x1"], x)
+        x = _bconv_apply(params["Conv2d_4a_3x3"], x)
+        x = _max_pool(x, 3, 2)
+        for name, _, _ in _INCEPTION_A:
+            x = _inception_a(params[name], x)
+        x = _inception_b(params["Mixed_6a"], x)
+        for name, _ in _INCEPTION_C:
+            x = _inception_c(params[name], x)
+        x = _inception_d(params["Mixed_7a"], x)
+        x = _inception_e(params["Mixed_7b"], x)
+        x = _inception_e(params["Mixed_7c"], x)
+        x = jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+        if dropout_key is not None:
+            keep = jax.random.bernoulli(dropout_key, 0.5, x.shape)
+            x = jnp.where(keep, x / 0.5, 0.0)
+        logits = x @ params["fc"]["w"] + params["fc"]["b"]
+        updates = _bn_ctx.updates
+    finally:
+        _bn_ctx = None
+
+    def rebuild(tree):
+        if isinstance(tree, dict):
+            if id(tree) in updates:
+                m, v = updates[id(tree)]
+                new = dict(tree)
+                new["bn_mean"] = jax.lax.stop_gradient(m)
+                new["bn_var"] = jax.lax.stop_gradient(v)
+                return new
+            return {k: rebuild(v) for k, v in tree.items()}
+        return tree
+
+    return logits, rebuild(params)
 
 
 # ------------------------------------------------------- torch → jax weights

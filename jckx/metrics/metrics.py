@@ -107,7 +107,11 @@ class Metrics:
     def _load_backbone(self, config):
         path = getattr(config, "metric_backbone", "") if config else ""
         candidates = [path] if path else []
-        candidates += [os.path.join("./save/iception_v3", "loss_bset.pt")]
+        # jckx-native fine-tune output first, then the reference's torch ckpt
+        candidates += [
+            os.path.join("./save/iception_v3", "loss_bset.npz"),
+            os.path.join("./save/iception_v3", "loss_bset.pt"),
+        ]
         for c in candidates:
             if c and os.path.exists(c):
                 if c.endswith(".npz"):

@@ -1,0 +1,91 @@
+"""Fine-tune building blocks: train-mode BN context, optimizer masking,
+on-device RandomResizedCrop+flip (CPU-sized; the full fine-tune loop is
+driven on TPU — see .claude/skills/verify)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from jckx.data.augment import random_resized_crop_flip
+from jckx.metrics import inception_v3
+from jckx.metrics.inception_train import make_optimizer
+
+
+def test_bconv_train_mode_matches_torch_bn():
+    """_bconv_apply under _BNCtx = conv + torch train-mode BN + relu,
+    and the running-stat update matches torch's momentum-0.1 rule."""
+    rng = np.random.RandomState(0)
+    p = {
+        "w": rng.randn(3, 3, 4, 5).astype(np.float32) * 0.1,
+        "bn_scale": rng.rand(5).astype(np.float32) + 0.5,
+        "bn_bias": rng.randn(5).astype(np.float32),
+        "bn_mean": rng.randn(5).astype(np.float32),
+        "bn_var": (rng.rand(5).astype(np.float32) + 0.5),
+    }
+    x = rng.randn(4, 8, 8, 4).astype(np.float32)
+
+    inception_v3._bn_ctx = inception_v3._BNCtx(momentum=0.1)
+    try:
+        pj = {k: jnp.asarray(v) for k, v in p.items()}
+        y = np.asarray(inception_v3._bconv_apply(pj, jnp.asarray(x), padding=1))
+        # updates are keyed by id(pj) — grab the only entry
+        (new_mean, new_var) = list(inception_v3._bn_ctx.updates.values())[0]
+    finally:
+        inception_v3._bn_ctx = None
+
+    conv = torch.nn.functional.conv2d(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+        torch.from_numpy(p["w"].transpose(3, 2, 0, 1)), padding=1)
+    bn = torch.nn.BatchNorm2d(5, eps=1e-3, momentum=0.1)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(p["bn_scale"]))
+        bn.bias.copy_(torch.from_numpy(p["bn_bias"]))
+        bn.running_mean.copy_(torch.from_numpy(p["bn_mean"]))
+        bn.running_var.copy_(torch.from_numpy(p["bn_var"]))
+    bn.train()
+    ref = torch.relu(bn(conv)).detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(y, ref, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(new_mean), bn.running_mean.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(new_var), bn.running_var.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_optimizer_masks_bn_buffers():
+    tx = make_optimizer(lr=0.1, weight_decay=0.1, momentum=0.0, nesterov=False)
+    params = {
+        "blk": {
+            "w": jnp.ones((3,)),
+            "bn_scale": jnp.ones((3,)),
+            "bn_mean": jnp.full((3,), 5.0),
+            "bn_var": jnp.full((3,), 7.0),
+        }
+    }
+    st = tx.init(params)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    upd, _ = tx.update(zero_grads, st, params)
+    import optax
+
+    new = optax.apply_updates(params, upd)
+    # wd decays weights and BN affine (torch parameters)…
+    assert float(new["blk"]["w"][0]) < 1.0
+    assert float(new["blk"]["bn_scale"][0]) < 1.0
+    # …but never the running-stat buffers
+    assert float(new["blk"]["bn_mean"][0]) == 5.0
+    assert float(new["blk"]["bn_var"][0]) == 7.0
+
+
+def test_random_resized_crop_flip():
+    key = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(np.random.RandomState(1).rand(4, 32, 32, 3).astype(np.float32))
+    out = random_resized_crop_flip(key, imgs, out_size=48)
+    assert out.shape == (4, 48, 48, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic under the same key, different under another
+    out2 = random_resized_crop_flip(key, imgs, out_size=48)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    out3 = random_resized_crop_flip(jax.random.PRNGKey(1), imgs, out_size=48)
+    assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 1e-3
+    # values stay in range (bilinear of [0,1])
+    assert float(out.min()) >= -1e-3 and float(out.max()) <= 1.0 + 1e-3
