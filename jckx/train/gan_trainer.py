@@ -164,7 +164,18 @@ class _BaseGANTrainer(Trainer):
             def sample(params_g, z, onehot=None):
                 return dcgan.generator_apply(params_g, z, self.geo, cd)
 
-        self._sample = jax.jit(sample)
+        # inference-only path → Pallas fused BN+act (see kernels.fused_bn_act:
+        # the XLA composition hits a pathological conv-transpose lowering in
+        # forward-only programs). The flag matters only at trace time.
+        from jckx.kernels.fused_bn_act import pallas_inference
+
+        jitted_sample = jax.jit(sample)
+
+        def sample_wrapped(*args):
+            with pallas_inference():
+                return jitted_sample(*args)
+
+        self._sample = sample_wrapped
 
     # -------------------------------------------------------------- resume
 

@@ -52,11 +52,23 @@ def _dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _maybe_remat(fn, on: bool):
+    """jax.checkpoint when enabled: recompute activations in the backward
+    instead of storing residuals. At the reference 64² geometry XLA's fusion
+    already keeps the fused step at the roofline and remat LOSES (see
+    Config.remat for v5e measurements); the knob exists for larger
+    image_size/base_width where residuals would spill HBM."""
+    return jax.checkpoint(fn) if on else fn
+
+
 def make_dcgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
     """Returns step(state, real_batch) -> (new_state, metrics). Jit-ready."""
     cd = _dtype(cfg)
     tx = make_optimizer(cfg)
     lam, f = cfg.lambda_gp, cfg.instance_noise
+    remat = getattr(cfg, "remat", "none")
+    G = _maybe_remat(lambda p, z: dcgan.generator_apply(p, z, geo, cd), remat in ("g", "both"))
+    D = _maybe_remat(lambda p, x: dcgan.discriminator_apply(p, x, geo, cd), remat in ("d", "both"))
 
     def step(state: GANTrainState, real: jax.Array):
         k = jax.random.fold_in(state.rng, state.step)
@@ -67,18 +79,18 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
         fake_noise = jax.random.normal(k_fake, real.shape, jnp.float32).astype(cd)
 
         # fake batch from the CURRENT generator; D never differentiates G
-        fake = dcgan.generator_apply(state.params_g, z, geo, cd)
+        fake = G(state.params_g, z)
         fake_n = (1.0 - f) * jax.lax.stop_gradient(fake) + f * fake_noise
 
         # ---- D update -----------------------------------------------------
         def d_loss_fn(params_d):
-            logits_r = dcgan.discriminator_apply(params_d, real_n, geo, cd)
-            logits_f = dcgan.discriminator_apply(params_d, fake_n, geo, cd)
+            logits_r = D(params_d, real_n)
+            logits_f = D(params_d, fake_n)
             bce = bce_from_logits(logits_r, cfg.label_real) + bce_from_logits(
                 logits_f, cfg.label_fake
             )
             gp = gradient_penalty(
-                lambda x: jax.nn.sigmoid(dcgan.discriminator_apply(params_d, x, geo, cd)),
+                lambda x: jax.nn.sigmoid(D(params_d, x)),
                 k_alpha,
                 real_n,
                 fake_n,
@@ -98,9 +110,9 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
 
         # ---- G update (through the updated D, same noisy-blend draw) ------
         def g_loss_fn(params_g):
-            fk = dcgan.generator_apply(params_g, z, geo, cd)
+            fk = G(params_g, z)
             fk_n = (1.0 - f) * fk + f * fake_noise
-            logits = dcgan.discriminator_apply(params_d, fk_n, geo, cd)
+            logits = D(params_d, fk_n)
             return bce_from_logits(logits, cfg.label_real), jnp.mean(jax.nn.sigmoid(logits))
 
         (loss_g, d_gz2), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_g)
@@ -127,6 +139,15 @@ def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
     cd = _dtype(cfg)
     tx = make_optimizer(cfg)
     lam, f = cfg.lambda_gp, cfg.instance_noise
+    remat = getattr(cfg, "remat", "none")
+    G = _maybe_remat(
+        lambda p, z, lab: cgan.cgenerator_apply(p, z, lab, geo, cd),
+        remat in ("g", "both"),
+    )
+    D = _maybe_remat(
+        lambda p, x, lab, dk: cgan.cdiscriminator_apply(p, x, lab, geo, cd, dropout_key=dk),
+        remat in ("d", "both"),
+    )
 
     def step(state: GANTrainState, real: jax.Array, labels: jax.Array):
         k = jax.random.fold_in(state.rng, state.step)
@@ -137,23 +158,17 @@ def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
         z = jax.random.normal(k_z, (real.shape[0], geo.z_dim), jnp.float32)
         fake_noise = jax.random.normal(k_fake, real.shape, jnp.float32).astype(cd)
 
-        fake = cgan.cgenerator_apply(state.params_g, z, labels, geo, cd)
+        fake = G(state.params_g, z, labels)
         fake_n = (1.0 - f) * jax.lax.stop_gradient(fake) + f * fake_noise
 
         def d_loss_fn(params_d):
-            logits_r = cgan.cdiscriminator_apply(
-                params_d, real_n, labels, geo, cd, dropout_key=k_dr
-            )
-            logits_f = cgan.cdiscriminator_apply(
-                params_d, fake_n, labels, geo, cd, dropout_key=k_df
-            )
+            logits_r = D(params_d, real_n, labels, k_dr)
+            logits_f = D(params_d, fake_n, labels, k_df)
             bce = bce_from_logits(logits_r, cfg.label_real) + bce_from_logits(
                 logits_f, cfg.label_fake
             )
             gp = gradient_penalty(
-                lambda x: jax.nn.sigmoid(
-                    cgan.cdiscriminator_apply(params_d, x, labels, geo, cd, dropout_key=k_di)
-                ),
+                lambda x: jax.nn.sigmoid(D(params_d, x, labels, k_di)),
                 k_alpha,
                 real_n,
                 fake_n,
@@ -173,11 +188,9 @@ def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
         params_d = optax.apply_updates(state.params_d, upd_d)
 
         def g_loss_fn(params_g):
-            fk = cgan.cgenerator_apply(params_g, z, labels, geo, cd)
+            fk = G(params_g, z, labels)
             fk_n = (1.0 - f) * fk + f * fake_noise
-            logits = cgan.cdiscriminator_apply(
-                params_d, fk_n, labels, geo, cd, dropout_key=k_dg
-            )
+            logits = D(params_d, fk_n, labels, k_dg)
             return bce_from_logits(logits, cfg.label_real), jnp.mean(jax.nn.sigmoid(logits))
 
         (loss_g, d_gz2), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_g)

@@ -1,0 +1,63 @@
+"""Fused BN+activation kernel: XLA/Pallas agreement and scoping.
+
+The Pallas path only engages on TPU; on the CPU test mesh these tests pin
+the dispatch logic and the XLA reference math (Pallas-vs-XLA numeric
+agreement is asserted on-device by the perf harness / verify drives)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from jckx.kernels import fused_bn_act as fba
+
+
+def test_bn_act_matches_torch_bn_relu():
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 6, 6, 5).astype(np.float32)
+    scale = rng.rand(5).astype(np.float32) + 0.5
+    bias = rng.randn(5).astype(np.float32)
+    y = np.asarray(fba.bn_act(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias), act="relu"))
+    bn = torch.nn.BatchNorm2d(5)
+    with torch.no_grad():
+        bn.weight.copy_(torch.from_numpy(scale))
+        bn.bias.copy_(torch.from_numpy(bias))
+    bn.train()
+    ref = torch.relu(bn(torch.from_numpy(x.transpose(0, 3, 1, 2))))
+    ref = ref.detach().numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_bn_act_leaky_negative_slope():
+    x = jnp.asarray(np.linspace(-4, 4, 64, dtype=np.float32).reshape(1, 8, 8, 1))
+    y = fba.bn_act(x, jnp.ones((1,)), jnp.zeros((1,)), act="leaky_relu", negative_slope=0.2)
+    yn = np.asarray(y)
+    # normalized then leaky: negative outputs scaled by exactly 0.2
+    pre = (np.asarray(x) - np.asarray(x).mean()) / np.asarray(x).std()
+    exp = np.where(pre >= 0, pre, 0.2 * pre)
+    np.testing.assert_allclose(yn, exp, rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_inference_scope_restores_flag():
+    assert fba._USE_PALLAS is False
+    with fba.pallas_inference():
+        assert fba._USE_PALLAS is True
+        with fba.pallas_inference():
+            assert fba._USE_PALLAS is True
+        assert fba._USE_PALLAS is True
+    assert fba._USE_PALLAS is False
+
+
+def test_bn_act_grad_and_double_grad():
+    # the GP path needs grad-of-grad through bn_act (XLA path)
+    x0 = jnp.asarray(np.random.RandomState(1).randn(4, 4, 4, 3).astype(np.float32))
+    s, b = jnp.ones((3,)), jnp.zeros((3,))
+
+    def f(x):
+        return jnp.sum(fba.bn_act(x, s, b, act="leaky_relu") ** 2)
+
+    def g(x):
+        return jnp.sum(jax.grad(f)(x) ** 2)
+
+    gg = jax.grad(g)(x0)
+    assert np.isfinite(np.asarray(gg)).all()
