@@ -84,6 +84,7 @@ class Config:
     sample_count: int = 64             # fixed-noise eval grid (dcgan_trainer.py:143)
     metric_backbone: str = ""          # path to InceptionV3 checkpoint ('' = auto)
     sanitize: bool = False             # jax_debug_nans analog of set_detect_anomaly
+    multihost: bool = False            # jax.distributed.initialize() before mesh
     profile_dir: str = ""              # jax.profiler trace dir ('' = off)
     save_root: str = "./save"
     resume: bool = False               # auto-resume from latest checkpoint
@@ -131,6 +132,7 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--remat", type=str, default=d.remat, choices=["none", "g", "d", "both"])
     parser.add_argument("--metric_backbone", type=str, default=d.metric_backbone)
     parser.add_argument("--sanitize", action="store_true", default=d.sanitize)
+    parser.add_argument("--multihost", action="store_true", default=d.multihost)
     parser.add_argument("--profile_dir", type=str, default=d.profile_dir)
     parser.add_argument("--save_root", type=str, default=d.save_root)
     parser.add_argument("--resume", action="store_true", default=d.resume)

@@ -64,9 +64,14 @@ def make_optimizer(lr: float, weight_decay: float = 5e-4, momentum: float = 0.9,
 
 
 def make_train_step(lr: float, weight_decay: float, compute_dtype=jnp.bfloat16):
+    """Step gathers its batch from the DEVICE-RESIDENT dataset by index:
+    uploading a batch per step costs ~0.4 s of tunnel round-trip; uploading
+    the epoch's int32 index matrix once costs ~nothing."""
     tx = make_optimizer(lr, weight_decay)
 
-    def step(params, opt_state, u8, labels, key):
+    def step(params, opt_state, data_u8, labels_all, idx, key):
+        u8 = jnp.take(data_u8, idx, axis=0)
+        labels = jnp.take(labels_all, idx)
         k_aug, k_drop = jax.random.split(key)
         x01 = u8.astype(jnp.float32) / 255.0
         x = random_resized_crop_flip(k_aug, x01, 299)
@@ -88,7 +93,27 @@ def make_train_step(lr: float, weight_decay: float, compute_dtype=jnp.bfloat16):
         params = optax.apply_updates(new_params_stats, updates)
         return params, opt_state, loss, acc
 
-    return jax.jit(step, donate_argnums=(0, 1)), tx
+    return jax.jit(step, donate_argnums=(0, 1)), tx, step
+
+
+def make_superstep(raw_step):
+    """K train steps per device launch (lax.scan). One-time compile is
+    heavy through the remote compiler but cached persistently; amortizes
+    the ~0.4 s/launch dispatch RPC."""
+
+    def sstep(params, opt_state, data_u8, labels_all, idx, key):  # idx (K,B)
+        def body(carry, ib):
+            p, o, k = carry
+            k2 = jax.random.fold_in(k, 1)
+            p, o, loss, acc = raw_step(p, o, data_u8, labels_all, ib, k2)
+            return (p, o, k2), (loss, acc)
+
+        (params, opt_state, _), (losses, accs) = jax.lax.scan(
+            body, (params, opt_state, key), idx
+        )
+        return params, opt_state, losses, accs
+
+    return jax.jit(sstep, donate_argnums=(0, 1))
 
 
 def make_eval_fn(compute_dtype=jnp.bfloat16):
@@ -109,7 +134,8 @@ def evaluate(params, logits_fn, images_u8, labels, batch_size=256):
     nb = (n + bs - 1) // bs
     pad = nb * bs - n
     imgs = np.concatenate([images_u8, images_u8[-1:].repeat(pad, axis=0)]) if pad else images_u8
-    outs = [logits_fn(params, jnp.asarray(imgs[i * bs:(i + 1) * bs])) for i in range(nb)]
+    dev = jax.device_put(jnp.asarray(imgs))  # one upload; slice on device
+    outs = [logits_fn(params, dev[i * bs:(i + 1) * bs]) for i in range(nb)]
     logits = np.asarray(jnp.concatenate(outs), np.float32)[:n]
     top1 = (logits.argmax(-1) == labels).mean()
     top5 = np.mean([labels[i] in np.argsort(logits[i])[-5:] for i in range(n)])
@@ -139,7 +165,8 @@ def train(args):
         x, xt = x.repeat(3, axis=-1), xt.repeat(3, axis=-1)
 
     params = inception_v3.init(args.seed, num_classes=ncls)
-    step, tx = make_train_step(args.max_learning_rate, args.weight_decay)
+    step, tx, raw_step = make_train_step(args.max_learning_rate, args.weight_decay)
+    sstep = make_superstep(raw_step) if args.scan_steps > 0 else None
     opt_state = tx.init(params)
     logits_fn = make_eval_fn()
 
@@ -148,19 +175,37 @@ def train(args):
     bs = args.batch_size
     steps_per_epoch = len(y) // bs
 
+    # one-time HBM upload of the raw dataset; per-step host work is an index
+    data_dev = jax.device_put(jnp.asarray(x))
+    labels_dev = jax.device_put(jnp.asarray(y.astype(np.int32)))
+
     best_acc, best_loss, patience = 0.0, 1e10, 0
     start = time.time()
     for epoch in range(args.epoch):
         order = rng.permutation(len(y))[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
+        order_dev = jax.device_put(jnp.asarray(order.astype(np.int32)))  # ONE put/epoch
         losses, accs = [], []
-        for i in range(steps_per_epoch):
-            key = jax.random.fold_in(key, 1)
-            params, opt_state, loss, acc = step(
-                params, opt_state,
-                jnp.asarray(x[order[i]]), jnp.asarray(y[order[i]]), key,
-            )
-            losses.append(loss)  # device arrays — no sync inside the epoch
-            accs.append(acc)
+        if sstep is not None:
+            K = args.scan_steps
+            done = 0
+            while done < steps_per_epoch:
+                k = min(K, steps_per_epoch - done)
+                key = jax.random.fold_in(key, done + 7)
+                params, opt_state, ls, as_ = sstep(
+                    params, opt_state, data_dev, labels_dev,
+                    order_dev[done : done + k], key,
+                )
+                losses.append(jnp.mean(ls))
+                accs.append(jnp.mean(as_))
+                done += k
+        else:
+            for i in range(steps_per_epoch):
+                key = jax.random.fold_in(key, 1)
+                params, opt_state, loss, acc = step(
+                    params, opt_state, data_dev, labels_dev, order_dev[i], key,
+                )
+                losses.append(loss)  # device arrays — no sync inside the epoch
+                accs.append(acc)
         tr_loss = float(jnp.mean(jnp.stack(losses)))
         tr_acc = float(jnp.mean(jnp.stack(accs)))
 
@@ -199,6 +244,8 @@ def get_args(argv=None):
     p.add_argument("-mlr", "--max_learning_rate", type=float, default=0.1)
     p.add_argument("-wd", "--weight_decay", type=float, default=5e-4)
     p.add_argument("--early_stop", type=int, default=10)
+    p.add_argument("--scan_steps", type=int, default=0,
+                   help="steps per device launch via lax.scan (0 = per-step dispatch)")
     p.add_argument("--eval_samples", type=int, default=10000)
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--save_dir", default="./save/iception_v3")  # reference's (sic) dirname

@@ -234,10 +234,12 @@ class _BaseGANTrainer(Trainer):
             while done < steps_per_epoch:
                 k = min(K, steps_per_epoch - done)
                 idx = jnp.asarray(order[done : done + k], jnp.int32)
+                t_launch = time.time()
                 self.state, ms = self._superstep(
                     self.state, self.images_dev, self.labels_dev, idx
                 )
-                ms_np = {key: np.asarray(v) for key, v in ms.items()}  # (k,)
+                ms_np = {key: np.asarray(v) for key, v in ms.items()}  # (k,) + syncs
+                launch_dt = time.time() - t_launch
                 last_metrics = {key: float(v[-1]) for key, v in ms_np.items()}
                 losses_d += ms_np["loss_d"].tolist()
                 losses_g += ms_np["loss_g"].tolist()
@@ -253,8 +255,11 @@ class _BaseGANTrainer(Trainer):
                             f"D(x): {ms_np['d_x'][s_off]:.4f}\t"
                             f"D(G(z)): {ms_np['d_gz1'][s_off]:.4f} / {ms_np['d_gz2'][s_off]:.4f}"
                         )
+                img_per_sec = bs * k / max(launch_dt, 1e-9)
                 self.logger.scalars(
                     {"step": it + k, "epoch": epoch,
+                     "images_per_sec": round(img_per_sec, 1),
+                     "step_ms": round(1e3 * launch_dt / k, 3),
                      **{m: float(v[-1]) for m, v in ms_np.items()}}
                 )
 

@@ -30,6 +30,17 @@ from jckx.train.gan_trainer import CGANTrainer, DCGANTrainer
 
 
 def main(cfg: Config):
+    if cfg.multihost:
+        # multi-host SPMD: every host runs this same program; the mesh is
+        # then built over the global device set and the sharded-batch jit
+        # needs no further changes (collectives ride ICI within a slice,
+        # DCN across slices). Requires the standard coordinator env
+        # (JAX_COORDINATOR_ADDRESS etc. or TPU metadata); degrades to a
+        # warning on a lone host so the flag is safe in every environment.
+        try:
+            jax.distributed.initialize()
+        except ValueError as e:
+            MainLogger(cfg).warning(f"--multihost requested but not in a cluster: {e}")
     if cfg.sanitize:
         jax.config.update("jax_debug_nans", True)
 

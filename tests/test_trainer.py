@@ -115,6 +115,56 @@ def test_dcgan_trainer_resume_continues_step(tmp_path):
     MainLogger.reset()
 
 
+def test_mnist_style_grayscale_geometry(tmp_path):
+    """BASELINE.json config: DCGAN on MNIST-like 28×28 grayscale → resized
+    to a power-of-two geometry, 1-channel G/D."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.dataset = "mnist"  # falls back to synthetic 28×28×1
+    cfg.channels = 1
+    cfg.num_classes = 10
+    cfg.image_size = 32
+    cfg.eval_every = 0  # no metrics engine in this test
+    data_pre = DCGANDataPreprocessor(cfg)
+    assert data_pre.images_u8.shape[-1] == 1
+    data_pre.images_u8 = data_pre.images_u8[:64]
+    data_pre.labels_np = data_pre.labels_np[:64]
+    geo = GANGeometry(z_dim=100, image_size=32, channels=1, base_width=8)
+    keys = KeyChain(seed_everything(4))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    cfg.base_width = 8
+    tr = DCGANTrainer(cfg, pg, pd, data_pre)
+    last = tr.train()
+    assert np.isfinite(last["loss_g"])
+    # 28×28 uint8 decoded to 32×32 grayscale inside the step
+    MainLogger.reset()
+
+
+def test_trainer_uses_mesh_all_devices(tmp_path):
+    """The trainer's superstep is laid out over the full 8-device CPU mesh
+    (batch sharded on 'data')."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.eval_every = 0
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:64]
+    data_pre.labels_np = data_pre.labels_np[:64]
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(5))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    tr = DCGANTrainer(cfg, pg, pd, data_pre)
+    assert tr.mesh.devices.size == 8
+    last = tr.train()
+    assert np.isfinite(last["loss_d"])
+    MainLogger.reset()
+
+
 def test_cgan_trainer_end_to_end(tmp_path):
     cfg = tiny_cfg(tmp_path, model="CGAN")
     data_pre = CGANDataPreprocessor(cfg)
