@@ -4,6 +4,7 @@ from jckx.parallel.mesh import (  # noqa: F401
     replicated_sharding,
     shard_batch,
     local_batch_size,
+    tp_state_sharding,
     DATA_AXIS,
     MODEL_AXIS,
 )

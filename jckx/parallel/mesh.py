@@ -70,3 +70,32 @@ def local_batch_size(global_batch: int, mesh: Mesh, axis: str = DATA_AXIS) -> in
     if global_batch % n:
         raise ValueError(f"global batch {global_batch} not divisible by data-axis size {n}")
     return global_batch // n
+
+
+def tp_state_sharding(state, mesh: Mesh, axis: str = MODEL_AXIS, min_dim: int = 128):
+    """Tensor-parallel sharding tree for a GANTrainState (or any pytree of
+    conv-net params + mirrored optimizer moments).
+
+    Layout rule: 4-D conv kernels shard on OUTPUT channels over the
+    ``model`` axis; 1-D channel vectors (BN scale/bias and their moments)
+    shard on the same axis — so each model-shard owns a contiguous slice of
+    every layer's filters. GSPMD propagates the activation shardings and
+    inserts the all-gathers/reduce-scatters between layers; numerics are
+    tested identical to the replicated layout (tests/test_tensor_parallel).
+
+    Small/indivisible leaves (z-projection, 3-channel output conv, scalars)
+    stay replicated via ``min_dim``.
+    """
+    if axis not in mesh.axis_names:
+        raise ValueError(f"mesh has no '{axis}' axis: {mesh.axis_names}")
+    n = mesh.shape[axis]
+
+    def spec_of(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) == 4 and shape[-1] >= min_dim and shape[-1] % n == 0:
+            return NamedSharding(mesh, P(None, None, None, axis))
+        if len(shape) == 1 and shape[0] >= min_dim and shape[0] % n == 0:
+            return NamedSharding(mesh, P(axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_of, state)

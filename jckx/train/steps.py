@@ -216,11 +216,16 @@ def jit_train_step(
     step: Callable,
     mesh=None,
     donate_state: bool = True,
+    state_sharding=None,
 ):
     """Jit a train step, optionally laying it out over a mesh.
 
-    With a mesh: state replicated, batch (and labels) sharded on 'data'.
+    Default layout: state replicated, batch (and labels) sharded on 'data';
     XLA inserts all-reduces for the global batch-stat and loss means.
+
+    ``state_sharding``: a pytree of NamedShardings matching the state (e.g.
+    ``parallel.tp_state_sharding`` for model-axis tensor parallelism) —
+    params/opt moments live sharded and GSPMD places the layer collectives.
     """
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,) if donate_state else ())
@@ -229,9 +234,7 @@ def jit_train_step(
 
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
-
-    def in_shardings(nargs):
-        return (repl,) + (data,) * (nargs - 1)
+    st_sh = state_sharding if state_sharding is not None else repl
 
     # support both (state, batch) and (state, batch, labels)
     import inspect
@@ -239,7 +242,7 @@ def jit_train_step(
     nargs = len(inspect.signature(step).parameters)
     return jax.jit(
         step,
-        in_shardings=in_shardings(nargs),
-        out_shardings=(repl, repl),
+        in_shardings=(st_sh,) + (data,) * (nargs - 1),
+        out_shardings=(st_sh, repl),
         donate_argnums=(0,) if donate_state else (),
     )
