@@ -21,8 +21,7 @@ cgan_data_preprocessor.py:31-33).
 
 from __future__ import annotations
 
-import functools
-from typing import Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax
 import jax.numpy as jnp

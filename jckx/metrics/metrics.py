@@ -25,7 +25,6 @@ dcgan_trainer.py:201-207).
 
 from __future__ import annotations
 
-import functools
 import os
 from typing import Optional
 

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 
 from jckx.ops.conv import conv2d, conv_transpose2d
 from jckx.ops.init import bn_scale_init, conv_init
-from jckx.ops.norm import batch_norm
 from jckx.kernels.fused_bn_act import bn_act
 
 Params = Dict[str, jax.Array]

@@ -23,7 +23,6 @@ accumulation in f32 even for bfloat16 activations/weights.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax import lax
 
 _DIMS = ("NHWC", "HWIO", "NHWC")

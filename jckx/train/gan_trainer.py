@@ -29,8 +29,7 @@ from __future__ import annotations
 import os
 import time
 from datetime import datetime
-from functools import partial
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp
