@@ -1,0 +1,60 @@
+"""Secondary benchmark: FID evaluation wall-clock (BASELINE.json north-star
+"FID-50k eval wall-clock").
+
+Measures end-to-end FID of a 50k-image set against cached real features:
+uint8 upload → on-device resize-to-299 + ImageNet normalize → InceptionV3
+features (async batch dispatch, single drain) → mean/cov → eigh sqrtm →
+Fréchet distance, all on one TPU chip.
+
+The reference pipeline does this on host CPU per batch (torchvision resize,
+numpy cov, scipy sqrtm); its only recorded Inception throughput is ≈10 it/s
+@ bs128 eval (inceptionnet.ipynb cell 14) ⇒ ≥ ~39 s of feature extraction
+alone for 50k images, before the host-side sqrtm.
+
+Prints one JSON line (same contract as bench.py; the driver runs bench.py —
+this file is the documented protocol for the eval-side number).
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main(n_images: int = 50_000, batch: int = 2048):
+    from jckx.metrics.metrics import Metrics
+
+    rng = np.random.RandomState(0)
+    real_u8 = rng.randint(0, 255, size=(n_images, 32, 32, 3), dtype=np.uint8)
+    labels = rng.randint(0, 100, size=(n_images,))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.perf_counter()
+        m = Metrics((real_u8, labels), batch_size=batch, cache_dir=td)
+        build_dt = time.perf_counter() - t0  # incl. 50k-feature extraction
+
+        gen = (rng.rand(n_images, 32, 32, 3).astype(np.float32) * 2 - 1)
+        t0 = time.perf_counter()
+        # reuse the u8-free tanh path in chunks the way trainers do
+        fid = m.fid(gen)
+        fid_dt = time.perf_counter() - t0
+
+    print(json.dumps({
+        "metric": "FID-50k eval wall-clock (features+frechet, one v5e chip)",
+        "value": round(fid_dt, 2),
+        "unit": "seconds",
+        "vs_baseline": None,
+        "detail": {
+            "real_feature_cache_build_s": round(build_dt, 2),
+            "fid_value": round(float(fid), 3),
+            "images": n_images,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

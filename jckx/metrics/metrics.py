@@ -163,8 +163,10 @@ class Metrics:
         return fn
 
     def _batched(self, fn, images) -> np.ndarray:
-        """Pad to a whole number of batches, dispatch every batch without a
-        host sync, drain all features with one final transfer."""
+        """Pad to a whole number of batches, upload ONCE, slice per batch on
+        device, dispatch every batch without a host sync, drain all features
+        with one final transfer. (Per-batch uploads/syncs cost ~0.4 s each
+        through the remote TPU runtime.)"""
         images = np.asarray(images)
         n = images.shape[0]
         bs = min(self.batch_size, n)
@@ -172,9 +174,8 @@ class Metrics:
         pad = nb * bs - n
         if pad:
             images = np.concatenate([images, images[-1:].repeat(pad, axis=0)])
-        outs = [
-            fn(jnp.asarray(images[i * bs : (i + 1) * bs])) for i in range(nb)
-        ]
+        dev = jax.device_put(images)  # one transfer
+        outs = [fn(dev[i * bs : (i + 1) * bs]) for i in range(nb)]
         out = np.asarray(jnp.concatenate(outs), np.float32)
         return out.reshape(nb * bs, -1)[:n]
 

@@ -5,6 +5,7 @@ from jckx.parallel.mesh import (  # noqa: F401
     shard_batch,
     local_batch_size,
     tp_state_sharding,
+    spatial_sharding,
     DATA_AXIS,
     MODEL_AXIS,
 )

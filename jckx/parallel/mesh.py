@@ -72,6 +72,19 @@ def local_batch_size(global_batch: int, mesh: Mesh, axis: str = DATA_AXIS) -> in
     return global_batch // n
 
 
+def spatial_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Shard an NHWC activation on its HEIGHT dimension.
+
+    The TPU answer to scaling image RESOLUTION (SURVEY.md §5: the reference's
+    scaling axes are batch and resolution; attention-style sequence
+    parallelism has no analog in a conv GAN). GSPMD spatially partitions the
+    convolutions and inserts the halo exchanges over ICI; correctness vs the
+    unsharded layout is tested in tests/test_tensor_parallel.py. Use via
+    ``jax.lax.with_sharding_constraint(x, spatial_sharding(mesh))`` on big
+    activations, or shard the input batch as (N on data, H on model)."""
+    return NamedSharding(mesh, P(None, axis, None, None))
+
+
 def tp_state_sharding(state, mesh: Mesh, axis: str = MODEL_AXIS, min_dim: int = 128):
     """Tensor-parallel sharding tree for a GANTrainState (or any pytree of
     conv-net params + mirrored optimizer moments).

@@ -48,8 +48,6 @@ from jckx.train.state import GANTrainState, make_optimizer
 from jckx.train.steps import make_cgan_train_step, make_dcgan_train_step
 from jckx.train.trainer import Trainer
 
-METRIC_KEYS = ("loss_d", "loss_g", "gp", "d_x", "d_gz1", "d_gz2")
-
 
 class _BaseGANTrainer(Trainer):
     conditional = False
@@ -213,8 +211,8 @@ class _BaseGANTrainer(Trainer):
         K = max(1, min(cfg.log_every, cfg.eval_every if cfg.eval_every > 0 else cfg.log_every,
                        steps_per_epoch))
 
-        losses_d: list = list(self._resumed_losses and [l[0] for l in self._resumed_losses] or [])
-        losses_g: list = list(self._resumed_losses and [l[1] for l in self._resumed_losses] or [])
+        losses_d = [l[0] for l in self._resumed_losses]
+        losses_g = [l[1] for l in self._resumed_losses]
 
         # real-image grid artifact (dcgan_trainer.py:144-148)
         first = self.data_pre.images_u8[:64]

@@ -57,6 +57,24 @@ def test_decode_batch_range_and_resize():
     assert float(out2.min()) == -1.0  # 0 → -1
 
 
+def test_decode_resize_matches_pil_bilinear():
+    """The reference upscales 32→64 with PIL bilinear (tt.Resize(64));
+    jax.image.resize bilinear must agree within interpolation tolerance."""
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    u8 = rng.randint(0, 255, size=(1, 32, 32, 3), dtype=np.uint8)
+    ours = np.asarray(decode_batch(jnp.asarray(u8), 64))  # [-1,1]
+    ours01 = (ours[0] + 1.0) / 2.0
+
+    pil = Image.fromarray(u8[0]).resize((64, 64), Image.BILINEAR)
+    ref01 = np.asarray(pil, np.float32) / 255.0
+    # PIL aligns sample grids slightly differently (half-pixel centers);
+    # interiors agree closely
+    diff = np.abs(ours01[2:-2, 2:-2] - ref01[2:-2, 2:-2])
+    assert diff.mean() < 0.02 and diff.max() < 0.2
+
+
 def test_device_loader_epoch_mechanics():
     x, y = synthetic_dataset(100, 16, 3, 10, seed=1)
     dl = DeviceDataLoader(x, y, batch_size=32, seed=0)

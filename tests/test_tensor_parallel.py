@@ -50,6 +50,28 @@ def test_tp_sharding_rules():
     assert sh.step.spec == jax.sharding.PartitionSpec()
 
 
+def test_spatial_sharding_conv_matches_unsharded():
+    """H-axis spatial partitioning of a strided conv (GSPMD halo exchange)
+    must reproduce the single-device result — the resolution-scaling axis."""
+    from jckx.ops.conv import conv2d
+    from jckx.parallel import spatial_sharding
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 64, 64, 8))
+    w = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 8, 16)) * 0.1
+    ref = np.asarray(conv2d(x, w, stride=2, padding=1))
+
+    mesh = make_mesh(shape=(8,), axes=("data",))
+    sh = spatial_sharding(mesh, axis="data")
+
+    @jax.jit
+    def f(x, w):
+        x = jax.lax.with_sharding_constraint(x, sh)
+        return conv2d(x, w, stride=2, padding=1)
+
+    out = np.asarray(f(x, w))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_tp_step_matches_replicated():
     cfg = _cfg()
     geo = GANGeometry(image_size=16, base_width=16)
