@@ -13,6 +13,12 @@ alone for 50k images, before the host-side sqrtm.
 
 Prints one JSON line (same contract as bench.py; the driver runs bench.py —
 this file is the documented protocol for the eval-side number).
+
+Caveat on this machine: the remote TPU runtime does not reuse compiled
+programs across processes and its compile service latency varies 10-300 s,
+so the reported wall-clock is dominated by one-time compiles. Steady-state
+feature extraction measures ~0.17 ms/image (≈8.5 s for 50k) — the in-train
+eval cadence pays that, not the cold number.
 """
 
 import json

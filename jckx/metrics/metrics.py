@@ -75,6 +75,7 @@ class Metrics:
         # the loop in lax.map instead makes the remote compile pathological.
         self._features_from_u8 = jax.jit(self._make_u8_pipeline())
         self._features_from_tanh = jax.jit(self._make_tanh_pipeline())
+        self._fn_at_cache: dict = {}
 
         # ---- superclass index maps (reference metrics.py:56-68) ------------
         real_super = FINE_TO_SUPERCLASS[real_labels % 100]
@@ -162,20 +163,47 @@ class Metrics:
 
         return fn
 
+    # upload granularity: big enough to amortize the ~0.4 s/transfer tunnel
+    # cost, small enough that a high-res 50k set never exceeds HBM headroom
+    _SLAB_BYTES = 256 * 1024 * 1024
+
     def _batched(self, fn, images) -> np.ndarray:
-        """Pad to a whole number of batches, upload ONCE, slice per batch on
-        device, dispatch every batch without a host sync, drain all features
-        with one final transfer. (Per-batch uploads/syncs cost ~0.4 s each
-        through the remote TPU runtime.)"""
+        """Feature extraction over arbitrary-size image sets.
+
+        Images are uploaded in ≤256 MB slabs (one transfer each, sliced into
+        batches on device); batch dispatches are async with a single drain at
+        the end. Per-batch uploads or syncs cost ~0.4 s each through the
+        remote TPU runtime, while slab-at-a-time bounds device memory so a
+        50k high-resolution set cannot OOM the chip."""
         images = np.asarray(images)
         n = images.shape[0]
+        if n == 0:
+            return np.zeros((0, self.num_classes), np.float32)
         bs = min(self.batch_size, n)
         nb = (n + bs - 1) // bs
         pad = nb * bs - n
         if pad:
             images = np.concatenate([images, images[-1:].repeat(pad, axis=0)])
-        dev = jax.device_put(images)  # one transfer
-        outs = [fn(dev[i * bs : (i + 1) * bs]) for i in range(nb)]
+        row_bytes = max(1, int(images[:1].nbytes))
+        batches_per_slab = max(1, self._SLAB_BYTES // (row_bytes * bs))
+
+        # slice-on-device fused into the feature call: an eager device-array
+        # slice is its own ~0.4 s dispatch on the remote runtime, doubling
+        # the launch count; dynamic_slice inside the jit keeps it at one.
+        # Cached per (pipeline, batch) so repeated evals reuse the executable.
+        cache_key = (id(fn), bs)
+        fn_at = self._fn_at_cache.get(cache_key)
+        if fn_at is None:
+            fn_at = jax.jit(
+                lambda slab, i: fn(jax.lax.dynamic_slice_in_dim(slab, i * bs, bs, axis=0))
+            )
+            self._fn_at_cache[cache_key] = fn_at
+
+        outs = []
+        for s in range(0, nb, batches_per_slab):
+            k = min(batches_per_slab, nb - s)
+            slab = jax.device_put(images[s * bs : (s + k) * bs])  # one transfer
+            outs.extend(fn_at(slab, i) for i in range(k))
         out = np.asarray(jnp.concatenate(outs), np.float32)
         return out.reshape(nb * bs, -1)[:n]
 

@@ -79,9 +79,11 @@ def spatial_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     scaling axes are batch and resolution; attention-style sequence
     parallelism has no analog in a conv GAN). GSPMD spatially partitions the
     convolutions and inserts the halo exchanges over ICI; correctness vs the
-    unsharded layout is tested in tests/test_tensor_parallel.py. Use via
-    ``jax.lax.with_sharding_constraint(x, spatial_sharding(mesh))`` on big
-    activations, or shard the input batch as (N on data, H on model)."""
+    unsharded layout is tested in tests/test_tensor_parallel.py. Apply via
+    ``jax.lax.with_sharding_constraint(x, spatial_sharding(mesh, axis))``;
+    pass ``axis=MODEL_AXIS`` on a 2-D mesh to spatially shard H while the
+    batch stays on 'data' (combine by hand with
+    ``NamedSharding(mesh, P('data', 'model', None, None))`` for N+H)."""
     return NamedSharding(mesh, P(None, axis, None, None))
 
 

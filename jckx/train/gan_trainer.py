@@ -223,11 +223,22 @@ class _BaseGANTrainer(Trainer):
         it = int(self.state.step)
         last_metrics = None
 
-        for epoch in range(cfg.epoch):
+        # Resume: fast-forward to the checkpointed position. The epoch loop
+        # restarts at the completed-epoch count, the shuffle stream is
+        # advanced by the same number of draws (so the data order continues
+        # exactly as the uninterrupted run), and a mid-epoch checkpoint
+        # resumes inside its epoch.
+        start_epoch = min(it // steps_per_epoch, cfg.epoch) if steps_per_epoch else 0
+        resume_offset = it - start_epoch * steps_per_epoch
+        for _ in range(start_epoch):
+            rng.permutation(self.n_data)
+
+        for epoch in range(start_epoch, cfg.epoch):
             order = rng.permutation(self.n_data)[: steps_per_epoch * bs].reshape(
                 steps_per_epoch, bs
             )
-            done = 0
+            done = resume_offset
+            resume_offset = 0
             while done < steps_per_epoch:
                 k = min(K, steps_per_epoch - done)
                 idx = jnp.asarray(order[done : done + k], jnp.int32)

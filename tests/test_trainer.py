@@ -106,12 +106,22 @@ def test_dcgan_trainer_resume_continues_step(tmp_path):
     assert step_after == 4
     MainLogger.reset()
 
+    # resuming a COMPLETED run trains zero further steps (epochs fast-forward)
     cfg2 = tiny_cfg(tmp_path)
     cfg2.resume = True
     tr2 = DCGANTrainer(cfg2, pg, pd, data_pre, metrics=StubMetrics())
     assert int(tr2.state.step) == step_after  # restored
     tr2.train()
-    assert int(tr2.state.step) == step_after + 4
+    assert int(tr2.state.step) == step_after
+    MainLogger.reset()
+
+    # raising the epoch budget continues for exactly the remaining epochs
+    cfg3 = tiny_cfg(tmp_path)
+    cfg3.resume = True
+    cfg3.epoch = 2
+    tr3 = DCGANTrainer(cfg3, pg, pd, data_pre, metrics=StubMetrics())
+    tr3.train()
+    assert int(tr3.state.step) == step_after + 4
     MainLogger.reset()
 
 
