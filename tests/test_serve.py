@@ -1,0 +1,70 @@
+"""Serving path: checkpoint → GeneratorService → uint8 samples."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jckx.checkpoint import save_checkpoint
+from jckx.configs import Config
+from jckx.models import cgan, dcgan
+from jckx.models.dcgan import GANGeometry
+from jckx.serve import GeneratorService
+from jckx.train.state import GANTrainState, make_optimizer
+
+
+def _save_ckpt(tmp_path, conditional=False):
+    cfg = Config()
+    cfg.max_learning_rate = 2e-4
+    geo = GANGeometry(image_size=16, base_width=8)
+    tx = make_optimizer(cfg)
+    if conditional:
+        pg = cgan.cgenerator_init(jax.random.PRNGKey(0), geo, 10)
+        pd = cgan.cdiscriminator_init(jax.random.PRNGKey(1), geo, 10)
+    else:
+        pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+        pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                       opt_d=tx.init(pd), step=jnp.asarray(42, jnp.int32),
+                       rng=jax.random.PRNGKey(2))
+    path = os.path.join(tmp_path, "latest.ckpt")
+    save_checkpoint(path, st)
+    return path, geo
+
+
+def test_service_generates_from_checkpoint(tmp_path):
+    path, geo = _save_ckpt(tmp_path)
+    svc = GeneratorService(path, geo=geo, batch_size=8, compute_dtype=jnp.float32)
+    assert svc.step == 42
+    imgs = svc.sample(5)
+    assert imgs.shape == (5, 16, 16, 3) and imgs.dtype == np.uint8
+    # same explicit key → same images; service-managed keys advance
+    k = jax.random.PRNGKey(9)
+    a, b = svc.sample(3, key=k), svc.sample(3, key=k)
+    np.testing.assert_array_equal(a, b)
+    c = svc.sample(3)
+    assert np.abs(a.astype(int) - c.astype(int)).max() > 0
+
+
+def test_service_conditional_labels(tmp_path):
+    path, geo = _save_ckpt(tmp_path, conditional=True)
+    svc = GeneratorService(path, conditional=True, num_classes=10, geo=geo,
+                           batch_size=8, compute_dtype=jnp.float32)
+    k = jax.random.PRNGKey(0)
+    a = svc.sample(4, labels=[1], key=k)
+    b = svc.sample(4, labels=[7], key=k)
+    assert a.shape == (4, 16, 16, 3)
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 0  # label changes output
+
+
+def test_serve_cli_writes_grid(tmp_path):
+    path, geo = _save_ckpt(tmp_path)
+    from jckx.serve import get_args, main
+
+    out = os.path.join(tmp_path, "grid.png")
+    main(get_args([
+        "--ckpt", path, "-n", "4", "-o", out, "--image_size", "16",
+        "--base_width", "8", "--batch_size", "4",
+    ]))
+    assert os.path.exists(out)
