@@ -1,0 +1,107 @@
+"""Config CLI parity (the 11 reference flags + defaults), logger behavior
+(singleton, file + jsonl streams), artifact writers, time formatting."""
+
+import json
+import logging
+import os
+
+import numpy as np
+import pytest
+
+from jckx.configs import Config, get_arg_parse
+from jckx.enums import ModelEnum
+from jckx.logging import MainLogger, time_to_str
+from jckx.logging.artifacts import make_grid, save_image_grid, save_labeled_grid, save_loss_curve
+
+
+def test_reference_flags_and_defaults():
+    cfg = get_arg_parse([])
+    # reference defaults (main.py:40-61)
+    assert cfg.test == 0
+    assert cfg.model_path == ""
+    assert cfg.log_file == 1
+    assert cfg.model == ModelEnum.DCGAN
+    assert cfg.num_worker == 0
+    assert cfg.batch_size == 128
+    assert cfg.epoch == 100
+    assert cfg.max_learning_rate == 0.1
+    assert cfg.min_learning_rate == 1e-4
+    assert cfg.weight_decay == 5e-4
+    assert cfg.nesterov == 1
+    # promoted constants keep reference values
+    assert cfg.lambda_gp == 10.0 and cfg.adam_beta1 == 0.5
+    assert cfg.label_real == 0.9 and cfg.label_fake == 0.1
+    assert cfg.eval_every == 500 and cfg.log_every == 100
+    assert cfg.seed == 12345
+
+
+def test_short_flags_parse():
+    cfg = get_arg_parse(["-m", "CGAN", "-b", "64", "-e", "7", "-mlr", "0.002",
+                         "-pm", "run42", "-lf", "0", "-w", "2", "-t", "1"])
+    assert cfg.model == ModelEnum.CGAN
+    assert cfg.batch_size == 64 and cfg.epoch == 7
+    assert cfg.max_learning_rate == 0.002
+    assert cfg.model_path == "run42" and cfg.log_file == 0
+    assert cfg.num_worker == 2 and cfg.test == 1
+
+
+def test_mesh_and_dataset_flags():
+    cfg = get_arg_parse(["--mesh_shape", "4,2", "--mesh_axes", "data,model",
+                         "--dataset", "mnist"])
+    assert cfg.mesh_shape == (4, 2)
+    assert cfg.mesh_axes == ("data", "model")
+    assert cfg.channels == 1 and cfg.num_classes == 10  # mnist geometry
+    js = json.loads(cfg.to_json())
+    assert js["mesh_shape"] == [4, 2] and js["model"] == "DCGAN"
+
+
+def test_logger_singleton_and_streams(tmp_path):
+    MainLogger.reset()
+
+    class A:  # minimal config
+        log_file = 1
+        save_path = str(tmp_path)
+
+    lg1 = MainLogger(A())
+    lg2 = MainLogger()  # singleton: second ctor returns the same instance
+    assert lg1 is lg2
+    lg1.debug("hello-debug")
+    lg1.scalars({"step": 1, "loss": 2.5})
+    for h in lg1.logger.handlers:
+        h.flush()
+    logs = [f for f in os.listdir(tmp_path) if f.endswith(".log")]
+    assert len(logs) == 1
+    assert "hello-debug" in open(os.path.join(tmp_path, logs[0])).read()
+    rec = json.loads(open(os.path.join(tmp_path, "metrics.jsonl")).read().strip())
+    assert rec == {"step": 1, "loss": 2.5}
+    # rank gating: non-zero rank suppressed
+    lg1.debug("rank-one-msg", gpu_rank=1)
+    for h in lg1.logger.handlers:
+        h.flush()
+    assert "rank-one-msg" not in open(os.path.join(tmp_path, logs[0])).read()
+    MainLogger.reset()
+
+
+def test_time_to_str():
+    assert time_to_str(3723.5) == "1h 2m 3.5s"
+    assert time_to_str(59) == "0h 0m 59.0s"
+
+
+def test_make_grid_geometry():
+    imgs = np.random.RandomState(0).rand(10, 8, 8, 3).astype(np.float32)
+    grid = make_grid(imgs, ncol=4, padding=2)
+    # 3 rows × 4 cols of 8px cells with 2px padding
+    assert grid.shape == (3 * 10 + 2, 4 * 10 + 2, 3)
+    assert grid.dtype == np.uint8
+
+
+def test_artifact_writers(tmp_path):
+    imgs = np.random.RandomState(1).rand(9, 8, 8, 1).astype(np.float32)
+    p1 = os.path.join(tmp_path, "g.png")
+    save_image_grid(p1, imgs, ncol=3)
+    p2 = os.path.join(tmp_path, "lab.png")
+    save_labeled_grid(p2, imgs, [f"c{i}" for i in range(9)], ncol=3)
+    p3 = os.path.join(tmp_path, "loss.png")
+    save_loss_curve(p3, [1.0, 0.5, 0.4], [2.0, 1.5, 1.2])
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 0
