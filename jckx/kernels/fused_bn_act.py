@@ -82,6 +82,8 @@ def _bn_act_xla(x, scale, bias, act, negative_slope, eps):
 
 @functools.partial(jax.jit, static_argnames=("act", "negative_slope", "eps"))
 def _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps):
+    import os
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -106,6 +108,11 @@ def _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps):
             pl.BlockSpec((1, chans), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_r, chans), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        # kernel sanitizer (SURVEY §5): JCKX_PALLAS_INTERPRET=1 runs every
+        # Pallas kernel in interpreter mode — python-level bounds/shape
+        # checking, usable on CPU — the jckx analog of the reference's
+        # always-on autograd anomaly detector for the hand-written kernels.
+        interpret=os.environ.get("JCKX_PALLAS_INTERPRET") == "1",
     )(x2d, inv, shift)
 
 

@@ -48,6 +48,27 @@ def test_pallas_inference_scope_restores_flag():
     assert fba._USE_PALLAS is False
 
 
+def test_pallas_kernel_interpret_mode_matches_xla():
+    """With JCKX_PALLAS_INTERPRET=1 the Pallas kernel runs interpreted on
+    CPU — full numeric check of the kernel body against the XLA path."""
+    import os
+
+    os.environ["JCKX_PALLAS_INTERPRET"] = "1"
+    try:
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(16, 4, 4, 128).astype(np.float32))
+        s = jnp.asarray(rng.rand(128).astype(np.float32) + 0.5)
+        b = jnp.asarray(rng.randn(128).astype(np.float32))
+        ref = np.asarray(fba.bn_act(x, s, b, act="leaky_relu"))
+        with fba.pallas_inference():
+            # dispatch requires the pallas-eligible conditions except backend;
+            # call the pallas path directly (interpret mode works on CPU)
+            got = np.asarray(fba._bn_act_pallas(x, s, b, "leaky_relu", 0.2, 1e-5))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    finally:
+        os.environ.pop("JCKX_PALLAS_INTERPRET", None)
+
+
 def test_bn_act_grad_and_double_grad():
     # the GP path needs grad-of-grad through bn_act (XLA path)
     x0 = jnp.asarray(np.random.RandomState(1).randn(4, 4, 4, 3).astype(np.float32))
