@@ -75,11 +75,15 @@ class Config:
     mesh_axes: tuple = ("data",)
     compute_dtype: str = "bfloat16"    # matmul/conv compute dtype; params stay f32
     # rematerialization policy for the fused step: "none" | "g" | "d" |
-    # "both". Measured on v5e at 64²/bs128: none=3.83 ms/step, g=4.08,
-    # d=5.05, both=5.29 — XLA's fusion already keeps the step near the HBM
-    # roofline, so remat only pays off at larger geometries (≥128²) where
-    # activation residuals would spill; keep "none" unless memory-bound.
+    # "both". Measured on v5e: 64²/bs128 none=3.83 ms/step, g=4.08, d=5.05,
+    # both=5.29; 128²/bs64 none=16.1, g=16.7, both=20.9 — XLA's fusion keeps
+    # the step near the roofline without spilling at these scales, so "none"
+    # is the default; the knob exists for geometries that exceed HBM.
     remat: str = "none"
+    # EMA of generator weights (0 = off, reference-parity default). When on,
+    # eval/serving sample from the averaged generator — standard GAN practice
+    # the reference lacks; typical values 0.999.
+    ema_decay: float = 0.0
     eval_batch_size: int = 256         # metric feature-extraction batch (bs*2 in ref)
     sample_count: int = 64             # fixed-noise eval grid (dcgan_trainer.py:143)
     metric_backbone: str = ""          # path to InceptionV3 checkpoint ('' = auto)
@@ -130,6 +134,7 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--image_size", type=int, default=d.image_size)
     parser.add_argument("--base_width", type=int, default=d.base_width)
     parser.add_argument("--remat", type=str, default=d.remat, choices=["none", "g", "d", "both"])
+    parser.add_argument("--ema_decay", type=float, default=d.ema_decay)
     parser.add_argument("--metric_backbone", type=str, default=d.metric_backbone)
     parser.add_argument("--sanitize", action="store_true", default=d.sanitize)
     parser.add_argument("--multihost", action="store_true", default=d.multihost)

@@ -44,13 +44,34 @@ class GeneratorService:
     def __init__(
         self,
         ckpt_path: str,
-        conditional: bool = False,
+        conditional: Optional[bool] = None,
         num_classes: int = 100,
         geo: Optional[GANGeometry] = None,
         batch_size: int = 512,
         compute_dtype=jnp.bfloat16,
         seed: int = 0,
+        use_ema: Optional[bool] = None,
     ):
+        # self-configure from the trainer's sidecar when present (explicit
+        # args always win)
+        sidecar = {}
+        try:
+            import json
+
+            with open(ckpt_path + ".json") as f:
+                sidecar = json.load(f).get("serve_config", {})
+        except (OSError, ValueError):
+            pass
+        if conditional is None:
+            conditional = bool(sidecar.get("conditional", False))
+        if geo is None and {"z_dim", "image_size", "channels", "base_width"} <= sidecar.keys():
+            geo = GANGeometry(z_dim=sidecar["z_dim"], image_size=sidecar["image_size"],
+                              channels=sidecar["channels"], base_width=sidecar["base_width"])
+        if sidecar.get("num_classes"):
+            num_classes = sidecar["num_classes"]
+        if use_ema is None:
+            use_ema = bool(sidecar.get("ema", False))
+
         self.geo = geo or GANGeometry()
         self.conditional = conditional
         self.num_classes = num_classes
@@ -69,9 +90,10 @@ class GeneratorService:
         template = GANTrainState(
             params_g=pg, params_d=pd, opt_g=tx.init(pg), opt_d=tx.init(pd),
             step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0),
+            ema_g=pg if use_ema else None,
         )
         state, _ = restore_checkpoint(ckpt_path, template)
-        self.params_g = state.params_g
+        self.params_g = state.ema_g if (use_ema and state.ema_g is not None) else state.params_g
         self.step = int(state.step)
 
         cd = compute_dtype
@@ -126,7 +148,7 @@ def get_args(argv=None):
     p.add_argument("--ckpt", required=True, help="checkpoint path (.ckpt)")
     p.add_argument("-n", "--num", type=int, default=64)
     p.add_argument("-o", "--out", default="samples.png")
-    p.add_argument("--conditional", action="store_true")
+    p.add_argument("--conditional", action="store_true", default=None)
     p.add_argument("--labels", default="", help="comma class ids (CGAN)")
     p.add_argument("--num_classes", type=int, default=100)
     p.add_argument("--image_size", type=int, default=64)
@@ -139,8 +161,12 @@ def get_args(argv=None):
 
 
 def main(args):
+    # geometry flags are overrides; the checkpoint sidecar self-configures
+    defaults = get_args(["--ckpt", "x"])
+    explicit = any(getattr(args, k) != getattr(defaults, k)
+                   for k in ("z_dim", "image_size", "channels", "base_width"))
     geo = GANGeometry(z_dim=args.z_dim, image_size=args.image_size,
-                      channels=args.channels, base_width=args.base_width)
+                      channels=args.channels, base_width=args.base_width) if explicit else None
     svc = GeneratorService(
         args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
         geo=geo, batch_size=args.batch_size, seed=args.seed,

@@ -98,6 +98,10 @@ class _BaseGANTrainer(Trainer):
             opt_g=tx.init(params_g), opt_d=tx.init(params_d),
             step=jnp.zeros((), jnp.int32),
             rng=jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 1),
+            # independent buffers: ema_g aliasing params_g would make the
+            # donated superstep donate the same buffer twice (runtime error)
+            ema_g=jax.tree_util.tree_map(jnp.copy, params_g)
+            if cfg.ema_decay > 0 else None,
         )
 
         # run dir (reference: save/<model>/<ts>; main.py sets save_path)
@@ -186,7 +190,25 @@ class _BaseGANTrainer(Trainer):
         self._resumed_losses = extra.get("losses", [])
         self.logger.debug(f"resumed from {path} at step {int(self.state.step)}")
 
+    def _serve_config(self) -> dict:
+        """Geometry/conditioning sidecar so jckx.serve can self-configure."""
+        return {
+            "conditional": self.conditional,
+            "num_classes": self.num_classes,
+            "z_dim": self.geo.z_dim,
+            "image_size": self.geo.image_size,
+            "channels": self.geo.channels,
+            "base_width": self.geo.base_width,
+            "ema": self.cfg.ema_decay > 0,
+        }
+
     # ----------------------------------------------------------------- eval
+
+    def _eval_params_g(self):
+        """EMA generator for eval when enabled (jckx extension), else live G."""
+        if self.cfg.ema_decay > 0 and self.state.ema_g is not None:
+            return self.state.ema_g
+        return self.state.params_g
 
     def _fixed_eval_inputs(self):
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), 999)
@@ -305,7 +327,7 @@ class DCGANTrainer(_BaseGANTrainer):
 
     def _evaluate(self, iters: int, losses_d, losses_g):
         z, _ = self._fixed_eval_inputs()
-        fake = np.asarray(self._sample(self.state.params_g, z), np.float32)
+        fake = np.asarray(self._sample(self._eval_params_g(), z), np.float32)
 
         is_score = self.metric.inception_score(fake)
         fid = self.metric.fid(fake)
@@ -322,7 +344,9 @@ class DCGANTrainer(_BaseGANTrainer):
             self.logger.debug(f"{iters} highest is")
             self._save_best("is", iters, (is_score,), denorm)
         self.ckpt.save_latest(
-            self.state, {"bests": self.bests, "losses": list(zip(losses_d, losses_g))}
+            self.state,
+            {"bests": self.bests, "losses": list(zip(losses_d, losses_g)),
+             "serve_config": self._serve_config()},
         )
 
 
@@ -337,9 +361,10 @@ class CGANTrainer(_BaseGANTrainer):
         # 10·num_classes samples; generate in chunks to bound peak memory
         chunks = []
         cb = 500
+        pg = self._eval_params_g()
         for i in range(0, z.shape[0], cb):
             chunks.append(np.asarray(
-                self._sample(self.state.params_g, z[i:i + cb], onehot[i:i + cb]),
+                self._sample(pg, z[i:i + cb], onehot[i:i + cb]),
                 np.float32,
             ))
         fake = np.concatenate(chunks)
@@ -381,5 +406,7 @@ class CGANTrainer(_BaseGANTrainer):
             names[: min(100, len(names))],
         )
         self.ckpt.save_latest(
-            self.state, {"bests": self.bests, "losses": list(zip(losses_d, losses_g))}
+            self.state,
+            {"bests": self.bests, "losses": list(zip(losses_d, losses_g)),
+             "serve_config": self._serve_config()},
         )

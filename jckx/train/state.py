@@ -33,6 +33,10 @@ class GANTrainState:
     opt_d: Any
     step: jax.Array
     rng: jax.Array
+    # exponential moving average of G (jckx extension beyond the reference;
+    # enabled with Config.ema_decay > 0 — standard GAN practice that lowers
+    # eval FID). None when disabled.
+    ema_g: Any = None
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:

