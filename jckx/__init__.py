@@ -28,3 +28,25 @@ from jckx.rng import RANDOMSEED  # noqa: F401
 from jckx.utils.cache import enable_compilation_cache as _enable_cache
 
 _enable_cache()  # persistent XLA cache; opt out with JCKX_NO_COMPILE_CACHE=1
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import jckx` light; heavyweight modules —
+    trainers, metrics, serving — load on first touch)."""
+    lazy = {
+        "Config": ("jckx.configs", "Config"),
+        "get_arg_parse": ("jckx.configs", "get_arg_parse"),
+        "DCGANTrainer": ("jckx.train.gan_trainer", "DCGANTrainer"),
+        "CGANTrainer": ("jckx.train.gan_trainer", "CGANTrainer"),
+        "DCGANDataPreprocessor": ("jckx.data.pipeline", "DCGANDataPreprocessor"),
+        "CGANDataPreprocessor": ("jckx.data.pipeline", "CGANDataPreprocessor"),
+        "Metrics": ("jckx.metrics.metrics", "Metrics"),
+        "GeneratorService": ("jckx.serve", "GeneratorService"),
+        "MainLogger": ("jckx.logging.main_logger", "MainLogger"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'jckx' has no attribute {name!r}")

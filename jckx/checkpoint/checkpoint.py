@@ -35,7 +35,14 @@ def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None) -> None
 
 def restore_checkpoint(path: str, template_state: Any) -> Tuple[Any, dict]:
     with open(path, "rb") as f:
-        state = serialization.from_bytes(template_state, f.read())
+        data = f.read()
+    try:
+        state = serialization.from_bytes(template_state, data)
+    except (ValueError, KeyError) as e:
+        raise ValueError(
+            f"checkpoint {path} does not match the expected state structure "
+            f"(wrong model family / geometry / EMA setting?): {e}"
+        ) from e
     extra = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
