@@ -38,7 +38,9 @@ def restore_checkpoint(path: str, template_state: Any) -> Tuple[Any, dict]:
         data = f.read()
     try:
         state = serialization.from_bytes(template_state, data)
-    except (ValueError, KeyError) as e:
+    except (ValueError, KeyError, AttributeError, TypeError) as e:
+        # AttributeError is what flax raises for the EMA mismatch (None
+        # stored vs tree template or vice versa)
         raise ValueError(
             f"checkpoint {path} does not match the expected state structure "
             f"(wrong model family / geometry / EMA setting?): {e}"

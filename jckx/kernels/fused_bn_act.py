@@ -80,10 +80,10 @@ def _bn_act_xla(x, scale, bias, act, negative_slope, eps):
     return y.astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("act", "negative_slope", "eps"))
-def _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps):
-    import os
-
+@functools.partial(
+    jax.jit, static_argnames=("act", "negative_slope", "eps", "interpret")
+)
+def _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps, interpret=False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -108,11 +108,7 @@ def _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps):
             pl.BlockSpec((1, chans), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_r, chans), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        # kernel sanitizer (SURVEY §5): JCKX_PALLAS_INTERPRET=1 runs every
-        # Pallas kernel in interpreter mode — python-level bounds/shape
-        # checking, usable on CPU — the jckx analog of the reference's
-        # always-on autograd anomaly detector for the hand-written kernels.
-        interpret=os.environ.get("JCKX_PALLAS_INTERPRET") == "1",
+        interpret=interpret,
     )(x2d, inv, shift)
 
 
@@ -121,7 +117,18 @@ def _bn_act_pallas(x, scale, bias, act, negative_slope, eps):
     inv = (jax.lax.rsqrt(var + eps) * scale.astype(jnp.float32))[None, :]
     shift = (bias.astype(jnp.float32) - mean * inv[0])[None, :]
     x2d = x.reshape(-1, x.shape[-1])
-    y = _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps)
+    # kernel sanitizer (SURVEY §5): JCKX_PALLAS_INTERPRET=1 runs the Pallas
+    # kernel in interpreter mode (python-level bounds/shape checking, works
+    # on CPU) — the jckx analog of the reference's always-on anomaly
+    # detector for hand-written kernels. Read OUTSIDE the kernel jit and
+    # passed as a static arg so it is part of this jit's cache key (toggling
+    # mid-process takes effect for direct calls; a caller's own outer jit
+    # still caches whatever was set when IT first traced — set the env var
+    # before building samplers).
+    import os
+
+    interpret = os.environ.get("JCKX_PALLAS_INTERPRET") == "1"
+    y = _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps, interpret)
     return y.reshape(x.shape)
 
 

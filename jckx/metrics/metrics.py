@@ -199,13 +199,28 @@ class Metrics:
             )
             self._fn_at_cache[cache_key] = fn_at
 
+        # multi-slab sets: pad the tail so every slab shares ONE executable
+        # (a second static shape costs a 10-300 s remote compile)
+        if nb > batches_per_slab and nb % batches_per_slab:
+            extra = batches_per_slab - nb % batches_per_slab
+            images = np.concatenate([images, images[-1:].repeat(extra * bs, axis=0)])
+            nb_padded = nb + extra
+        else:
+            nb_padded = nb
+
         outs = []
-        for s in range(0, nb, batches_per_slab):
-            k = min(batches_per_slab, nb - s)
+        for s in range(0, nb_padded, batches_per_slab):
+            k = min(batches_per_slab, nb_padded - s)
             slab = jax.device_put(images[s * bs : (s + k) * bs])  # one transfer
-            outs.extend(fn_at(slab, i) for i in range(k))
+            slab_outs = [fn_at(slab, i) for i in range(k)]
+            # bound device memory: async dispatch would otherwise enqueue
+            # every slab's upload before the first frees — block on the
+            # slab's last batch (one ~0.4 s sync per 256 MB slab)
+            if nb_padded > batches_per_slab:
+                jax.block_until_ready(slab_outs[-1])
+            outs.extend(slab_outs)
         out = np.asarray(jnp.concatenate(outs), np.float32)
-        return out.reshape(nb * bs, -1)[:n]
+        return out.reshape(nb_padded * bs, -1)[: nb * bs][:n]
 
     def _extract_u8(self, u8_images) -> np.ndarray:
         return self._batched(self._features_from_u8, u8_images)

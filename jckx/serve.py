@@ -26,11 +26,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from jckx.checkpoint import restore_checkpoint
-from jckx.configs import Config
 from jckx.kernels.fused_bn_act import pallas_inference
 from jckx.models import cgan, dcgan
 from jckx.models.dcgan import GANGeometry
-from jckx.train.state import GANTrainState, make_optimizer
+from jckx.train.state import make_template_state
 
 
 class GeneratorService:
@@ -45,12 +44,13 @@ class GeneratorService:
         self,
         ckpt_path: str,
         conditional: Optional[bool] = None,
-        num_classes: int = 100,
+        num_classes: Optional[int] = None,
         geo: Optional[GANGeometry] = None,
         batch_size: int = 512,
         compute_dtype=jnp.bfloat16,
         seed: int = 0,
         use_ema: Optional[bool] = None,
+        geo_overrides: Optional[dict] = None,
     ):
         # self-configure from the trainer's sidecar when present (explicit
         # args always win)
@@ -64,11 +64,14 @@ class GeneratorService:
             pass
         if conditional is None:
             conditional = bool(sidecar.get("conditional", False))
-        if geo is None and {"z_dim", "image_size", "channels", "base_width"} <= sidecar.keys():
-            geo = GANGeometry(z_dim=sidecar["z_dim"], image_size=sidecar["image_size"],
-                              channels=sidecar["channels"], base_width=sidecar["base_width"])
-        if sidecar.get("num_classes"):
-            num_classes = sidecar["num_classes"]
+        if geo is None:
+            fields = ("z_dim", "image_size", "channels", "base_width")
+            defaults = GANGeometry()
+            merged = {f: sidecar.get(f, getattr(defaults, f)) for f in fields}
+            merged.update(geo_overrides or {})  # explicit flags win per-field
+            geo = GANGeometry(**merged)
+        if num_classes is None:
+            num_classes = sidecar.get("num_classes", 100)
         if use_ema is None:
             use_ema = bool(sidecar.get("ema", False))
 
@@ -79,18 +82,9 @@ class GeneratorService:
         self._key = jax.random.PRNGKey(seed)
         self._count = 0
 
-        cfg = Config()
-        tx = make_optimizer(cfg)
-        if conditional:
-            pg = cgan.cgenerator_init(jax.random.PRNGKey(0), self.geo, num_classes)
-            pd = cgan.cdiscriminator_init(jax.random.PRNGKey(1), self.geo, num_classes)
-        else:
-            pg = dcgan.generator_init(jax.random.PRNGKey(0), self.geo)
-            pd = dcgan.discriminator_init(jax.random.PRNGKey(1), self.geo)
-        template = GANTrainState(
-            params_g=pg, params_d=pd, opt_g=tx.init(pg), opt_d=tx.init(pd),
-            step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0),
-            ema_g=pg if use_ema else None,
+        template = make_template_state(
+            self.geo, conditional=conditional, num_classes=num_classes,
+            with_ema=use_ema,
         )
         state, _ = restore_checkpoint(ckpt_path, template)
         self.params_g = state.ema_g if (use_ema and state.ema_g is not None) else state.params_g
@@ -118,6 +112,7 @@ class GeneratorService:
     ) -> np.ndarray:
         """→ uint8 images (n, S, S, C). Requests pad to the compiled batch."""
         key = key if key is not None else self._next_key()
+        labels = labels or None  # empty selection → random classes
         bs = self.batch_size
         out = []
         made = 0
@@ -150,26 +145,25 @@ def get_args(argv=None):
     p.add_argument("-o", "--out", default="samples.png")
     p.add_argument("--conditional", action="store_true", default=None)
     p.add_argument("--labels", default="", help="comma class ids (CGAN)")
-    p.add_argument("--num_classes", type=int, default=100)
-    p.add_argument("--image_size", type=int, default=64)
-    p.add_argument("--channels", type=int, default=3)
-    p.add_argument("--base_width", type=int, default=64)
-    p.add_argument("--z_dim", type=int, default=100)
+    # geometry flags default to None = "take from the checkpoint sidecar";
+    # each explicitly-passed flag overrides only that field
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--channels", type=int, default=None)
+    p.add_argument("--base_width", type=int, default=None)
+    p.add_argument("--z_dim", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
 
 def main(args):
-    # geometry flags are overrides; the checkpoint sidecar self-configures
-    defaults = get_args(["--ckpt", "x"])
-    explicit = any(getattr(args, k) != getattr(defaults, k)
-                   for k in ("z_dim", "image_size", "channels", "base_width"))
-    geo = GANGeometry(z_dim=args.z_dim, image_size=args.image_size,
-                      channels=args.channels, base_width=args.base_width) if explicit else None
+    overrides = {k: getattr(args, k)
+                 for k in ("z_dim", "image_size", "channels", "base_width")
+                 if getattr(args, k) is not None}
     svc = GeneratorService(
         args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
-        geo=geo, batch_size=args.batch_size, seed=args.seed,
+        geo_overrides=overrides or None, batch_size=args.batch_size, seed=args.seed,
     )
     labels = [int(x) for x in args.labels.split(",") if x] or None
     imgs = svc.sample(args.num, labels=labels)

@@ -311,7 +311,8 @@ class _BaseGANTrainer(Trainer):
     # ---------------------------------------------------- checkpoint helper
 
     def _save_best(self, typ: str, iters: int, values, images_denorm):
-        extra = {"bests": self.bests, "iters": iters}
+        extra = {"bests": self.bests, "iters": iters,
+                 "serve_config": self._serve_config()}
         self.ckpt.save(typ, iters, values, self.state, extra)
         save_image_grid(
             os.path.join(self.save_path, typ, f"{iters}_fake_image.png"),

@@ -66,6 +66,34 @@ def create_dcgan_state(cfg: Config, key: jax.Array) -> GANTrainState:
     )
 
 
+def make_template_state(
+    geo: GANGeometry,
+    conditional: bool = False,
+    num_classes: int = 100,
+    with_ema: bool = False,
+    lr: float = 2e-4,
+) -> GANTrainState:
+    """Structure-only state for checkpoint restoration (values are seeded
+    inits; flax from_bytes replaces them). Shared by serving and tools so
+    the state layout lives in ONE place."""
+    import jax.numpy as jnp
+
+    cfg = Config()
+    cfg.max_learning_rate = lr
+    tx = make_optimizer(cfg)
+    if conditional:
+        pg = cgan.cgenerator_init(jax.random.PRNGKey(0), geo, num_classes)
+        pd = cgan.cdiscriminator_init(jax.random.PRNGKey(1), geo, num_classes)
+    else:
+        pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+        pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    return GANTrainState(
+        params_g=pg, params_d=pd, opt_g=tx.init(pg), opt_d=tx.init(pd),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(0),
+        ema_g=jax.tree_util.tree_map(jnp.copy, pg) if with_ema else None,
+    )
+
+
 def create_cgan_state(cfg: Config, key: jax.Array) -> GANTrainState:
     import jax.numpy as jnp
 

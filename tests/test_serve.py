@@ -88,6 +88,19 @@ def test_service_self_configures_from_trainer_sidecar(tmp_path):
     # EMA weights were restored (differ from live G after training)
     # (sanity: the service sampled without errors from ema_g)
 
+    # best-metric checkpoints carry the same sidecar (code-review fix)
+    fid_dir = os.path.join(cfg.save_path, "fid")
+    best = [f for f in os.listdir(fid_dir) if f.endswith(".ckpt")][0]
+    svc2 = GeneratorService(os.path.join(fid_dir, best), batch_size=4,
+                            compute_dtype=jnp.float32)
+    assert svc2.geo.image_size == 16
+    assert svc2.sample(2).shape == (2, 16, 16, 3)
+
+    # per-field geometry override merges with sidecar values
+    svc3 = GeneratorService(ckpt, batch_size=4, compute_dtype=jnp.float32,
+                            geo_overrides={"image_size": 16})
+    assert svc3.geo.base_width == 8  # still from sidecar
+
 
 def test_serve_cli_writes_grid(tmp_path):
     path, geo = _save_ckpt(tmp_path)
