@@ -22,6 +22,21 @@ import sys
 from datetime import datetime
 from typing import Any, Optional
 
+_LOG_FORMAT = "%(asctime)s [%(levelname)s] %(message)s"
+
+
+def _excepthook(exc_type, exc_value, exc_tb):
+    """Route uncaught exceptions into the run log (reference capability:
+    logger/main_logger.py installs an excepthook). Ctrl-C keeps the default
+    traceback so interactive interrupts stay quiet in the log."""
+    if issubclass(exc_type, KeyboardInterrupt):
+        sys.__excepthook__(exc_type, exc_value, exc_tb)
+    else:
+        logging.getLogger("main").critical(
+            "uncaught exception — aborting run",
+            exc_info=(exc_type, exc_value, exc_tb),
+        )
+
 
 class MainLogger:  # Singleton
     _instance = None
@@ -41,33 +56,23 @@ class MainLogger:  # Singleton
         self.logger.setLevel(logging.DEBUG)
         self.logger.propagate = False
 
-        formatter = logging.Formatter("%(asctime)s %(levelname)s:%(message)s")
-        handler = logging.StreamHandler()
-        handler.setFormatter(formatter)
-        self.logger.addHandler(handler)
+        formatter = logging.Formatter(_LOG_FORMAT)
+        console = logging.StreamHandler()
+        console.setFormatter(formatter)
+        self.logger.addHandler(console)
 
         self._jsonl_path = None
         if config is not None and getattr(config, "log_file", 0) == 1:
-            log_save_path = getattr(config, "save_path", "") or "."
-            os.makedirs(log_save_path, exist_ok=True)
-            datetime_now = datetime.now().strftime("%Y%m%d_%H%M%S")
-            handler_file = logging.FileHandler(os.path.join(log_save_path, f"{datetime_now}.log"))
-            handler_file.setLevel(logging.DEBUG)
-            handler_file.setFormatter(formatter)
-            self.logger.addHandler(handler_file)
-            self._jsonl_path = os.path.join(log_save_path, "metrics.jsonl")
+            run_dir = getattr(config, "save_path", "") or "."
+            os.makedirs(run_dir, exist_ok=True)
+            stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+            to_file = logging.FileHandler(os.path.join(run_dir, f"{stamp}.log"))
+            to_file.setFormatter(formatter)
+            self.logger.addHandler(to_file)
+            self._jsonl_path = os.path.join(run_dir, "metrics.jsonl")
 
         self._initialized = True
-
-        def catch_exception(exc_type, exc_value, exc_traceback):
-            if issubclass(exc_type, KeyboardInterrupt):
-                sys.__excepthook__(exc_type, exc_value, exc_traceback)
-                return
-            logging.getLogger("main").error(
-                "Unexpected exception.", exc_info=(exc_type, exc_value, exc_traceback)
-            )
-
-        sys.excepthook = catch_exception
+        sys.excepthook = _excepthook
 
     # In a multi-host jax run only process 0 logs (unless rank explicitly
     # passed as >0 to force). Single-process: always logs.

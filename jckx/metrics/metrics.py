@@ -88,10 +88,29 @@ class Metrics:
         self.fake_superclass_idx = {
             s: np.nonzero(fake_super == s)[0] for s in range(20)
         }
+        # FINE_TO_SUPERCLASS is the CIFAR-100 mapping; with num_classes<100
+        # (cifar10/mnist) some superclass buckets are empty on the fake or
+        # real side — those are skipped (an empty bucket would make
+        # mean_and_cov emit NaN and poison best-ckpt tracking)
+        self.active_superclasses = [
+            s for s in range(20)
+            if len(self.fake_superclass_idx[s]) > 1 and len(self.real_superclass_idx[s]) > 1
+        ]
+        if len(self.active_superclasses) < 20:
+            self._logger.warning(
+                f"num_classes={num_classes}: only {len(self.active_superclasses)}/20 "
+                "CIFAR-100 superclasses populated — intra-FID sums over those only "
+                "(divisor stays 100 for reference comparability)"
+            )
 
         # ---- real-feature cache (reference metrics.py:70-77) ---------------
+        # The reference caches to one fixed pickle (it only ever runs one
+        # dataset + one backbone). jckx keys the cache by dataset + backbone
+        # identity — a stale cross-run cache (e.g. 100-dim features loaded
+        # into a 10-class run) would crash or silently corrupt FID.
         os.makedirs(cache_dir, exist_ok=True)
-        cache = os.path.join(cache_dir, "metric_data_jckx.npz")
+        tag = self._cache_fingerprint(real_images_u8, real_labels)
+        cache = os.path.join(cache_dir, f"metric_data_jckx_{tag}.npz")
         if os.path.exists(cache):
             self.real_features = np.load(cache)["features"]
             self._logger.debug(f"loaded cached real features {self.real_features.shape}")
@@ -101,6 +120,31 @@ class Metrics:
             np.savez_compressed(cache, features=self.real_features)
         self._real_mu_sigma = None
         self.intra_fid_divisor = 100.0  # reference quirk (metrics.py:141)
+
+    def _cache_fingerprint(self, images_u8, labels) -> str:
+        """Short identity hash over (dataset sample, backbone weights) so the
+        real-feature cache invalidates when either changes."""
+        import hashlib
+
+        h = hashlib.sha1()
+        images_u8 = np.asarray(images_u8)
+        h.update(np.int64(images_u8.shape[0]).tobytes())
+        h.update(np.asarray(images_u8[:2]).tobytes())
+        h.update(np.asarray(labels[:64]).tobytes())
+        h.update(np.int32(self.num_classes).tobytes())
+        # backbone identity: every leaf SHAPE (tells class counts / geometries
+        # apart) + contents of a few small leaves (tells checkpoints apart).
+        # Content reads are capped to small vectors — a device→host read is
+        # ~0.4 s each through the TPU tunnel.
+        leaves = jax.tree_util.tree_leaves(self.params)
+        sampled = 0
+        for leaf in leaves:
+            shape = tuple(getattr(leaf, "shape", ()))
+            h.update(repr(shape).encode())
+            if sampled < 4 and 0 < int(np.prod(shape, dtype=np.int64)) <= 4096:
+                h.update(np.asarray(jax.device_get(leaf), np.float32).tobytes())
+                sampled += 1
+        return h.hexdigest()[:12]
 
     # ------------------------------------------------------------ backbone
 
@@ -231,9 +275,14 @@ class Metrics:
 
     # -------------------------------------------------------------- metrics
 
-    def inception_score(self, images_tanh, splits: int = 10) -> float:
-        """IS over generated images in [-1,1] (reference metrics.py:97-110)."""
-        logits = self.extract_features(images_tanh)
+    def inception_score(self, images_tanh=None, splits: int = 10,
+                        logits: Optional[np.ndarray] = None) -> float:
+        """IS over generated images in [-1,1] (reference metrics.py:97-110).
+
+        ``logits`` short-circuits extraction (the backbone's class logits ARE
+        the feature vectors — trainers extract once and feed IS/FID/intra)."""
+        if logits is None:
+            logits = self.extract_features(images_tanh)
         probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
         return float(inception_score_from_probs(probs, splits=splits))
 
@@ -263,12 +312,15 @@ class Metrics:
         mu2, s2 = mean_and_cov(jnp.asarray(gen))
         return float(frechet_distance(mu1, s1, mu2, s2))
 
-    def intra_fid(self, images_tanh) -> float:
+    def intra_fid(self, images_tanh=None,
+                  features: Optional[np.ndarray] = None) -> float:
         """Σ_superclass FID / 100 (reference metrics.py:132-141, incl. the
-        ÷100-for-20-superclasses quirk). Features extracted ONCE."""
-        feats = self.extract_features(images_tanh)
+        ÷100-for-20-superclasses quirk). Features extracted ONCE; pass
+        ``features`` to reuse an extraction shared with fid()/IS. Empty
+        superclass buckets (num_classes<100) are skipped — see ctor."""
+        feats = features if features is not None else self.extract_features(images_tanh)
         total = 0.0
-        for s in range(20):
+        for s in self.active_superclasses:
             idx = self.fake_superclass_idx[s]
             total += self.fid(features=feats[idx], intra_fid=True, label=s)
         return total / self.intra_fid_divisor

@@ -54,6 +54,13 @@ class _BaseGANTrainer(Trainer):
 
     def __init__(self, cfg: Config, params_g, params_d, data_pre, mesh=None,
                  metrics=None):
+        # run dir BEFORE the singleton logger: a library-constructed trainer
+        # with log_file=1 and no save_path must log into the run dir, not CWD
+        # (reference: main.py sets save_path first, main.py:64-71)
+        if not cfg.save_path:
+            ts = cfg.model_path or datetime.now().strftime("%Y%m%d_%H%M%S")
+            cfg.save_path = os.path.join(cfg.save_root, self._model_name(), ts)
+        os.makedirs(cfg.save_path, exist_ok=True)
         self.logger = MainLogger(cfg)
         self.cfg = cfg
         self.geo = GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size,
@@ -104,11 +111,7 @@ class _BaseGANTrainer(Trainer):
             if cfg.ema_decay > 0 else None,
         )
 
-        # run dir (reference: save/<model>/<ts>; main.py sets save_path)
-        if not cfg.save_path:
-            ts = cfg.model_path or datetime.now().strftime("%Y%m%d_%H%M%S")
-            cfg.save_path = os.path.join(cfg.save_root, self._model_name(), ts)
-        os.makedirs(cfg.save_path, exist_ok=True)
+        # run dir (reference: save/<model>/<ts>; created above, before logger)
         self.save_path = cfg.save_path
         self.ckpt = BestMetricCheckpointer(self.save_path)
         self.logger.debug(f"save path: {self.save_path}")
@@ -330,8 +333,10 @@ class DCGANTrainer(_BaseGANTrainer):
         z, _ = self._fixed_eval_inputs()
         fake = np.asarray(self._sample(self._eval_params_g(), z), np.float32)
 
-        is_score = self.metric.inception_score(fake)
-        fid = self.metric.fid(fake)
+        # one backbone pass feeds both metrics (logits == feature vectors)
+        feats = self.metric.extract_features(fake)
+        is_score = self.metric.inception_score(logits=feats)
+        fid = self.metric.fid(features=feats)
         self.logger.debug(f"inception score: {is_score}\tfid: {fid}")
         self.logger.scalars({"step": iters, "fid": fid, "is": is_score})
 
@@ -370,14 +375,10 @@ class CGANTrainer(_BaseGANTrainer):
             ))
         fake = np.concatenate(chunks)
 
-        is_score = self.metric.inception_score(fake)
         feats = self.metric.extract_features(fake)
+        is_score = self.metric.inception_score(logits=feats)
         fid = self.metric.fid(features=feats)
-        intra = 0.0
-        for s in range(20):
-            idx = self.metric.fake_superclass_idx[s]
-            intra += self.metric.fid(features=feats[idx], intra_fid=True, label=s)
-        intra /= self.metric.intra_fid_divisor
+        intra = self.metric.intra_fid(features=feats)
         self.logger.debug(
             f"inception score: {is_score}\tfid: {fid}\tintra fid: {intra}"
         )

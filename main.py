@@ -39,7 +39,9 @@ def main(cfg: Config):
         # warning on a lone host so the flag is safe in every environment.
         try:
             jax.distributed.initialize()
-        except ValueError as e:
+        except Exception as e:  # noqa: BLE001 — any init failure (missing
+            # coordinator env → ValueError, unreachable coordinator →
+            # RuntimeError, plugin quirks) degrades to single-host
             MainLogger(cfg).warning(f"--multihost requested but not in a cluster: {e}")
     if cfg.sanitize:
         jax.config.update("jax_debug_nans", True)

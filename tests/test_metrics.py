@@ -203,9 +203,46 @@ def test_intra_fid_grouping_logic():
     m.fake_superclass_idx = {s: np.nonzero(fake_super == s)[0] for s in range(20)}
     m.intra_fid_divisor = 100.0
     m._real_mu_sigma = None
+    m.active_superclasses = [
+        s for s in range(20)
+        if len(m.fake_superclass_idx[s]) > 1 and len(m.real_superclass_idx[s]) > 1
+    ]
     m.extract_features = lambda imgs: feats  # inject
 
     val = m.intra_fid(images_tanh=None)
     assert np.isfinite(val)
     # each superclass has 50 fake samples (10 per class × 5 classes)
     assert all(len(v) == 50 for v in m.fake_superclass_idx.values())
+
+    # features= short-circuit is the same computation (trainer path)
+    assert m.intra_fid(features=feats) == val
+
+
+def test_intra_fid_skips_empty_superclasses_small_num_classes():
+    """num_classes=10 (cifar10/mnist): most superclass buckets are empty —
+    intra_fid must stay finite (ADVICE r1: empty buckets made mean_and_cov
+    emit NaN and poisoned best-ckpt tracking)."""
+    from jckx.data.datasets import FINE_TO_SUPERCLASS
+    from jckx.metrics.metrics import Metrics
+
+    rng = np.random.RandomState(2)
+    ncls = 10
+    m = Metrics.__new__(Metrics)
+    labels = rng.randint(0, ncls, size=(500,))
+    real_super = FINE_TO_SUPERCLASS[labels % 100]
+    m.real_features = rng.randn(500, 16).astype(np.float32)
+    m.real_superclass_idx = {s: np.nonzero(real_super == s)[0] for s in range(20)}
+    fake_targets = np.repeat(np.arange(ncls), 10)
+    fake_super = FINE_TO_SUPERCLASS[fake_targets % 100]
+    m.fake_superclass_idx = {s: np.nonzero(fake_super == s)[0] for s in range(20)}
+    m.intra_fid_divisor = 100.0
+    m._real_mu_sigma = None
+    m.active_superclasses = [
+        s for s in range(20)
+        if len(m.fake_superclass_idx[s]) > 1 and len(m.real_superclass_idx[s]) > 1
+    ]
+    assert 0 < len(m.active_superclasses) < 20
+
+    feats = rng.randn(10 * ncls, 16).astype(np.float32)
+    val = m.intra_fid(features=feats)
+    assert np.isfinite(val)

@@ -27,8 +27,11 @@ class StubMetrics:
         fake_targets = np.repeat(np.arange(10), 10)
         fs = FINE_TO_SUPERCLASS[fake_targets % 100]
         self.fake_superclass_idx = {s: np.nonzero(fs == s)[0] for s in range(20)}
+        self.active_superclasses = [
+            s for s in range(20) if len(self.fake_superclass_idx[s]) > 1
+        ]
 
-    def inception_score(self, images):
+    def inception_score(self, images=None, splits=10, logits=None):
         self.calls += 1
         return 1.0 + 0.1 * self.calls
 
@@ -36,6 +39,9 @@ class StubMetrics:
         return np.random.RandomState(0).randn(len(images), 8).astype(np.float32)
 
     def fid(self, images_tanh=None, intra_fid=False, label=0, features=None):
+        return 100.0 / self.calls if self.calls else 100.0
+
+    def intra_fid(self, images_tanh=None, features=None):
         return 100.0 / self.calls if self.calls else 100.0
 
 
