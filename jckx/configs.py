@@ -73,6 +73,14 @@ class Config:
     # --- TPU-native knobs (no reference analog) ---
     mesh_shape: Optional[tuple] = None  # e.g. (8,) data-parallel; None = all devices on 'data'
     mesh_axes: tuple = ("data",)
+    # role of the 'model' mesh axis when present: "tp" shards conv kernels /
+    # BN vectors / optimizer moments on output channels (tensor parallelism);
+    # "spatial" shards activation HEIGHT (resolution scaling for ≥128²
+    # geometries — GSPMD inserts the conv halo exchanges over ICI)
+    model_axis_mode: str = "tp"
+    # leaves smaller than this stay replicated under TP (z-projection,
+    # 3-channel output conv, scalars); lower it only for toy geometries
+    tp_min_dim: int = 128
     compute_dtype: str = "bfloat16"    # matmul/conv compute dtype; params stay f32
     # rematerialization policy for the fused step: "none" | "g" | "d" |
     # "both". Measured on v5e: 64²/bs128 none=3.83 ms/step, g=4.08, d=5.05,
@@ -143,6 +151,10 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--resume", action="store_true", default=d.resume)
     parser.add_argument("--mesh_shape", type=str, default="", help="comma ints, e.g. '8' or '4,2'")
     parser.add_argument("--mesh_axes", type=str, default=",".join(d.mesh_axes))
+    parser.add_argument("--model_axis_mode", type=str, default=d.model_axis_mode,
+                        choices=["tp", "spatial"],
+                        help="what the 'model' mesh axis shards: conv output channels (tp) or activation height (spatial)")
+    parser.add_argument("--tp_min_dim", type=int, default=d.tp_min_dim)
 
     ns = parser.parse_args(argv)
     cfg = Config(

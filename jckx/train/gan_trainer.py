@@ -66,7 +66,10 @@ class _BaseGANTrainer(Trainer):
         self.geo = GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size,
                                channels=cfg.channels, base_width=cfg.base_width)
         self.cd = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        self.mesh = mesh if mesh is not None else make_mesh()
+        # CLI-steered mesh: --mesh_shape 4,2 --mesh_axes data,model gives
+        # combined data×model parallelism (the reference's analog is the
+        # single-device pick, utils.py:4-8); default = all devices on 'data'
+        self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape, cfg.mesh_axes)
         self.data_pre = data_pre
         self.num_classes = getattr(data_pre, "num_classes", cfg.num_classes)
 
@@ -139,10 +142,35 @@ class _BaseGANTrainer(Trainer):
         ncls = self.num_classes
         conditional = self.conditional
 
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from jckx.parallel import MODEL_AXIS, tp_state_sharding
+
+        repl = NamedSharding(self.mesh, P())
+        idx_sh = NamedSharding(self.mesh, P(None, "data"))
+
+        # 'model' axis role (cfg.model_axis_mode): TP shards params/moments on
+        # output channels; spatial shards activation height (GSPMD halo
+        # exchanges handle the convs). Without a model axis both are no-ops.
+        self._state_sharding = repl
+        spatial_spec = None
+        if MODEL_AXIS in self.mesh.axis_names and self.mesh.shape[MODEL_AXIS] > 1:
+            if self.cfg.model_axis_mode == "tp":
+                self._state_sharding = tp_state_sharding(
+                    self.state, self.mesh, min_dim=self.cfg.tp_min_dim
+                )
+                self.state = jax.device_put(self.state, self._state_sharding)
+            else:  # "spatial"
+                spatial_spec = NamedSharding(
+                    self.mesh, P("data", MODEL_AXIS, None, None)
+                )
+
         def superstep(state, data_u8, labels, idx):
             def body(s, ib):
                 u8 = jnp.take(data_u8, ib, axis=0)
                 real = decode_batch(u8, size, cd)
+                if spatial_spec is not None:
+                    real = jax.lax.with_sharding_constraint(real, spatial_spec)
                 if conditional:
                     onehot = jax.nn.one_hot(jnp.take(labels, ib), ncls)
                     return base(s, real, onehot)
@@ -150,14 +178,10 @@ class _BaseGANTrainer(Trainer):
 
             return jax.lax.scan(body, state, idx)
 
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(self.mesh, P())
-        idx_sh = NamedSharding(self.mesh, P(None, "data"))
         self._superstep = jax.jit(
             superstep,
-            in_shardings=(repl, repl, repl, idx_sh),
-            out_shardings=(repl, repl),
+            in_shardings=(self._state_sharding, repl, repl, idx_sh),
+            out_shardings=(self._state_sharding, repl),
             donate_argnums=(0,),
         )
 
@@ -174,10 +198,16 @@ class _BaseGANTrainer(Trainer):
         from jckx.kernels.fused_bn_act import pallas_inference
 
         jitted_sample = jax.jit(sample)
+        gather_params = self._state_sharding is not repl
 
-        def sample_wrapped(*args):
+        def sample_wrapped(params_g, *args):
+            if gather_params:
+                # TP-sharded params → replicated for the sampler: the Pallas
+                # fused-BN kernel is a custom call GSPMD cannot partition;
+                # one all-gather per eval is noise at eval cadence
+                params_g = jax.device_put(params_g, repl)
             with pallas_inference():
-                return jitted_sample(*args)
+                return jitted_sample(params_g, *args)
 
         self._sample = sample_wrapped
 

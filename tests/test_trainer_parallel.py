@@ -1,0 +1,141 @@
+"""CLI-reachable parallelism: the trainer must honor cfg.mesh_shape /
+cfg.mesh_axes / cfg.model_axis_mode, and every layout must train
+numerically ≡ the default replicated data-parallel mesh (8 virtual CPU
+devices). This is the trainer-level counterpart of the step-level
+equivalences in test_tensor_parallel.py / test_train_step.py."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from jckx.configs import Config
+from jckx.data.pipeline import CGANDataPreprocessor, DCGANDataPreprocessor
+from jckx.logging.main_logger import MainLogger
+from jckx.models import cgan, dcgan
+from jckx.models.dcgan import GANGeometry
+from jckx.parallel import MODEL_AXIS
+from jckx.rng import KeyChain, seed_everything
+
+
+def _cfg(tmpdir, model="DCGAN", run="run"):
+    from jckx.enums import ModelEnum
+
+    cfg = Config()
+    cfg.model = ModelEnum[model]
+    cfg.dataset = "synthetic"
+    cfg.batch_size = 16
+    cfg.epoch = 1
+    cfg.image_size = 16
+    cfg.base_width = 16  # widths 32/16 → model-axis-2 divisible
+    cfg.tp_min_dim = 16
+    cfg.num_classes = 10
+    cfg.compute_dtype = "float32"
+    cfg.max_learning_rate = 2e-4
+    cfg.log_every = 100
+    cfg.eval_every = 0
+    cfg.log_file = 0
+    cfg.save_root = str(tmpdir)
+    cfg.save_path = os.path.join(str(tmpdir), model.lower(), run)
+    return cfg
+
+
+def _train(cfg, model="DCGAN"):
+    """Build + train a tiny run; returns the final params_g as host arrays."""
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=16)
+    keys = KeyChain(seed_everything(11))
+    if model == "DCGAN":
+        data_pre = DCGANDataPreprocessor(cfg)
+        data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps/epoch
+        data_pre.labels_np = data_pre.labels_np[:64]
+        pg = dcgan.generator_init(keys.next(), geo)
+        pd = dcgan.discriminator_init(keys.next(), geo)
+        from jckx.train.gan_trainer import DCGANTrainer as T
+    else:
+        data_pre = CGANDataPreprocessor(cfg)
+        data_pre.images_u8 = data_pre.images_u8[:64]
+        data_pre.labels_np = data_pre.labels_np[:64]
+        pg = cgan.cgenerator_init(keys.next(), geo, 10)
+        pd = cgan.cdiscriminator_init(keys.next(), geo, 10)
+        from jckx.train.gan_trainer import CGANTrainer as T
+
+    tr = T(cfg, pg, pd, data_pre)
+    last = tr.train()
+    assert np.isfinite(last["loss_d"]) and np.isfinite(last["loss_g"])
+    params = jax.tree_util.tree_map(np.asarray, jax.device_get(tr.state.params_g))
+    MainLogger.reset()
+    return tr, params, last
+
+
+def _assert_close(tree_a, tree_b, rtol=5e-4, atol=5e-5):
+    for a, b in zip(jax.tree_util.tree_leaves(tree_a),
+                    jax.tree_util.tree_leaves(tree_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol, atol=atol)
+
+
+def test_cli_mesh_shape_reaches_trainer(tmp_path):
+    """--mesh_shape/--mesh_axes parsed by the CLI steer the trainer mesh."""
+    from jckx.configs import get_arg_parse
+
+    cfg = get_arg_parse(["--mesh_shape", "4,2", "--mesh_axes", "data,model"])
+    assert cfg.mesh_shape == (4, 2) and cfg.mesh_axes == ("data", "model")
+
+    tcfg = _cfg(tmp_path)
+    tcfg.mesh_shape, tcfg.mesh_axes = cfg.mesh_shape, cfg.mesh_axes
+    tr, _, _ = _train(tcfg)
+    assert dict(tr.mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_tp_trainer_matches_replicated_dcgan(tmp_path):
+    _, ref, ref_last = _train(_cfg(tmp_path, run="repl"))
+
+    cfg = _cfg(tmp_path, run="tp")
+    cfg.mesh_shape, cfg.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    tr, tp, tp_last = _train(cfg)
+
+    # the state really is tensor-sharded (at least one leaf on 'model')
+    specs = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda s: s.spec, tr._state_sharding,
+                               is_leaf=lambda x: hasattr(x, "spec"))
+    )
+    assert any(MODEL_AXIS in str(s) for s in specs)
+    assert abs(ref_last["loss_d"] - tp_last["loss_d"]) < 1e-3
+    _assert_close(ref, tp)
+
+
+def test_spatial_trainer_matches_replicated(tmp_path):
+    _, ref, ref_last = _train(_cfg(tmp_path, run="repl2"))
+
+    cfg = _cfg(tmp_path, run="sp")
+    cfg.mesh_shape, cfg.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    cfg.model_axis_mode = "spatial"
+    tr, sp, sp_last = _train(cfg)
+    assert abs(ref_last["loss_d"] - sp_last["loss_d"]) < 1e-3
+    _assert_close(ref, sp)
+
+
+def test_tp_trainer_matches_replicated_cgan(tmp_path):
+    _, ref, ref_last = _train(_cfg(tmp_path, model="CGAN", run="repl"), model="CGAN")
+
+    cfg = _cfg(tmp_path, model="CGAN", run="tp")
+    cfg.mesh_shape, cfg.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    _, tp, tp_last = _train(cfg, model="CGAN")
+    assert abs(ref_last["loss_d"] - tp_last["loss_d"]) < 1e-3
+    _assert_close(ref, tp)
+
+
+def test_tp_trainer_with_ema(tmp_path):
+    """EMA state shards alongside the live generator under TP and matches
+    the replicated layout."""
+    ref_cfg = _cfg(tmp_path, run="repl3")
+    ref_cfg.ema_decay = 0.99
+    tr_ref, _, _ = _train(ref_cfg)
+    ema_ref = jax.device_get(tr_ref.state.ema_g)
+
+    cfg = _cfg(tmp_path, run="tp3")
+    cfg.ema_decay = 0.99
+    cfg.mesh_shape, cfg.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    tr_tp, _, _ = _train(cfg)
+    _assert_close(ema_ref, jax.device_get(tr_tp.state.ema_g))
