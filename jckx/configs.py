@@ -81,6 +81,12 @@ class Config:
     # leaves smaller than this stay replicated under TP (z-projection,
     # 3-channel output conv, scalars); lower it only for toy geometries
     tp_min_dim: int = 128
+    # data plane: "hbm" keeps the uint8 dataset device-resident (CIFAR-scale;
+    # zero host work per step), "stream" gathers per-superstep slabs on host
+    # (num_worker C++ gather threads) and uploads one transfer per launch,
+    # "auto" picks stream when the dataset exceeds hbm_data_budget bytes
+    data_placement: str = "auto"
+    hbm_data_budget: int = 4 << 30
     compute_dtype: str = "bfloat16"    # matmul/conv compute dtype; params stay f32
     # rematerialization policy for the fused step: "none" | "g" | "d" |
     # "both". Measured on v5e: 64²/bs128 none=3.83 ms/step, g=4.08, d=5.05,
@@ -155,6 +161,9 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
                         choices=["tp", "spatial"],
                         help="what the 'model' mesh axis shards: conv output channels (tp) or activation height (spatial)")
     parser.add_argument("--tp_min_dim", type=int, default=d.tp_min_dim)
+    parser.add_argument("--data_placement", type=str, default=d.data_placement,
+                        choices=["auto", "hbm", "stream"])
+    parser.add_argument("--hbm_data_budget", type=int, default=d.hbm_data_budget)
 
     ns = parser.parse_args(argv)
     cfg = Config(

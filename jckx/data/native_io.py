@@ -154,13 +154,42 @@ def shuffle_indices(n: int, seed: int) -> np.ndarray:
 
 def gather_rows(images: np.ndarray, idx: np.ndarray) -> np.ndarray:
     """Contiguous batch assembly: images[idx] via the native memcpy loop."""
+    out = np.empty((len(idx),) + images.shape[1:], images.dtype)
+    gather_rows_into(images, idx, out)
+    return out
+
+
+def gather_rows_into(images: np.ndarray, idx: np.ndarray, out: np.ndarray) -> None:
+    """Gather images[idx] into a preallocated contiguous slab (or a
+    contiguous slice of one — thread workers each fill a disjoint slice;
+    the ctypes call releases the GIL so gathers run truly parallel)."""
     images = np.ascontiguousarray(images)
     idx = np.ascontiguousarray(idx, np.int32)
+    assert out.flags["C_CONTIGUOUS"] and out.shape[0] == len(idx)
     lib = _load()
     if lib is None:
-        return images[idx]
-    row_bytes = images.strides[0]
-    out = np.empty((len(idx),) + images.shape[1:], images.dtype)
-    lib.jckx_gather(images.ctypes.data, row_bytes, idx.ctypes.data, len(idx),
-                    out.ctypes.data)
+        out[:] = images[idx]
+        return
+    lib.jckx_gather(images.ctypes.data, images.strides[0], idx.ctypes.data,
+                    len(idx), out.ctypes.data)
+
+
+def gather_rows_mt(images: np.ndarray, idx: np.ndarray, workers: int,
+                   pool=None) -> np.ndarray:
+    """Parallel gather: split the index range over ``workers`` threads, each
+    memcpy-ing its slice of the output slab (the product role of the
+    reference's DataLoader ``num_worker``, dcgan_data_preprocessor.py:69-75)."""
+    n = len(idx)
+    out = np.empty((n,) + images.shape[1:], images.dtype)
+    workers = max(1, int(workers))
+    if workers == 1 or n < 2 * workers or pool is None:
+        gather_rows_into(images, idx, out)
+        return out
+    chunk = (n + workers - 1) // workers
+    futs = [
+        pool.submit(gather_rows_into, images, idx[a:a + chunk], out[a:a + chunk])
+        for a in range(0, n, chunk)
+    ]
+    for f in futs:
+        f.result()
     return out

@@ -73,11 +73,26 @@ class DeviceDataLoader:
         self.shuffle = shuffle
         self._rng = np.random.RandomState(seed)
         self._sharding = sharding
-        # one-time HBM upload
-        self.images = jax.device_put(images_u8, sharding)
+        # HBM upload is LAZY (first use): the GAN trainer manages its own
+        # device-resident copy, so an eager upload here would double the
+        # dataset's HBM footprint for API-parity users who never iterate
+        self._images_u8 = images_u8
         self.labels_np = np.asarray(labels)
-        self.labels = jax.device_put(self.labels_np)
+        self._images_dev = None
+        self._labels_dev = None
         self.n = images_u8.shape[0]
+
+    @property
+    def images(self):
+        if self._images_dev is None:
+            self._images_dev = jax.device_put(self._images_u8, self._sharding)
+        return self._images_dev
+
+    @property
+    def labels(self):
+        if self._labels_dev is None:
+            self._labels_dev = jax.device_put(self.labels_np)
+        return self._labels_dev
 
     def __len__(self) -> int:
         return self.n // self.batch_size
@@ -90,6 +105,54 @@ class DeviceDataLoader:
         for i in range(len(self)):
             idx = jnp.asarray(order[i * bs : (i + 1) * bs])
             yield self.images[idx], self.labels[idx]
+
+
+class HostStreamLoader:
+    """Host-streaming data plane for datasets that exceed the HBM budget.
+
+    The dataset stays on host (ideally as the native cache's zero-copy mmap
+    view); per superstep the requested rows are assembled into ONE
+    contiguous uint8 slab by the C++ gather running across ``workers``
+    threads (the product role of the reference DataLoader's ``num_worker``,
+    dcgan_data_preprocessor.py:69-75 — there: per-item PIL decode workers;
+    here: parallel memcpy into the transfer slab), then uploaded as a
+    single host→device transfer. ``prime``/``take`` give one-block
+    lookahead so the next slab is gathered while the device trains on the
+    current one.
+    """
+
+    def __init__(self, images_u8: np.ndarray, labels: np.ndarray, workers: int = 0):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from jckx.data import native_io
+
+        self._gather_mt = native_io.gather_rows_mt
+        self.images = images_u8
+        self.labels_np = np.asarray(labels)
+        self.workers = max(1, int(workers))
+        # +1 slot runs the lookahead block itself while its chunks fan out
+        self._pool = ThreadPoolExecutor(self.workers + 1)
+        self._primed = None  # (key, future)
+
+    def _assemble(self, rows: np.ndarray):
+        rows = np.ascontiguousarray(rows, np.int32)
+        slab = self._gather_mt(self.images, rows, self.workers, pool=self._pool)
+        return slab, self.labels_np[rows].astype(np.int32)
+
+    def prime(self, rows: np.ndarray) -> None:
+        """Start gathering ``rows`` in the background (next superstep)."""
+        rows = np.ascontiguousarray(rows, np.int32)
+        self._primed = (rows.tobytes(), self._pool.submit(self._assemble, rows))
+
+    def take(self, rows: np.ndarray):
+        """→ (slab_u8, labels) for ``rows``; uses the primed result when it
+        matches, else gathers synchronously."""
+        if self._primed is not None:
+            key, fut = self._primed
+            self._primed = None
+            if key == np.ascontiguousarray(rows, np.int32).tobytes():
+                return fut.result()
+        return self._assemble(rows)
 
 
 def _one_hot(labels: np.ndarray, n: int) -> np.ndarray:

@@ -81,11 +81,33 @@ class _BaseGANTrainer(Trainer):
             f"mesh: {dict(self.mesh.shape)}  compute: {cfg.compute_dtype}"
         )
 
-        # data: one-time HBM upload of the raw uint8 set
+        # data plane: HBM-resident (one-time upload, zero host work/step) or
+        # host-streaming (per-superstep slab gather+upload) per cfg
         self.train_loader, self.metric_source = data_pre.get_data_loader()
-        self.images_dev = jax.device_put(data_pre.images_u8)
-        self.labels_dev = jax.device_put(data_pre.labels_np.astype(np.int32))
         self.n_data = data_pre.images_u8.shape[0]
+        nbytes = data_pre.images_u8.nbytes
+        self._streaming = cfg.data_placement == "stream" or (
+            cfg.data_placement == "auto" and nbytes > cfg.hbm_data_budget
+        )
+        if self._streaming:
+            from jckx.data.pipeline import HostStreamLoader
+
+            self.images_dev = self.labels_dev = None
+            self._stream = HostStreamLoader(
+                data_pre.images_u8, data_pre.labels_np, workers=cfg.num_worker
+            )
+            self.logger.debug(
+                f"data plane: host-streaming ({nbytes / 2**30:.2f} GiB, "
+                f"{self._stream.workers} gather workers)"
+            )
+        else:
+            self.images_dev = jax.device_put(data_pre.images_u8)
+            self.labels_dev = jax.device_put(data_pre.labels_np.astype(np.int32))
+            if cfg.num_worker:
+                self.logger.debug(
+                    "data plane: HBM-resident — -w/--num_worker has no role "
+                    "(no host loader; use --data_placement stream to engage it)"
+                )
 
         # metrics engine (eagerly, like reference dcgan_trainer.py:59) unless
         # evaluation is disabled
@@ -165,25 +187,47 @@ class _BaseGANTrainer(Trainer):
                     self.mesh, P("data", MODEL_AXIS, None, None)
                 )
 
-        def superstep(state, data_u8, labels, idx):
-            def body(s, ib):
-                u8 = jnp.take(data_u8, ib, axis=0)
-                real = decode_batch(u8, size, cd)
-                if spatial_spec is not None:
-                    real = jax.lax.with_sharding_constraint(real, spatial_spec)
-                if conditional:
-                    onehot = jax.nn.one_hot(jnp.take(labels, ib), ncls)
-                    return base(s, real, onehot)
-                return base(s, real)
+        def _one_step(s, u8, lab):
+            real = decode_batch(u8, size, cd)
+            if spatial_spec is not None:
+                real = jax.lax.with_sharding_constraint(real, spatial_spec)
+            if conditional:
+                return base(s, real, jax.nn.one_hot(lab, ncls))
+            return base(s, real)
 
-            return jax.lax.scan(body, state, idx)
+        if self._streaming:
+            # slab variant: the (K·bs) rows arrive pre-gathered from host as
+            # one contiguous upload; scan consumes them positionally
+            def superstep(state, slab_u8, labels):
+                def body(s, xs):
+                    return _one_step(s, xs[0], xs[1])
 
-        self._superstep = jax.jit(
-            superstep,
-            in_shardings=(self._state_sharding, repl, repl, idx_sh),
-            out_shardings=(self._state_sharding, repl),
-            donate_argnums=(0,),
-        )
+                return jax.lax.scan(body, state, (slab_u8, labels))
+
+            slab_sh = NamedSharding(self.mesh, P(None, "data"))
+            self._superstep = jax.jit(
+                superstep,
+                in_shardings=(self._state_sharding, slab_sh, slab_sh),
+                out_shardings=(self._state_sharding, repl),
+                donate_argnums=(0,),
+            )
+            self._slab_sharding = slab_sh
+        else:
+            # resident variant: scan gathers each batch from the
+            # device-resident set by index (host sends K·bs int32 only)
+            def superstep(state, data_u8, labels, idx):
+                def body(s, ib):
+                    return _one_step(s, jnp.take(data_u8, ib, axis=0),
+                                     jnp.take(labels, ib))
+
+                return jax.lax.scan(body, state, idx)
+
+            self._superstep = jax.jit(
+                superstep,
+                in_shardings=(self._state_sharding, repl, repl, idx_sh),
+                out_shardings=(self._state_sharding, repl),
+                donate_argnums=(0,),
+            )
 
         if self.conditional:
             def sample(params_g, z, onehot):
@@ -294,13 +338,30 @@ class _BaseGANTrainer(Trainer):
             )
             done = resume_offset
             resume_offset = 0
+            if self._streaming and done < steps_per_epoch:
+                self._stream.prime(
+                    order[done : done + min(K, steps_per_epoch - done)].reshape(-1)
+                )
             while done < steps_per_epoch:
                 k = min(K, steps_per_epoch - done)
-                idx = jnp.asarray(order[done : done + k], jnp.int32)
                 t_launch = time.time()
-                self.state, ms = self._superstep(
-                    self.state, self.images_dev, self.labels_dev, idx
-                )
+                if self._streaming:
+                    slab, labs = self._stream.take(order[done : done + k].reshape(-1))
+                    nxt = done + k
+                    if nxt < steps_per_epoch:  # gather next while device trains
+                        self._stream.prime(
+                            order[nxt : nxt + min(K, steps_per_epoch - nxt)].reshape(-1)
+                        )
+                    slab = jax.device_put(
+                        slab.reshape((k, bs) + slab.shape[1:]), self._slab_sharding
+                    )
+                    labs = jax.device_put(labs.reshape(k, bs), self._slab_sharding)
+                    self.state, ms = self._superstep(self.state, slab, labs)
+                else:
+                    idx = jnp.asarray(order[done : done + k], jnp.int32)
+                    self.state, ms = self._superstep(
+                        self.state, self.images_dev, self.labels_dev, idx
+                    )
                 ms_np = {key: np.asarray(v) for key, v in ms.items()}  # (k,) + syncs
                 launch_dt = time.time() - t_launch
                 last_metrics = {key: float(v[-1]) for key, v in ms_np.items()}

@@ -83,3 +83,38 @@ def test_dataset_cache_integration(tmp_path):
     assert not synthetic and ncls == 100
     np.testing.assert_array_equal(x, imgs)
     np.testing.assert_array_equal(y, labels)
+
+
+def test_gather_rows_mt_matches_numpy():
+    """Threaded slab assembly (num_worker product role) ≡ numpy fancy-index."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 255, size=(200, 8, 8, 3), dtype=np.uint8)
+    idx = rng.randint(0, 200, size=(133,)).astype(np.int32)
+    with ThreadPoolExecutor(4) as pool:
+        out = native_io.gather_rows_mt(imgs, idx, workers=4, pool=pool)
+    np.testing.assert_array_equal(out, imgs[idx])
+    # serial path too
+    np.testing.assert_array_equal(
+        native_io.gather_rows_mt(imgs, idx, workers=1), imgs[idx]
+    )
+
+
+def test_host_stream_loader_prime_take():
+    from jckx.data.pipeline import HostStreamLoader
+
+    rng = np.random.RandomState(4)
+    imgs = rng.randint(0, 255, size=(100, 4, 4, 3), dtype=np.uint8)
+    labels = rng.randint(0, 10, size=(100,))
+    loader = HostStreamLoader(imgs, labels, workers=2)
+    rows = rng.randint(0, 100, size=(24,))
+    loader.prime(rows)
+    slab, labs = loader.take(rows)
+    np.testing.assert_array_equal(slab, imgs[rows])
+    np.testing.assert_array_equal(labs, labels[rows].astype(np.int32))
+    # mismatched take falls back to a synchronous gather
+    other = rng.randint(0, 100, size=(24,))
+    loader.prime(rows)
+    slab2, _ = loader.take(other)
+    np.testing.assert_array_equal(slab2, imgs[other])

@@ -6,6 +6,7 @@ import os
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from jckx.configs import Config
@@ -202,4 +203,73 @@ def test_cgan_trainer_end_to_end(tmp_path):
     for typ in ("fid", "is", "intra_fid"):
         d = os.path.join(cfg.save_path, typ)
         assert os.path.isdir(d) and any(f.endswith(".ckpt") for f in os.listdir(d))
+    MainLogger.reset()
+
+
+def test_streaming_trainer_matches_resident(tmp_path):
+    """--data_placement stream (host slab gather + upload per launch) must
+    train numerically ≡ the HBM-resident plane — the slabs carry exactly
+    the rows the resident scan would gather on device."""
+    cfg_a = tiny_cfg(tmp_path)
+    cfg_a.eval_every = 0
+    cfg_a.save_path = os.path.join(str(tmp_path), "dcgan", "resident")
+    data_a = DCGANDataPreprocessor(cfg_a)
+    data_a.images_u8 = data_a.images_u8[:64]
+    data_a.labels_np = data_a.labels_np[:64]
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(6))
+    # host copies: the donated superstep consumes each trainer's device
+    # params, so the two trainers need independent buffers
+    pg0 = jax.device_get(dcgan.generator_init(keys.next(), geo))
+    pd0 = jax.device_get(dcgan.discriminator_init(keys.next(), geo))
+    fresh = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    tr_a = DCGANTrainer(cfg_a, fresh(pg0), fresh(pd0), data_a)
+    assert not tr_a._streaming
+    last_a = tr_a.train()
+    params_a = jax.device_get(tr_a.state.params_g)
+    MainLogger.reset()
+
+    cfg_b = tiny_cfg(tmp_path)
+    cfg_b.eval_every = 0
+    cfg_b.save_path = os.path.join(str(tmp_path), "dcgan", "stream")
+    cfg_b.data_placement = "stream"
+    cfg_b.num_worker = 2
+    data_b = DCGANDataPreprocessor(cfg_b)
+    data_b.images_u8 = data_b.images_u8[:64]
+    data_b.labels_np = data_b.labels_np[:64]
+    tr_b = DCGANTrainer(cfg_b, fresh(pg0), fresh(pd0), data_b)
+    assert tr_b._streaming and tr_b.images_dev is None
+    last_b = tr_b.train()
+    params_b = jax.device_get(tr_b.state.params_g)
+    MainLogger.reset()
+
+    assert last_a["loss_d"] == pytest.approx(last_b["loss_d"], abs=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_auto_placement_threshold(tmp_path):
+    """data_placement=auto streams iff the dataset exceeds hbm_data_budget."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.eval_every = 0
+    cfg.hbm_data_budget = 1  # force streaming
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:32]
+    data_pre.labels_np = data_pre.labels_np[:32]
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(7))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    tr = DCGANTrainer(cfg, pg, pd, data_pre)
+    assert tr._streaming
+    last = tr.train()
+    assert np.isfinite(last["loss_d"])
     MainLogger.reset()
