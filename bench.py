@@ -17,8 +17,11 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference publishes no GAN training throughput (SURVEY.md
 §6); its only recorded number is ≈374 img/s for the InceptionV3 fine-tune
-train loop on an unnamed CUDA GPU (inceptionnet.ipynb cell 14). We report
-relative to that anchor.
+train loop on an unnamed CUDA GPU (inceptionnet.ipynb cell 14). The ratio
+printed here divides by that anchor ONLY to keep the driver's round-over-
+round series comparable — it is a cross-WORKLOAD ratio, not a framework
+comparison. The apples-to-apples benchmark (same fine-tune workload, same
+batch) is ``bench_finetune.py``.
 """
 
 import json

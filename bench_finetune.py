@@ -1,0 +1,77 @@
+"""Apples-to-apples benchmark vs the reference's only published number.
+
+The reference's sole recorded throughput is the InceptionV3 fine-tune train
+loop: ~2.92 it/s at batch 128 ≈ 374 img/s on its (unnamed) CUDA GPU
+(inceptionnet.ipynb cell 14, "391it [02:14, 2.92it/s]"). This benchmark
+times the SAME workload through jckx's own trainer code path
+(jckx.metrics.inception_train make_train_step + make_superstep): SGD with
+nesterov momentum + weight decay, RandomResizedCrop(299)+HFlip
+augmentation on device, batch 128, bf16 compute, batch-stat BN with
+running-stat updates.
+
+Methodology (TPU tunnel): K steps per device launch via lax.scan; several
+launches timed back-to-back from a blocked start, first post-compile launch
+excluded; a device→host scalar read closes the region.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is jckx img/s ÷ 374.
+"""
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_IMG_PER_SEC = 374.0  # inceptionnet.ipynb cell 14 (2.92 it/s * 128)
+
+
+def main(batch_size: int = 128, K: int = 8, supersteps: int = 4):
+    from jckx.metrics import inception_v3
+    from jckx.metrics.inception_train import make_superstep, make_train_step
+
+    params = inception_v3.init(0, num_classes=100)
+    step, tx, raw_step = make_train_step(lr=0.1, weight_decay=5e-4)
+    sstep = make_superstep(raw_step)
+    opt_state = tx.init(params)
+
+    rng = np.random.RandomState(0)
+    data = jax.device_put(rng.randint(0, 255, (4096, 32, 32, 3), dtype=np.uint8))
+    labels = jax.device_put(rng.randint(0, 100, (4096,)).astype(np.int32))
+    key = jax.random.PRNGKey(0)
+
+    def launch(params, opt_state, i):
+        idx = jax.device_put(
+            rng.randint(0, 4096, (K, batch_size)).astype(np.int32)
+        )
+        return sstep(params, opt_state, data, labels, idx,
+                     jax.random.fold_in(key, i))
+
+    # compile + flush the remote runtime's early-completion artifact
+    for i in range(2):
+        params, opt_state, losses, accs = launch(params, opt_state, i)
+    jax.block_until_ready(params)
+    float(losses[-1])
+
+    t0 = time.perf_counter()
+    for i in range(supersteps):
+        params, opt_state, losses, accs = launch(params, opt_state, 100 + i)
+    jax.block_until_ready(params)
+    last_loss = float(losses[-1])  # host read closes the timing region
+    dt = time.perf_counter() - t0
+
+    assert np.isfinite(last_loss), "non-finite fine-tune loss"
+    img_per_sec = batch_size * K * supersteps / dt / jax.device_count()
+    print(json.dumps({
+        "metric": "images/sec/chip InceptionV3 fine-tune train step "
+                  "(299x299, bs128, bf16, SGD+nesterov+wd, on-device RRC+flip aug) "
+                  "— same workload as the reference's only published number",
+        "value": round(img_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
+    }))
+    return img_per_sec
+
+
+if __name__ == "__main__":
+    main()
