@@ -34,7 +34,8 @@ import numpy as np
 REFERENCE_IMG_PER_SEC = 374.0  # inceptionnet.ipynb cell 14 (2.92 it/s * 128)
 
 
-def main():
+def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
+         K: int = 50, supersteps: int = 5):
     from jckx.configs import Config
     from jckx.data.datasets import synthetic_dataset
     from jckx.data.pipeline import decode_batch
@@ -46,6 +47,9 @@ def main():
     cfg = Config()  # reference defaults: bs=128, 64x64, z=100
     cfg.compute_dtype = "bfloat16"
     cfg.max_learning_rate = 2e-4
+    cfg.image_size = image_size
+    cfg.batch_size = batch_size
+    cfg.remat = remat
     geo = GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size, channels=cfg.channels)
 
     tx = make_optimizer(cfg)
@@ -56,7 +60,6 @@ def main():
                           rng=jax.random.PRNGKey(2))
 
     base_step = make_dcgan_train_step(cfg, geo)
-    K = 50  # steps per device launch
 
     def superstep(state, data_u8, idx):
         def body(s, batch_idx):
@@ -82,7 +85,6 @@ def main():
     jax.block_until_ready(state)
     float(metrics["loss_d"])  # hard host sync
 
-    supersteps = 5
     t0 = time.perf_counter()
     for _ in range(supersteps):
         state, metrics = launch(state)
@@ -96,7 +98,9 @@ def main():
     assert np.isfinite(loss_d), "non-finite training loss"
 
     print(json.dumps({
-        "metric": "images/sec/chip fused DCGAN G+D step (64x64, bs128, bf16, incl. GP + on-device decode)",
+        "metric": f"images/sec/chip fused DCGAN G+D step ({image_size}x{image_size}, "
+                  f"bs{batch_size}, bf16, incl. GP + on-device decode"
+                  + (f", remat={remat}" if remat != "none" else "") + ")",
         "value": round(img_per_sec_per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / REFERENCE_IMG_PER_SEC, 2),
@@ -104,4 +108,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser(description="fused GAN-step throughput bench")
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--remat", default="none", choices=["none", "g", "d", "both"])
+    p.add_argument("--scan_steps", type=int, default=50)
+    p.add_argument("--supersteps", type=int, default=5)
+    a = p.parse_args()
+    main(a.image_size, a.batch_size, a.remat, a.scan_steps, a.supersteps)

@@ -89,3 +89,24 @@ def test_random_resized_crop_flip():
     assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 1e-3
     # values stay in range (bilinear of [0,1])
     assert float(out.min()) >= -1e-3 and float(out.max()) <= 1.0 + 1e-3
+
+
+def test_evaluate_with_cached_device_set():
+    """evaluate() with a pre-uploaded padded device set (per-epoch reuse)
+    matches the upload-per-call path."""
+    from jckx.metrics.inception_train import evaluate, eval_device_set
+
+    rng = np.random.RandomState(3)
+    imgs = rng.randint(0, 255, size=(10, 8, 8, 3), dtype=np.uint8)
+    labels = rng.randint(0, 100, size=(10,))
+
+    @jax.jit
+    def tiny_logits(params, u8):
+        x = u8.astype(jnp.float32) / 255.0
+        return jnp.stack([x.mean((1, 2, 3)) * (i + 1) for i in range(100)], -1)
+
+    a = evaluate(None, tiny_logits, imgs, labels, batch_size=4)
+    dev = eval_device_set(imgs, batch_size=4)
+    assert dev.shape[0] == 12  # padded to the batch multiple
+    b = evaluate(None, tiny_logits, imgs, labels, batch_size=4, device_images=dev)
+    assert a == b
