@@ -41,7 +41,7 @@ def _cfg(tmpdir, model="DCGAN", run="run"):
     return cfg
 
 
-def _train(cfg, model="DCGAN"):
+def _train(cfg, model="DCGAN", metrics=None):
     """Build + train a tiny run; returns the final params_g as host arrays."""
     geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=16)
     keys = KeyChain(seed_everything(11))
@@ -60,7 +60,11 @@ def _train(cfg, model="DCGAN"):
         pd = cgan.cdiscriminator_init(keys.next(), geo, 10)
         from jckx.train.gan_trainer import CGANTrainer as T
 
-    tr = T(cfg, pg, pd, data_pre)
+    if metrics is None and cfg.eval_every > 0:
+        from tests.test_trainer import StubMetrics
+
+        metrics = StubMetrics()
+    tr = T(cfg, pg, pd, data_pre, metrics=metrics)
     last = tr.train()
     assert np.isfinite(last["loss_d"]) and np.isfinite(last["loss_g"])
     params = jax.tree_util.tree_map(np.asarray, jax.device_get(tr.state.params_g))
@@ -139,3 +143,57 @@ def test_tp_trainer_with_ema(tmp_path):
     cfg.mesh_shape, cfg.mesh_axes = (4, 2), ("data", MODEL_AXIS)
     tr_tp, _, _ = _train(cfg)
     _assert_close(ema_ref, jax.device_get(tr_tp.state.ema_g))
+
+
+def test_tp_trainer_resume(tmp_path):
+    """Checkpoint/resume round-trips through the TP-sharded layout: save
+    gathers the sharded state, restore re-shards it, training continues
+    bit-identically vs an uninterrupted TP run."""
+    # uninterrupted: 2 epochs
+    cfg_full = _cfg(tmp_path, run="tp_full")
+    cfg_full.mesh_shape, cfg_full.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    cfg_full.epoch = 2
+    cfg_full.eval_every = 4  # writes latest.ckpt at eval boundaries
+    _, full_params, _ = _train(cfg_full)
+
+    # interrupted at epoch 1...
+    cfg_a = _cfg(tmp_path, run="tp_resume")
+    cfg_a.mesh_shape, cfg_a.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    cfg_a.epoch = 1
+    cfg_a.eval_every = 4
+    _train(cfg_a)
+
+    # ...then resumed to the same 2-epoch budget
+    cfg_b = _cfg(tmp_path, run="tp_resume")
+    cfg_b.mesh_shape, cfg_b.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    cfg_b.epoch = 2
+    cfg_b.eval_every = 4
+    cfg_b.resume = True
+    tr_b, resumed_params, _ = _train(cfg_b)
+    assert int(tr_b.state.step) == 8
+    _assert_close(full_params, resumed_params, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_trainer_resume(tmp_path):
+    """Resume works on the host-streaming data plane (shuffle stream
+    fast-forward + slab gather continue the uninterrupted order)."""
+    cfg_full = _cfg(tmp_path, run="st_full")
+    cfg_full.data_placement = "stream"
+    cfg_full.epoch = 2
+    cfg_full.eval_every = 4
+    _, full_params, _ = _train(cfg_full)
+
+    cfg_a = _cfg(tmp_path, run="st_resume")
+    cfg_a.data_placement = "stream"
+    cfg_a.epoch = 1
+    cfg_a.eval_every = 4
+    _train(cfg_a)
+
+    cfg_b = _cfg(tmp_path, run="st_resume")
+    cfg_b.data_placement = "stream"
+    cfg_b.epoch = 2
+    cfg_b.eval_every = 4
+    cfg_b.resume = True
+    tr_b, resumed_params, _ = _train(cfg_b)
+    assert tr_b._streaming and int(tr_b.state.step) == 8
+    _assert_close(full_params, resumed_params, rtol=1e-5, atol=1e-6)
