@@ -196,6 +196,13 @@ def train(args):
     xt_eval = xt[: args.eval_samples]
     yt_eval = yt[: args.eval_samples]
     xt_dev = eval_device_set(xt_eval)  # one upload for all epochs
+    # optional train-split eval each epoch (the notebook runs get_eval on
+    # BOTH splits, cell 14; off by default — train loss/acc already stream
+    # from the fused step and the extra fwd pass is pure cost)
+    x_eval = y_eval = x_dev = None
+    if getattr(args, "eval_train", 0):
+        x_eval, y_eval = x[: args.eval_samples], y[: args.eval_samples]
+        x_dev = eval_device_set(x_eval)
 
     best_acc, best_loss, patience = 0.0, 1e10, 0
     start = time.time()
@@ -228,12 +235,21 @@ def train(args):
         tr_acc = float(jnp.mean(jnp.stack(accs)))
 
         ev = evaluate(params, logits_fn, xt_eval, yt_eval, device_images=xt_dev)
+        tr_ev = {}
+        if x_dev is not None:
+            t = evaluate(params, logits_fn, x_eval, y_eval, device_images=x_dev)
+            tr_ev = {f"train_eval_{k}": v for k, v in t.items()}
+            logger.debug(
+                f"Epoch: {epoch}  train-eval top1 {t['top1']:.4f} "
+                f"top5 {t['top5']:.4f} super {t['superclass']:.4f} loss {t['loss']:.4f}"
+            )
         logger.debug(
             f"Epoch: {epoch}  train loss {tr_loss:.4f} acc {tr_acc:.4f}  "
             f"valid top1 {ev['top1']:.4f} top5 {ev['top5']:.4f} "
             f"super {ev['superclass']:.4f} loss {ev['loss']:.4f}"
         )
-        logger.scalars({"epoch": epoch, "train_loss": tr_loss, "train_acc": tr_acc, **ev})
+        logger.scalars({"epoch": epoch, "train_loss": tr_loss, "train_acc": tr_acc,
+                        **tr_ev, **ev})
 
         improved = False
         if ev["top1"] > best_acc:
@@ -265,6 +281,8 @@ def get_args(argv=None):
     p.add_argument("--scan_steps", type=int, default=0,
                    help="steps per device launch via lax.scan (0 = per-step dispatch)")
     p.add_argument("--eval_samples", type=int, default=10000)
+    p.add_argument("--eval_train", type=int, default=0,
+                   help="1 = also run the eval pass on the train split each epoch (notebook get_eval parity)")
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--save_dir", default="./save/iception_v3")  # reference's (sic) dirname
     p.add_argument("--save_path", default="")  # logger compat

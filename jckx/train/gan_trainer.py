@@ -70,6 +70,13 @@ class _BaseGANTrainer(Trainer):
         # combined data×model parallelism (the reference's analog is the
         # single-device pick, utils.py:4-8); default = all devices on 'data'
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        n_data_shards = self.mesh.shape.get("data", 1)
+        if cfg.batch_size % n_data_shards:
+            raise ValueError(
+                f"global batch_size {cfg.batch_size} is not divisible by the "
+                f"mesh 'data' axis ({n_data_shards} shards) — XLA cannot "
+                f"shard the batch evenly; pick a multiple of {n_data_shards}"
+            )
         self.data_pre = data_pre
         self.num_classes = getattr(data_pre, "num_classes", cfg.num_classes)
 

@@ -197,3 +197,10 @@ def test_streaming_trainer_resume(tmp_path):
     tr_b, resumed_params, _ = _train(cfg_b)
     assert tr_b._streaming and int(tr_b.state.step) == 8
     _assert_close(full_params, resumed_params, rtol=1e-5, atol=1e-6)
+
+
+def test_indivisible_batch_raises_clear_error(tmp_path):
+    cfg = _cfg(tmp_path, run="bad_bs")
+    cfg.batch_size = 12  # not divisible by the 8-way data axis
+    with pytest.raises(ValueError, match="not divisible by the\nmesh 'data' axis|not divisible"):
+        _train(cfg)
