@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-REFERENCE_IMG_PER_SEC = 374.0  # inceptionnet.ipynb cell 14 (2.92 it/s * 128)
+from jckx.configs import REFERENCE_IMG_PER_SEC  # single-source anchor
 
 
 def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",

@@ -23,7 +23,7 @@ import time
 import jax
 import numpy as np
 
-REFERENCE_IMG_PER_SEC = 374.0  # inceptionnet.ipynb cell 14 (2.92 it/s * 128)
+from jckx.configs import REFERENCE_IMG_PER_SEC  # single-source anchor
 
 
 def main(batch_size: int = 128, K: int = 8, supersteps: int = 4):

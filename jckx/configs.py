@@ -26,6 +26,12 @@ from typing import Optional
 from jckx.enums import ModelEnum
 from jckx.rng import RANDOMSEED
 
+# The reference's only published performance number: its InceptionV3
+# fine-tune train loop at ≈2.92 it/s × batch 128 on an unnamed CUDA GPU
+# (inceptionnet.ipynb cell 14, "391it [02:14, 2.92it/s]"). Single source
+# for every bench's vs_baseline ratio.
+REFERENCE_IMG_PER_SEC = 374.0
+
 
 @dataclass
 class Config:

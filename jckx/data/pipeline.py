@@ -122,27 +122,40 @@ class HostStreamLoader:
     """
 
     def __init__(self, images_u8: np.ndarray, labels: np.ndarray, workers: int = 0):
-        from concurrent.futures import ThreadPoolExecutor
-
         from jckx.data import native_io
 
         self._gather_mt = native_io.gather_rows_mt
         self.images = images_u8
         self.labels_np = np.asarray(labels)
         self.workers = max(1, int(workers))
-        # +1 slot runs the lookahead block itself while its chunks fan out
-        self._pool = ThreadPoolExecutor(self.workers + 1)
+        self._pool = None  # lazy; see _ensure_pool / close
         self._primed = None  # (key, future)
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            # +1 slot runs the lookahead block itself while its chunks fan out
+            self._pool = ThreadPoolExecutor(self.workers + 1)
+        return self._pool
+
+    def close(self) -> None:
+        """Release the gather threads (the loader stays usable — the pool
+        re-creates lazily on the next prime/take)."""
+        self._primed = None
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
 
     def _assemble(self, rows: np.ndarray):
         rows = np.ascontiguousarray(rows, np.int32)
-        slab = self._gather_mt(self.images, rows, self.workers, pool=self._pool)
+        slab = self._gather_mt(self.images, rows, self.workers, pool=self._ensure_pool())
         return slab, self.labels_np[rows].astype(np.int32)
 
     def prime(self, rows: np.ndarray) -> None:
         """Start gathering ``rows`` in the background (next superstep)."""
         rows = np.ascontiguousarray(rows, np.int32)
-        self._primed = (rows.tobytes(), self._pool.submit(self._assemble, rows))
+        self._primed = (rows.tobytes(), self._ensure_pool().submit(self._assemble, rows))
 
     def take(self, rows: np.ndarray):
         """→ (slab_u8, labels) for ``rows``; uses the primed result when it

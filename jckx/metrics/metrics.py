@@ -128,9 +128,13 @@ class Metrics:
 
         h = hashlib.sha1()
         images_u8 = np.asarray(images_u8)
-        h.update(np.int64(images_u8.shape[0]).tobytes())
-        h.update(np.asarray(images_u8[:2]).tobytes())
-        h.update(np.asarray(labels[:64]).tobytes())
+        n = images_u8.shape[0]
+        h.update(np.int64(n).tobytes())
+        # strided sample ACROSS the whole set (a prefix-only sample would
+        # collide for datasets that differ past the first rows)
+        stride = max(1, n // 64)
+        h.update(np.ascontiguousarray(images_u8[::stride][:64]).tobytes())
+        h.update(np.ascontiguousarray(np.asarray(labels)).tobytes())
         h.update(np.int32(self.num_classes).tobytes())
         # backbone identity: every leaf SHAPE (tells class counts / geometries
         # apart) + contents of a few small leaves (tells checkpoints apart).

@@ -182,6 +182,7 @@ class _BaseGANTrainer(Trainer):
         # output channels; spatial shards activation height (GSPMD halo
         # exchanges handle the convs). Without a model axis both are no-ops.
         self._state_sharding = repl
+        self._repl_sharding = repl
         spatial_spec = None
         if MODEL_AXIS in self.mesh.axis_names and self.mesh.shape[MODEL_AXIS] > 1:
             if self.cfg.model_axis_mode == "tp":
@@ -289,10 +290,17 @@ class _BaseGANTrainer(Trainer):
     # ----------------------------------------------------------------- eval
 
     def _eval_params_g(self):
-        """EMA generator for eval when enabled (jckx extension), else live G."""
-        if self.cfg.ema_decay > 0 and self.state.ema_g is not None:
-            return self.state.ema_g
-        return self.state.params_g
+        """EMA generator for eval when enabled (jckx extension), else live G.
+
+        Under TP the sharded params are all-gathered HERE, once per eval —
+        the CGAN path samples in chunks and would otherwise re-gather per
+        chunk (device_put on the already-replicated result is a no-op)."""
+        pg = (self.state.ema_g
+              if self.cfg.ema_decay > 0 and self.state.ema_g is not None
+              else self.state.params_g)
+        if self._state_sharding is not self._repl_sharding:
+            pg = jax.device_put(pg, self._repl_sharding)
+        return pg
 
     def _fixed_eval_inputs(self):
         key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed), 999)
@@ -404,6 +412,8 @@ class _BaseGANTrainer(Trainer):
                 ):
                     self._evaluate(it, losses_d, losses_g)
 
+        if self._streaming:
+            self._stream.close()  # release gather threads (pool re-creates on reuse)
         end = time.time()
         self.logger.debug(f"train finish\ttime: {time_to_str(end - start)}")
         save_loss_curve(os.path.join(self.save_path, "loss.png"), losses_d, losses_g)

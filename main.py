@@ -46,9 +46,18 @@ def main(cfg: Config):
         # warning on a lone host so the flag is safe in every environment.
         try:
             jax.distributed.initialize()
-        except Exception as e:  # noqa: BLE001 — any init failure (missing
-            # coordinator env → ValueError, unreachable coordinator →
-            # RuntimeError, plugin quirks) degrades to single-host
+        except Exception as e:  # noqa: BLE001
+            # Degrade to single-host ONLY when no cluster was configured
+            # (e.g. the flag passed on a lone dev box). If coordinator env
+            # is present, this host is part of a real pod job — proceeding
+            # solo would train N divergent duplicate runs, so fail fast.
+            cluster_env = any(
+                os.environ.get(v)
+                for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                          "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
+            )
+            if cluster_env:
+                raise
             MainLogger(cfg).warning(f"--multihost requested but not in a cluster: {e}")
     if cfg.sanitize:
         jax.config.update("jax_debug_nans", True)
