@@ -94,6 +94,22 @@ def mean_and_cov(feats: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return mu, sigma
 
 
+@jax.jit
+def intra_fid_sum(feats: jax.Array, bucket_idx: jax.Array,
+                  mu_real: jax.Array, sigma_real: jax.Array) -> jax.Array:
+    """Σ_s FID(real superclass s ‖ fake superclass s) in ONE device program.
+
+    ``feats``: (N, d) fake features; ``bucket_idx``: (S, k) row indices of
+    each superclass's fakes (uniform bucket size k — true for the
+    reference's class-major 10-per-class eval grid at num_classes=100);
+    ``mu_real``/``sigma_real``: (S, d) / (S, d, d) precomputed real stats.
+    Replaces S sequential frechet calls, each with its own ~0.4 s
+    device→host scalar read on the tunneled runtime, with one read."""
+    fk = feats.astype(jnp.float32)[bucket_idx]  # (S, k, d)
+    mu_f, sigma_f = jax.vmap(mean_and_cov)(fk)
+    return jnp.sum(jax.vmap(frechet_distance)(mu_real, sigma_real, mu_f, sigma_f))
+
+
 @functools.partial(jax.jit, static_argnames=("splits",))
 def inception_score_from_probs(probs: jax.Array, splits: int = 10) -> jax.Array:
     """IS = mean over splits of exp(mean_i KL(p(y|xᵢ) ‖ p(y))).

@@ -264,6 +264,17 @@ def train(args):
             logger.debug(f"early stopping at epoch {epoch} (patience {args.early_stop})")
             break
 
+    # provenance sidecar: records what produced the checkpoints in this dir
+    # (guards against silently consuming a backbone from a throwaway run —
+    # Metrics quality is only as good as the backbone that made it)
+    import json
+
+    with open(os.path.join(args.save_dir, "summary.json"), "w") as f:
+        json.dump({"dataset": args.dataset, "synthetic_fallback": bool(synthetic),
+                   "epochs_run": epoch + 1, "epoch_budget": args.epoch,
+                   "batch_size": bs, "best_top1": best_acc,
+                   "best_loss": best_loss,
+                   "wall_s": round(time.time() - start, 1)}, f, indent=2)
     logger.debug(f"fine-tune finish\ttime: {time_to_str(time.time() - start)}  "
                  f"best top1 {best_acc:.4f} best loss {best_loss:.4f}")
     return best_acc, best_loss

@@ -35,7 +35,8 @@ import numpy as np
 from jckx.data.datasets import FINE_TO_SUPERCLASS
 from jckx.logging.main_logger import MainLogger
 from jckx.metrics import inception_v3
-from jckx.metrics.fid import frechet_distance, inception_score_from_probs, mean_and_cov
+from jckx.metrics.fid import (frechet_distance, inception_score_from_probs,
+                              intra_fid_sum, mean_and_cov)
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -119,6 +120,7 @@ class Metrics:
             self.real_features = self._extract_u8(real_images_u8)
             np.savez_compressed(cache, features=self.real_features)
         self._real_mu_sigma = None
+        self._real_super_stats = None
         self.intra_fid_divisor = 100.0  # reference quirk (metrics.py:141)
 
     def _cache_fingerprint(self, images_u8, labels) -> str:
@@ -166,6 +168,7 @@ class Metrics:
                     flat = np.load(c)
                     params = _unflatten(dict(flat))
                     self._logger.debug(f"metric backbone loaded from {c}")
+                    self._log_backbone_provenance(os.path.dirname(c))
                     return params
                 try:
                     import torch
@@ -182,6 +185,28 @@ class Metrics:
             "reference's absolute values"
         )
         return inception_v3.init(0, num_classes=self.num_classes)
+
+    def _log_backbone_provenance(self, ckpt_dir: str) -> None:
+        """Surface the fine-tune summary sidecar (inception_train writes it)
+        so a weak/throwaway backbone can't silently define FID absolutes."""
+        import json
+
+        path = os.path.join(ckpt_dir, "summary.json")
+        if not os.path.exists(path):
+            return
+        try:
+            s = json.load(open(path))
+        except Exception:  # noqa: BLE001 — provenance is best-effort
+            return
+        self._logger.debug(
+            f"backbone provenance: {s.get('dataset')} {s.get('epochs_run')} epochs, "
+            f"best top1 {s.get('best_top1', 0):.4f}"
+        )
+        if s.get("best_top1", 1.0) < 0.5:
+            self._logger.warning(
+                "metric backbone's best top-1 is below 0.5 — FID/IS absolutes "
+                "from this backbone are weak; re-run jckx.metrics.inception_train"
+            )
 
     # ----------------------------------------------------------- pipelines
 
@@ -321,13 +346,40 @@ class Metrics:
         """Σ_superclass FID / 100 (reference metrics.py:132-141, incl. the
         ÷100-for-20-superclasses quirk). Features extracted ONCE; pass
         ``features`` to reuse an extraction shared with fid()/IS. Empty
-        superclass buckets (num_classes<100) are skipped — see ctor."""
+        superclass buckets (num_classes<100) are skipped — see ctor.
+
+        Uniform fake buckets (num_classes=100 → 50 fakes/superclass) take
+        the batched path: all superclass FIDs in one device program + one
+        host read (the per-superclass loop costs a ~0.4 s scalar read EACH
+        through the remote runtime)."""
         feats = features if features is not None else self.extract_features(images_tanh)
-        total = 0.0
-        for s in self.active_superclasses:
-            idx = self.fake_superclass_idx[s]
-            total += self.fid(features=feats[idx], intra_fid=True, label=s)
+        active = self.active_superclasses
+        sizes = {len(self.fake_superclass_idx[s]) for s in active}
+        if len(sizes) == 1 and active:
+            mu_r, sigma_r = self._real_superclass_stats()
+            idx = np.stack([self.fake_superclass_idx[s] for s in active])
+            total = float(intra_fid_sum(jnp.asarray(feats), jnp.asarray(idx),
+                                        mu_r, sigma_r))
+        else:  # ragged buckets (num_classes<100): per-superclass loop
+            total = 0.0
+            for s in active:
+                idx = self.fake_superclass_idx[s]
+                total += self.fid(features=feats[idx], intra_fid=True, label=s)
         return total / self.intra_fid_divisor
+
+    def _real_superclass_stats(self):
+        """(S, d) means + (S, d, d) covariances of the real features per
+        ACTIVE superclass — computed once, reused by every intra-FID eval."""
+        if self._real_super_stats is None:
+            mus, sigmas = [], []
+            for s in self.active_superclasses:
+                mu, sig = mean_and_cov(
+                    jnp.asarray(self.real_features[self.real_superclass_idx[s]])
+                )
+                mus.append(mu)
+                sigmas.append(sig)
+            self._real_super_stats = (jnp.stack(mus), jnp.stack(sigmas))
+        return self._real_super_stats
 
 
 def _unflatten(flat: dict) -> dict:

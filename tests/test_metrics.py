@@ -203,6 +203,7 @@ def test_intra_fid_grouping_logic():
     m.fake_superclass_idx = {s: np.nonzero(fake_super == s)[0] for s in range(20)}
     m.intra_fid_divisor = 100.0
     m._real_mu_sigma = None
+    m._real_super_stats = None
     m.active_superclasses = [
         s for s in range(20)
         if len(m.fake_superclass_idx[s]) > 1 and len(m.real_superclass_idx[s]) > 1
@@ -216,6 +217,13 @@ def test_intra_fid_grouping_logic():
 
     # features= short-circuit is the same computation (trainer path)
     assert m.intra_fid(features=feats) == val
+
+    # the batched single-program path ≡ the per-superclass loop
+    loop_total = sum(
+        m.fid(features=feats[m.fake_superclass_idx[s]], intra_fid=True, label=s)
+        for s in m.active_superclasses
+    )
+    assert abs(val - loop_total / m.intra_fid_divisor) < 1e-3 * max(1.0, abs(val))
 
 
 def test_intra_fid_skips_empty_superclasses_small_num_classes():
@@ -237,6 +245,7 @@ def test_intra_fid_skips_empty_superclasses_small_num_classes():
     m.fake_superclass_idx = {s: np.nonzero(fake_super == s)[0] for s in range(20)}
     m.intra_fid_divisor = 100.0
     m._real_mu_sigma = None
+    m._real_super_stats = None
     m.active_superclasses = [
         s for s in range(20)
         if len(m.fake_superclass_idx[s]) > 1 and len(m.real_superclass_idx[s]) > 1
