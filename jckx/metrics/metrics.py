@@ -243,11 +243,16 @@ class Metrics:
     def _batched(self, fn, images) -> np.ndarray:
         """Feature extraction over arbitrary-size image sets.
 
-        Images are uploaded in ≤256 MB slabs (one transfer each, sliced into
-        batches on device); batch dispatches are async with a single drain at
-        the end. Per-batch uploads or syncs cost ~0.4 s each through the
-        remote TPU runtime, while slab-at-a-time bounds device memory so a
-        50k high-resolution set cannot OOM the chip."""
+        Host arrays are uploaded in ≤256 MB slabs (one transfer each, sliced
+        into batches on device); batch dispatches are async with a single
+        drain at the end. Per-batch uploads or syncs cost ~0.4 s each through
+        the remote TPU runtime, while slab-at-a-time bounds device memory so
+        a 50k high-resolution set cannot OOM the chip.
+
+        DEVICE arrays skip the host round-trip entirely (trainers keep the
+        sampler output on-chip and feed it straight in)."""
+        if isinstance(images, jax.Array):
+            return self._batched_device(fn, images)
         images = np.asarray(images)
         n = images.shape[0]
         if n == 0:
@@ -294,6 +299,31 @@ class Metrics:
             outs.extend(slab_outs)
         out = np.asarray(jnp.concatenate(outs), np.float32)
         return out.reshape(nb_padded * bs, -1)[: nb * bs][:n]
+
+    def _batched_device(self, fn, images_dev) -> np.ndarray:
+        """Feature extraction over an already-device-resident image set:
+        no upload, batches sliced on device, one drain at the end. Sized
+        for eval sets (≤ a few thousand images) that fit HBM alongside the
+        models — the trainer's per-eval fake grids."""
+        n = int(images_dev.shape[0])
+        if n == 0:
+            return np.zeros((0, self.num_classes), np.float32)
+        bs = min(self.batch_size, n)
+        nb = (n + bs - 1) // bs
+        pad = nb * bs - n
+        if pad:
+            images_dev = jnp.concatenate(
+                [images_dev, jnp.repeat(images_dev[-1:], pad, axis=0)]
+            )
+        cache_key = (id(fn), bs)
+        fn_at = self._fn_at_cache.get(cache_key)
+        if fn_at is None:
+            fn_at = jax.jit(
+                lambda slab, i: fn(jax.lax.dynamic_slice_in_dim(slab, i * bs, bs, axis=0))
+            )
+            self._fn_at_cache[cache_key] = fn_at
+        outs = [fn_at(images_dev, i) for i in range(nb)]
+        return np.asarray(jnp.concatenate(outs), np.float32)[:n]
 
     def _extract_u8(self, u8_images) -> np.ndarray:
         return self._batched(self._features_from_u8, u8_images)

@@ -439,7 +439,9 @@ class DCGANTrainer(_BaseGANTrainer):
 
     def _evaluate(self, iters: int, losses_d, losses_g):
         z, _ = self._fixed_eval_inputs()
-        fake = np.asarray(self._sample(self._eval_params_g(), z), np.float32)
+        # sampler output stays ON DEVICE through feature extraction — the
+        # only host reads are the final metric scalars and the small grid
+        fake = self._sample(self._eval_params_g(), z)
 
         # one backbone pass feeds both metrics (logits == feature vectors)
         feats = self.metric.extract_features(fake)
@@ -448,7 +450,7 @@ class DCGANTrainer(_BaseGANTrainer):
         self.logger.debug(f"inception score: {is_score}\tfid: {fid}")
         self.logger.scalars({"step": iters, "fid": fid, "is": is_score})
 
-        denorm = 0.5 * fake + 0.5
+        denorm = np.asarray(0.5 * fake.astype(jnp.float32) + 0.5, np.float32)
         if fid < self.bests["fid"]:
             self.bests["fid"] = fid
             self.logger.debug(f"{iters} lowest fid")
@@ -472,16 +474,15 @@ class CGANTrainer(_BaseGANTrainer):
 
     def _evaluate(self, iters: int, losses_d, losses_g):
         z, onehot = self._fixed_eval_inputs()
-        # 10·num_classes samples; generate in chunks to bound peak memory
+        # 10·num_classes samples; generate in chunks to bound peak memory.
+        # Chunks stay ON DEVICE — concatenated there and fed straight into
+        # the backbone (no fake-image host round-trip per eval).
         chunks = []
         cb = 500
         pg = self._eval_params_g()
         for i in range(0, z.shape[0], cb):
-            chunks.append(np.asarray(
-                self._sample(pg, z[i:i + cb], onehot[i:i + cb]),
-                np.float32,
-            ))
-        fake = np.concatenate(chunks)
+            chunks.append(self._sample(pg, z[i:i + cb], onehot[i:i + cb]))
+        fake = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
 
         feats = self.metric.extract_features(fake)
         is_score = self.metric.inception_score(logits=feats)
@@ -492,8 +493,8 @@ class CGANTrainer(_BaseGANTrainer):
         )
         self.logger.scalars({"step": iters, "fid": fid, "is": is_score, "intra_fid": intra})
 
-        denorm = 0.5 * fake + 0.5
-        per_class = denorm[::10]  # one sample per class (cgan_trainer.py:243)
+        # one sample per class (cgan_trainer.py:243); single small host read
+        per_class = np.asarray(0.5 * fake[::10].astype(jnp.float32) + 0.5, np.float32)
         names = [self.data_pre.idx_to_labels[i] for i in range(self.num_classes)]
         values = (is_score, fid, intra)
         if fid < self.bests["fid"]:

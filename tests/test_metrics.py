@@ -255,3 +255,22 @@ def test_intra_fid_skips_empty_superclasses_small_num_classes():
     feats = rng.randn(10 * ncls, 16).astype(np.float32)
     val = m.intra_fid(features=feats)
     assert np.isfinite(val)
+
+
+def test_extract_features_device_array_matches_host():
+    """A device-resident image set (trainer eval path) produces the same
+    features as the host-array path."""
+    import tempfile
+
+    from jckx.metrics.metrics import Metrics
+
+    rng = np.random.RandomState(5)
+    real_u8 = rng.randint(0, 255, size=(8, 16, 16, 3), dtype=np.uint8)
+    labels = rng.randint(0, 100, size=(8,))
+    with tempfile.TemporaryDirectory() as td:
+        m = Metrics((real_u8, labels), batch_size=4, compute_dtype=jnp.float32,
+                    cache_dir=td, num_classes=100)
+        fake = rng.uniform(-1, 1, size=(10, 32, 32, 3)).astype(np.float32)
+        host = m.extract_features(fake)
+        dev = m.extract_features(jnp.asarray(fake))
+        np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-6)
