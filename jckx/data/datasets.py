@@ -93,7 +93,9 @@ def _maybe_extract(data_dir: str, tar_name: str, member_dir: str) -> None:
     out_dir = os.path.join(data_dir, member_dir)
     if os.path.exists(tar_path) and not os.path.exists(out_dir):
         with tarfile.open(tar_path, "r:gz") as t:
-            t.extractall(data_dir)
+            # "data" filter: reject absolute paths / .. traversal / device
+            # nodes — dataset archives are user-supplied input
+            t.extractall(data_dir, filter="data")
 
 
 def load_cifar100(data_dir: str, train: bool = True) -> Tuple[np.ndarray, np.ndarray]:
