@@ -43,10 +43,18 @@ def random_resized_crop_flip(
     x0 = jax.random.uniform(k_x, (n,)) * (w - cw)
     flip = jax.random.bernoulli(k_flip, 0.5, (n,))
 
-    def one(img, ch_i, cw_i, y0_i, x0_i, flip_i):
+    # Flip applied on the SMALL input side: mirror the image and the crop
+    # box x-offset (an exact reparameterization of crop-then-flip — bilinear
+    # resampling commutes with mirroring). Reversing the (out_size², C)
+    # float output instead costs a full extra pass over the big tensor
+    # (~0.9 ms/step at 299²/bs128 in the fine-tune profile).
+    images = jnp.where(flip[:, None, None, None], images[:, :, ::-1, :], images)
+    x0 = jnp.where(flip, (w - cw) - x0, x0)
+
+    def one(img, ch_i, cw_i, y0_i, x0_i):
         scale_vec = jnp.stack([out_size / ch_i, out_size / cw_i])
         trans = jnp.stack([-y0_i * out_size / ch_i, -x0_i * out_size / cw_i])
-        out = jax.image.scale_and_translate(
+        return jax.image.scale_and_translate(
             img.astype(jnp.float32),
             (out_size, out_size, c),
             (0, 1),
@@ -54,6 +62,5 @@ def random_resized_crop_flip(
             trans,
             method="bilinear",
         )
-        return jnp.where(flip_i, out[:, ::-1, :], out)
 
-    return jax.vmap(one)(images, ch, cw, y0, x0, flip).astype(images.dtype)
+    return jax.vmap(one)(images, ch, cw, y0, x0).astype(images.dtype)
