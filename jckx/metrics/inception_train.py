@@ -63,10 +63,15 @@ def make_optimizer(lr: float, weight_decay: float = 5e-4, momentum: float = 0.9,
     )
 
 
-def make_train_step(lr: float, weight_decay: float, compute_dtype=jnp.bfloat16):
+def make_train_step(lr: float, weight_decay: float, compute_dtype=jnp.bfloat16,
+                    image_size: int = 299):
     """Step gathers its batch from the DEVICE-RESIDENT dataset by index:
     uploading a batch per step costs ~0.4 s of tunnel round-trip; uploading
-    the epoch's int32 index matrix once costs ~nothing."""
+    the epoch's int32 index matrix once costs ~nothing.
+
+    ``image_size``: network input side (299 = notebook parity; smaller
+    values keep CPU equivalence tests tractable — the graph is
+    size-agnostic down to ~75)."""
     tx = make_optimizer(lr, weight_decay)
 
     def step(params, opt_state, data_u8, labels_all, idx, key):
@@ -74,7 +79,7 @@ def make_train_step(lr: float, weight_decay: float, compute_dtype=jnp.bfloat16):
         labels = jnp.take(labels_all, idx)
         k_aug, k_drop = jax.random.split(key)
         x01 = u8.astype(jnp.float32) / 255.0
-        x = random_resized_crop_flip(k_aug, x01, 299)
+        x = random_resized_crop_flip(k_aug, x01, image_size)
         x = (x - IMAGENET_MEAN_ARR) / IMAGENET_STD_ARR
 
         def loss_fn(p):
@@ -96,10 +101,16 @@ def make_train_step(lr: float, weight_decay: float, compute_dtype=jnp.bfloat16):
     return jax.jit(step, donate_argnums=(0, 1)), tx, step
 
 
-def make_superstep(raw_step):
+def make_superstep(raw_step, mesh=None):
     """K train steps per device launch (lax.scan). One-time compile is
     heavy through the remote compiler but cached persistently; amortizes
-    the ~0.4 s/launch dispatch RPC."""
+    the ~0.4 s/launch dispatch RPC.
+
+    ``mesh``: optional jax Mesh for data-parallel fine-tuning — the batch
+    index matrix shards on the 'data' axis, params/opt replicate, and XLA
+    inserts the ICI all-reduces for the global BN batch statistics and
+    gradient means (sync-BN semantics ≡ one big device, same recipe as
+    the GAN trainers; tested equivalent in tests/test_inception_train)."""
 
     def sstep(params, opt_state, data_u8, labels_all, idx, key):  # idx (K,B)
         def body(carry, ib):
@@ -113,7 +124,19 @@ def make_superstep(raw_step):
         )
         return params, opt_state, losses, accs
 
-    return jax.jit(sstep, donate_argnums=(0, 1))
+    if mesh is None:
+        return jax.jit(sstep, donate_argnums=(0, 1))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    idx_sh = NamedSharding(mesh, P(None, "data"))
+    return jax.jit(
+        sstep,
+        in_shardings=(repl, repl, repl, repl, idx_sh, repl),
+        out_shardings=(repl, repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
 
 
 def make_eval_fn(compute_dtype=jnp.bfloat16):
@@ -178,9 +201,27 @@ def train(args):
     if x.shape[-1] == 1:
         x, xt = x.repeat(3, axis=-1), xt.repeat(3, axis=-1)
 
+    mesh = None
+    if getattr(args, "mesh_shape", ""):
+        from jckx.parallel import make_mesh
+
+        shape = tuple(int(v) for v in str(args.mesh_shape).split(","))
+        mesh = make_mesh(shape, ("data",))
+        if args.batch_size % mesh.shape["data"]:
+            raise ValueError(
+                f"batch_size {args.batch_size} not divisible by data axis "
+                f"({mesh.shape['data']})"
+            )
+        logger.debug(f"fine-tune mesh: {dict(mesh.shape)} (data-parallel, sync-BN)")
+        if args.scan_steps <= 0:
+            args.scan_steps = 1  # the sharded path is the superstep jit
+
     params = inception_v3.init(args.seed, num_classes=ncls)
-    step, tx, raw_step = make_train_step(args.max_learning_rate, args.weight_decay)
-    sstep = make_superstep(raw_step) if args.scan_steps > 0 else None
+    step, tx, raw_step = make_train_step(
+        args.max_learning_rate, args.weight_decay,
+        image_size=getattr(args, "image_size", 299),
+    )
+    sstep = make_superstep(raw_step, mesh=mesh) if args.scan_steps > 0 else None
     opt_state = tx.init(params)
     logits_fn = make_eval_fn()
 
@@ -188,6 +229,9 @@ def train(args):
     key = jax.random.PRNGKey(args.seed)
     bs = args.batch_size
     steps_per_epoch = len(y) // bs
+    cap = getattr(args, "max_steps_per_epoch", 0)
+    if cap:
+        steps_per_epoch = min(steps_per_epoch, cap)
 
     # one-time HBM upload of the raw dataset; per-step host work is an index
     data_dev = jax.device_put(jnp.asarray(x))
@@ -294,6 +338,12 @@ def get_args(argv=None):
     p.add_argument("--eval_samples", type=int, default=10000)
     p.add_argument("--eval_train", type=int, default=0,
                    help="1 = also run the eval pass on the train split each epoch (notebook get_eval parity)")
+    p.add_argument("--mesh_shape", type=str, default="",
+                   help="data-parallel mesh, e.g. '8' — batch shards over chips, sync-BN via XLA collectives")
+    p.add_argument("--image_size", type=int, default=299,
+                   help="network input side (299 = notebook parity; ≥75; smaller for smoke runs)")
+    p.add_argument("--max_steps_per_epoch", type=int, default=0,
+                   help="cap steps per epoch (0 = full epoch; smoke runs)")
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--save_dir", default="./save/iception_v3")  # reference's (sic) dirname
     p.add_argument("--save_path", default="")  # logger compat
@@ -302,4 +352,7 @@ def get_args(argv=None):
 
 
 if __name__ == "__main__":
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     train(get_args())

@@ -30,13 +30,9 @@ from jckx.train.gan_trainer import CGANTrainer, DCGANTrainer
 
 
 def main(cfg: Config):
-    # Honor JAX_PLATFORMS even where a sitecustomize force-registers a TPU
-    # plugin before env vars are read (backends resolve lazily, so an
-    # in-process pin here still wins — e.g. JAX_PLATFORMS=cpu with
-    # XLA_FLAGS=--xla_force_host_platform_device_count=8 runs the CLI on a
-    # virtual 8-device mesh for sharding validation without chips).
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     if cfg.multihost:
         # multi-host SPMD: every host runs this same program; the mesh is
         # then built over the global device set and the sharded-batch jit

@@ -110,3 +110,44 @@ def test_evaluate_with_cached_device_set():
     assert dev.shape[0] == 12  # padded to the batch multiple
     b = evaluate(None, tiny_logits, imgs, labels, batch_size=4, device_images=dev)
     assert a == b
+
+
+def test_finetune_superstep_sharded_matches_single():
+    """Data-parallel fine-tune (--mesh_shape) ≡ single-device: batch index
+    matrix sharded on 'data', params replicated, BN batch stats and grads
+    globally reduced by XLA (sync-BN) — same recipe as the GAN trainers."""
+    from jckx.metrics.inception_train import make_superstep, make_train_step
+    from jckx.parallel import make_mesh
+
+    rng = np.random.RandomState(0)
+    data = jnp.asarray(rng.randint(0, 255, (64, 32, 32, 3), dtype=np.uint8))
+    labels = jnp.asarray(rng.randint(0, 10, (64,)).astype(np.int32))
+    idx = jnp.asarray(rng.randint(0, 64, (1, 8)).astype(np.int32))
+    key = jax.random.PRNGKey(3)
+
+    w0 = np.asarray(inception_v3.init(0, num_classes=10)["Conv2d_1a_3x3"]["w"])
+
+    def run(mesh):
+        params = inception_v3.init(0, num_classes=10)
+        _, tx, raw = make_train_step(0.1, 5e-4, compute_dtype=jnp.float32,
+                                     image_size=75)
+        sstep = make_superstep(raw, mesh=mesh)
+        opt = tx.init(params)
+        p, o, losses, accs = sstep(params, opt, data, labels, idx, key)
+        return (float(losses[0]), np.asarray(jax.device_get(p["Conv2d_1a_3x3"]["w"])),
+                np.asarray(jax.device_get(p["fc"]["w"])))
+
+    loss_1, w_1, fc_1 = run(None)
+    loss_8, w_8, fc_8 = run(make_mesh())  # all 8 virtual CPU devices on 'data'
+    # forward semantics identical (global batch stats ≡ one device)
+    assert abs(loss_1 - loss_8) < 1e-4 * max(1.0, abs(loss_1))
+    # fc has a shallow backward path → agreement to reorder-noise level
+    # (cross-layout reduction order shifts f32 sums by ~1e-4 absolute)
+    np.testing.assert_allclose(fc_1, fc_8, rtol=5e-2, atol=5e-4)
+    # the stem's backward runs through ~90 BN+ReLU layers: cross-layout
+    # reduction reorder flips ReLU boundaries, so compare update vectors by
+    # norm, not elementwise (exact parity is unattainable at this depth in
+    # f32; the shallow GAN nets ARE tested elementwise in test_train_step)
+    diff = np.linalg.norm(w_1 - w_8)
+    update = np.linalg.norm(w_1 - w0)
+    assert update > 0 and diff / update < 0.1, (diff, update)
