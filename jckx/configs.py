@@ -180,7 +180,9 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
         }
     )
     cfg.gp_in_d_grad = bool(ns.gp_in_d_grad)
-    cfg.mesh_shape = tuple(int(x) for x in ns.mesh_shape.split(",")) if ns.mesh_shape else None
+    from jckx.parallel import parse_mesh_shape
+
+    cfg.mesh_shape = parse_mesh_shape(ns.mesh_shape)
     cfg.mesh_axes = tuple(ns.mesh_axes.split(","))
     # dataset-dependent geometry defaults
     if cfg.dataset == "cifar10":

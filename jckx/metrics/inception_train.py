@@ -203,10 +203,9 @@ def train(args):
 
     mesh = None
     if getattr(args, "mesh_shape", ""):
-        from jckx.parallel import make_mesh
+        from jckx.parallel import make_mesh, parse_mesh_shape
 
-        shape = tuple(int(v) for v in str(args.mesh_shape).split(","))
-        mesh = make_mesh(shape, ("data",))
+        mesh = make_mesh(parse_mesh_shape(args.mesh_shape), ("data",))
         if args.batch_size % mesh.shape["data"]:
             raise ValueError(
                 f"batch_size {args.batch_size} not divisible by data axis "

@@ -264,18 +264,7 @@ class Metrics:
             images = np.concatenate([images, images[-1:].repeat(pad, axis=0)])
         row_bytes = max(1, int(images[:1].nbytes))
         batches_per_slab = max(1, self._SLAB_BYTES // (row_bytes * bs))
-
-        # slice-on-device fused into the feature call: an eager device-array
-        # slice is its own ~0.4 s dispatch on the remote runtime, doubling
-        # the launch count; dynamic_slice inside the jit keeps it at one.
-        # Cached per (pipeline, batch) so repeated evals reuse the executable.
-        cache_key = (id(fn), bs)
-        fn_at = self._fn_at_cache.get(cache_key)
-        if fn_at is None:
-            fn_at = jax.jit(
-                lambda slab, i: fn(jax.lax.dynamic_slice_in_dim(slab, i * bs, bs, axis=0))
-            )
-            self._fn_at_cache[cache_key] = fn_at
+        fn_at = self._fn_at(fn, bs)
 
         # multi-slab sets: pad the tail so every slab shares ONE executable
         # (a second static shape costs a 10-300 s remote compile)
@@ -315,6 +304,16 @@ class Metrics:
             images_dev = jnp.concatenate(
                 [images_dev, jnp.repeat(images_dev[-1:], pad, axis=0)]
             )
+        fn_at = self._fn_at(fn, bs)
+        outs = [fn_at(images_dev, i) for i in range(nb)]
+        return np.asarray(jnp.concatenate(outs), np.float32)[:n]
+
+    def _fn_at(self, fn, bs: int):
+        """Jitted batch-i-of-slab executable, cached per (pipeline, batch).
+
+        Slice-on-device fused into the feature call: an eager device-array
+        slice is its own ~0.4 s dispatch on the remote runtime, doubling the
+        launch count; dynamic_slice inside the jit keeps it at one."""
         cache_key = (id(fn), bs)
         fn_at = self._fn_at_cache.get(cache_key)
         if fn_at is None:
@@ -322,8 +321,7 @@ class Metrics:
                 lambda slab, i: fn(jax.lax.dynamic_slice_in_dim(slab, i * bs, bs, axis=0))
             )
             self._fn_at_cache[cache_key] = fn_at
-        outs = [fn_at(images_dev, i) for i in range(nb)]
-        return np.asarray(jnp.concatenate(outs), np.float32)[:n]
+        return fn_at
 
     def _extract_u8(self, u8_images) -> np.ndarray:
         return self._batched(self._features_from_u8, u8_images)

@@ -1,5 +1,6 @@
 from jckx.parallel.mesh import (  # noqa: F401
     make_mesh,
+    parse_mesh_shape,
     batch_sharding,
     replicated_sharding,
     shard_batch,

@@ -25,6 +25,11 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
+def parse_mesh_shape(spec: str):
+    """'4,2' → (4, 2); '' → None. The one parser for every CLI mesh flag."""
+    return tuple(int(v) for v in str(spec).split(",")) if spec else None
+
+
 def make_mesh(
     shape: Optional[Sequence[int]] = None,
     axes: Sequence[str] = (DATA_AXIS,),

@@ -254,9 +254,10 @@ class _BaseGANTrainer(Trainer):
 
         def sample_wrapped(params_g, *args):
             if gather_params:
-                # TP-sharded params → replicated for the sampler: the Pallas
-                # fused-BN kernel is a custom call GSPMD cannot partition;
-                # one all-gather per eval is noise at eval cadence
+                # safety net for direct callers with TP-sharded params: the
+                # Pallas fused-BN kernel is a custom call GSPMD cannot
+                # partition. The trainer's own eval path gathers once in
+                # _eval_params_g, making this a no-op there.
                 params_g = jax.device_put(params_g, repl)
             with pallas_inference():
                 return jitted_sample(params_g, *args)
