@@ -108,6 +108,9 @@ class Config:
     sample_count: int = 64             # fixed-noise eval grid (dcgan_trainer.py:143)
     metric_backbone: str = ""          # path to InceptionV3 checkpoint ('' = auto)
     sanitize: bool = False             # jax_debug_nans analog of set_detect_anomaly
+    # abort on non-finite step telemetry (checked at launch boundaries where
+    # the scalars are host-side anyway — zero extra device work)
+    nan_guard: bool = True
     multihost: bool = False            # jax.distributed.initialize() before mesh
     profile_dir: str = ""              # jax.profiler trace dir ('' = off)
     save_root: str = "./save"
@@ -157,6 +160,8 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--ema_decay", type=float, default=d.ema_decay)
     parser.add_argument("--metric_backbone", type=str, default=d.metric_backbone)
     parser.add_argument("--sanitize", action="store_true", default=d.sanitize)
+    parser.add_argument("--nan_guard", type=int, default=int(d.nan_guard),
+                        help="1 = abort when step telemetry goes non-finite (free check)")
     parser.add_argument("--multihost", action="store_true", default=d.multihost)
     parser.add_argument("--profile_dir", type=str, default=d.profile_dir)
     parser.add_argument("--save_root", type=str, default=d.save_root)
@@ -176,10 +181,11 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
         **{
             f.name: getattr(ns, f.name)
             for f in dataclasses.fields(Config)
-            if hasattr(ns, f.name) and f.name not in ("mesh_shape", "mesh_axes", "gp_in_d_grad", "save_path")
+            if hasattr(ns, f.name) and f.name not in ("mesh_shape", "mesh_axes", "gp_in_d_grad", "nan_guard", "save_path")
         }
     )
     cfg.gp_in_d_grad = bool(ns.gp_in_d_grad)
+    cfg.nan_guard = bool(ns.nan_guard)
     from jckx.parallel import parse_mesh_shape
 
     cfg.mesh_shape = parse_mesh_shape(ns.mesh_shape)

@@ -380,6 +380,23 @@ class _BaseGANTrainer(Trainer):
                     )
                 ms_np = {key: np.asarray(v) for key, v in ms.items()}  # (k,) + syncs
                 launch_dt = time.time() - t_launch
+                # failure detection (free: telemetry is already host-side at
+                # launch boundaries): a diverged run aborts loudly instead of
+                # training on garbage for hours. latest.ckpt still holds the
+                # last evaluated state for --resume; --sanitize additionally
+                # pinpoints the op that produced the first NaN.
+                if cfg.nan_guard:
+                    bad = [m for m, v in ms_np.items() if not np.isfinite(v).all()]
+                    if bad:
+                        self.logger.error(
+                            f"non-finite training metrics {bad} in steps "
+                            f"{it}..{it + k} — aborting (resume from "
+                            f"latest.ckpt; rerun with --sanitize to locate "
+                            f"the op; --nan_guard 0 to continue anyway)"
+                        )
+                        raise FloatingPointError(
+                            f"training diverged: non-finite {bad} by step {it + k}"
+                        )
                 last_metrics = {key: float(v[-1]) for key, v in ms_np.items()}
                 losses_d += ms_np["loss_d"].tolist()
                 losses_g += ms_np["loss_g"].tolist()

@@ -273,3 +273,46 @@ def test_auto_placement_threshold(tmp_path):
     last = tr.train()
     assert np.isfinite(last["loss_d"])
     MainLogger.reset()
+
+
+def test_nan_guard_aborts_on_divergence(tmp_path):
+    """A diverged run (non-finite step telemetry) aborts loudly instead of
+    training on; --nan_guard 0 disables."""
+    cfg = tiny_cfg(tmp_path)
+    cfg.eval_every = 0
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:32]
+    data_pre.labels_np = data_pre.labels_np[:32]
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(9))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    tr = DCGANTrainer(cfg, pg, pd, data_pre)
+    real_superstep = tr._superstep
+
+    def poisoned(*args):
+        state, ms = real_superstep(*args)
+        ms = {k: np.full_like(np.asarray(v), np.nan) for k, v in ms.items()}
+        return state, ms
+
+    tr._superstep = poisoned
+    with pytest.raises(FloatingPointError, match="diverged"):
+        tr.train()
+    MainLogger.reset()
+
+    # guard off → the run completes (logging NaNs, as before the guard)
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.eval_every = 0
+    cfg2.nan_guard = False
+    cfg2.save_path = os.path.join(str(tmp_path), "dcgan", "noguard")
+    pg2 = dcgan.generator_init(keys.next(), geo)
+    pd2 = dcgan.discriminator_init(keys.next(), geo)
+    tr2 = DCGANTrainer(cfg2, pg2, pd2, data_pre)
+    real2 = tr2._superstep
+    tr2._superstep = lambda *a: (lambda s, m: (s, {k: np.full_like(np.asarray(v), np.nan) for k, v in m.items()}))(*real2(*a))
+    last = tr2.train()
+    assert np.isnan(last["loss_d"])
+    MainLogger.reset()
