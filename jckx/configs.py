@@ -72,6 +72,9 @@ class Config:
     channels: int = 3
     dataset: str = "cifar100"          # cifar100 | cifar10 | mnist | synthetic
     data_dir: str = "./data"
+    # synthetic-fallback sample count (0 = 4096; 50000 reproduces the
+    # CIFAR-scale workload shape for reference-protocol runs without data)
+    synthetic_size: int = 0
 
     # --- seeding ---
     seed: int = RANDOMSEED
@@ -148,6 +151,7 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     # jckx extensions
     parser.add_argument("--dataset", type=str, default=d.dataset, choices=["cifar100", "cifar10", "mnist", "synthetic"])
     parser.add_argument("--data_dir", type=str, default=d.data_dir)
+    parser.add_argument("--synthetic_size", type=int, default=d.synthetic_size)
     parser.add_argument("--seed", type=int, default=d.seed)
     parser.add_argument("--lambda_gp", type=float, default=d.lambda_gp)
     parser.add_argument("--eval_every", type=int, default=d.eval_every)

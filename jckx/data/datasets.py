@@ -187,13 +187,14 @@ def _with_cache(name: str, data_dir: str, train: bool, loader):
 
 
 def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
-                 num_classes: int = 0):
+                 num_classes: int = 0, synthetic_n: int = 0):
     """Dispatch; returns (images uint8 NHWC, labels int32, num_classes,
     names, is_synthetic).
 
     Falls back to synthetic data (with the real geometry) when the named
-    archive is absent — callers log the substitution. ``num_classes``
-    overrides the class count for the synthetic path only.
+    archive is absent — callers log the substitution. ``num_classes`` and
+    ``synthetic_n`` (sample count; 0 = 4096 default, 50000 = CIFAR-scale
+    for reference-protocol runs) apply to the synthetic path only.
     """
     try:
         if name == "cifar100":
@@ -213,5 +214,5 @@ def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
     ch = 1 if name == "mnist" else 3
     ncls = num_classes or (10 if name in ("cifar10", "mnist") else 100)
     names = CIFAR100_CLASSES if ncls == 100 else [str(i) for i in range(ncls)]
-    x, y = synthetic_dataset(4096, 32 if ch == 3 else 28, ch, ncls, seed)
+    x, y = synthetic_dataset(synthetic_n or 4096, 32 if ch == 3 else 28, ch, ncls, seed)
     return x, y, ncls, names, True

@@ -182,6 +182,7 @@ class DCGANDataPreprocessor:
         x, y, ncls, names, synthetic = load_dataset(
             cfg.dataset, cfg.data_dir, train=True, seed=cfg.seed,
             num_classes=cfg.num_classes,
+            synthetic_n=getattr(cfg, "synthetic_size", 0),
         )
         if synthetic and cfg.dataset != "synthetic":
             self._logger.warning(
