@@ -115,10 +115,13 @@ def _bconv_apply(p, x, stride=1, padding=0, eps=1e-3):
     """
     y = conv2d(x, p["w"].astype(x.dtype), stride=stride, padding=padding)
     if _bn_ctx is not None:
-        yf = y.astype(jnp.float32)
-        axes = (0, 1, 2)
-        mean = jnp.mean(yf, axis=axes)
-        var = jnp.mean(jnp.square(yf), axis=axes) - jnp.square(mean)
+        # Fused batch-stat BN + ReLU with a hand-written VJP (ops/norm.py):
+        # one moment sweep + one normalize pass forward, one fused reduction
+        # sweep + one elementwise pass backward, and no f32 full-tensor
+        # residuals — see the perf note in ops/norm.py.
+        from jckx.ops.norm import bn_relu_train
+
+        out, mean, var = bn_relu_train(y, p["bn_scale"], p["bn_bias"], eps)
         n = y.size // y.shape[-1]
         unbiased = var * (n / max(n - 1, 1))
         mom = _bn_ctx.momentum
@@ -126,9 +129,9 @@ def _bconv_apply(p, x, stride=1, padding=0, eps=1e-3):
             (1 - mom) * p["bn_mean"].astype(jnp.float32) + mom * mean,
             (1 - mom) * p["bn_var"].astype(jnp.float32) + mom * unbiased,
         )
-    else:
-        mean = p["bn_mean"].astype(jnp.float32)
-        var = p["bn_var"].astype(jnp.float32)
+        return out
+    mean = p["bn_mean"].astype(jnp.float32)
+    var = p["bn_var"].astype(jnp.float32)
     inv = jax.lax.rsqrt(var + eps) * p["bn_scale"].astype(jnp.float32)
     shift = p["bn_bias"].astype(jnp.float32) - mean * inv
     y = y.astype(jnp.float32) * inv + shift

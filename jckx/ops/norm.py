@@ -16,6 +16,7 @@ Statistics are computed in float32 regardless of the activation dtype.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -53,3 +54,106 @@ def batch_norm(
     new_mean = (1 - momentum) * run_mean + momentum * mean
     new_var = (1 - momentum) * run_var + momentum * unbiased
     return y, (new_mean, new_var)
+
+
+# --------------------------------------------------------------------------
+# Fused train-mode BN + ReLU with a hand-written VJP.
+#
+# Train-mode batch-stat BN is the InceptionV3 fine-tune step's largest
+# non-conv cost (SURVEY §2 #18 workload). The hand-written VJP pins the
+# minimal pass structure in both directions:
+#   forward : ONE moment sweep (sum + self-einsum, f32 accumulation on bf16
+#             reads) + ONE elementwise normalize+relu pass.
+#   backward: ONE fused reduction sweep over (dy, x) producing dbeta and
+#             sum(dz*x) — dgamma = inv*(sum(dz*x) - mean*dbeta), so
+#             normalized activations are never materialized — + ONE
+#             elementwise pass for dx. Residuals are x itself (shared with
+#             the conv that produced it) plus per-channel vectors: no f32
+#             full-tensor intermediates survive the forward.
+#
+# Perf note (measured, v5e, 299²/bs128 fine-tune step): XLA's own
+# convert+reduce fusions already run the two-operand moment sweeps at
+# ~550 GB/s effective (275 GB/s per-read), and the elementwise passes sit
+# at the HBM floor, so this formulation is throughput-NEUTRAL vs naive
+# autodiff (69.7 vs 68.7 ms/step) — its value is the pinned structure and
+# memory behavior. Hand-written Pallas accumulation kernels for the same
+# reductions were measured 4-6x SLOWER than XLA's reduce codegen
+# (40-80 GB/s) and were dropped; see README "speed of light" notes.
+#
+# The mean/var outputs exist for the running-stat update and are defined as
+# gradient-free (stop_gradient semantics) — exactly how torch treats
+# running stats and how the fine-tune step consumes them.
+# --------------------------------------------------------------------------
+
+
+def _bn_moments(x, n):
+    """Per-channel (mean, E[x^2]) in one logical sweep of x: the sum and the
+    self-contraction fuse into adjacent convert_reduce fusions (fastest
+    measured form). Reductions run over the ORIGINAL axes — no reshape — so
+    a batch-sharded x lowers to per-shard partial sums + one ICI all-reduce
+    (sync-BN), never a regather."""
+    axes = tuple(range(x.ndim - 1))
+    sub = "nhwc" if x.ndim == 4 else "nc"
+    s1 = jnp.sum(x, axis=axes, dtype=jnp.float32)
+    s2 = jnp.einsum(f"{sub},{sub}->c", x, x, preferred_element_type=jnp.float32)
+    return s1 / n, s2 / n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bn_relu_train(x: jax.Array, scale: jax.Array, bias: jax.Array,
+                  eps: float = 1e-3):
+    """relu(batch-norm(x)) with batch statistics, NHWC (or (N, C)).
+
+    Returns ``(out, mean, biased_var)``; out has x's dtype, stats are f32.
+    mean/var carry NO gradient (running-stat semantics). Differentiable
+    once (reverse mode); not for use under grad-of-grad (the GAN GP path
+    keeps the plain ``batch_norm`` above).
+    """
+    out, mean, var, _ = _bn_relu_fwd_impl(x, scale, bias, eps)
+    return out, mean, var
+
+
+def _bn_relu_fwd_impl(x, scale, bias, eps):
+    C = x.shape[-1]
+    n = x.size // C
+    mean, meansq = _bn_moments(x, n)
+    var = meansq - jnp.square(mean)
+    inv = jax.lax.rsqrt(var + eps)
+    a = scale.astype(jnp.float32) * inv
+    sh = bias.astype(jnp.float32) - mean * a
+    z = x.astype(jnp.float32) * a + sh
+    out = jnp.maximum(z, 0.0).astype(x.dtype)
+    return out, mean, var, (a, sh, inv, mean)
+
+
+def _bn_relu_fwd(x, scale, bias, eps):
+    out, mean, var, (a, sh, inv, mean_) = _bn_relu_fwd_impl(x, scale, bias, eps)
+    return (out, mean, var), (x, a, sh, inv, mean)
+
+
+def _bn_relu_bwd(eps, res, cts):
+    x, a, sh, inv, mean = res
+    do = cts[0]  # cotangents of mean/var: defined zero
+    C = x.shape[-1]
+    n = x.size // C
+    # dz = d(out)/d(pre-relu) — relu mask recomputed from x (nothing
+    # saved). Reduction operands stay in x's dtype so the self-einsum
+    # is an MXU-native bf16 contraction with f32 accumulation.
+    zpos = x.astype(jnp.float32) * a + sh > 0.0
+    dz = jnp.where(zpos, do, jnp.zeros((), do.dtype))
+    axes = tuple(range(x.ndim - 1))
+    sub = "nhwc" if x.ndim == 4 else "nc"
+    dbeta = jnp.sum(dz, axis=axes, dtype=jnp.float32)
+    s_dzx = jnp.einsum(f"{sub},{sub}->c", dz, x,
+                       preferred_element_type=jnp.float32)
+    dgamma = inv * (s_dzx - mean * dbeta)
+    # dx = a*(dz - dbeta/n - xhat*dgamma/n), dz/xhat recomputed inline
+    g1 = dbeta / n
+    g2 = dgamma / n
+    xf = x.astype(jnp.float32)
+    dzf = jnp.where(xf * a + sh > 0.0, do.astype(jnp.float32), 0.0)
+    dx = a * (dzf - g1 - (xf - mean) * inv * g2)
+    return dx.astype(x.dtype), dgamma, dbeta
+
+
+bn_relu_train.defvjp(_bn_relu_fwd, _bn_relu_bwd)
