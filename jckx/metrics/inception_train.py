@@ -192,10 +192,14 @@ def save_npz(path: str, params) -> None:
 
 def train(args):
     logger = MainLogger(args)
+    # synthetic_size: CIFAR proportions (train N, test N/5) so a 50k run
+    # reproduces the reference protocol (391 steps/epoch, 10k eval;
+    # inceptionnet.ipynb cell 14's "391it" loop) without archives.
+    syn_n = getattr(args, "synthetic_size", 0)
     x, y, ncls, _, synthetic = load_dataset(args.dataset, args.data_dir, train=True,
-                                            seed=args.seed)
+                                            seed=args.seed, synthetic_n=syn_n)
     xt, yt, _, _, _ = load_dataset(args.dataset, args.data_dir, train=False,
-                                   seed=args.seed + 1)
+                                   seed=args.seed + 1, synthetic_n=syn_n // 5)
     if synthetic:
         logger.warning("archive not found — fine-tuning on synthetic data")
     if x.shape[-1] == 1:
@@ -343,6 +347,9 @@ def get_args(argv=None):
                    help="network input side (299 = notebook parity; ≥75; smaller for smoke runs)")
     p.add_argument("--max_steps_per_epoch", type=int, default=0,
                    help="cap steps per epoch (0 = full epoch; smoke runs)")
+    p.add_argument("--synthetic_size", type=int, default=0,
+                   help="synthetic-fallback train-set size (0=4096; 50000 = "
+                        "reference protocol, test split sized N/5)")
     p.add_argument("--seed", type=int, default=12345)
     p.add_argument("--save_dir", default="./save/iception_v3")  # reference's (sic) dirname
     p.add_argument("--save_path", default="")  # logger compat

@@ -151,3 +151,21 @@ def test_finetune_superstep_sharded_matches_single():
     diff = np.linalg.norm(w_1 - w_8)
     update = np.linalg.norm(w_1 - w0)
     assert update > 0 and diff / update < 0.1, (diff, update)
+
+
+def test_synthetic_size_flag_reference_protocol():
+    """--synthetic_size 50000 reproduces the reference data protocol on the
+    synthetic fallback: 50k train / 10k test (CIFAR proportions), 390 full
+    batches per epoch (inceptionnet.ipynb cell 14's 391it loop, drop-last)."""
+    from jckx.data.datasets import load_dataset
+    from jckx.metrics.inception_train import get_args
+
+    a = get_args(["--dataset", "synthetic", "--synthetic_size", "1000"])
+    assert a.synthetic_size == 1000
+    x, y, ncls, _, syn = load_dataset(a.dataset, a.data_dir, train=True,
+                                      seed=a.seed, synthetic_n=a.synthetic_size)
+    xt, yt, _, _, _ = load_dataset(a.dataset, a.data_dir, train=False,
+                                   seed=a.seed + 1,
+                                   synthetic_n=a.synthetic_size // 5)
+    assert syn and x.shape == (1000, 32, 32, 3) and xt.shape == (200, 32, 32, 3)
+    assert ncls == 100 and y.dtype == np.int32
