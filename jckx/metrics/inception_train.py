@@ -193,8 +193,9 @@ def save_npz(path: str, params) -> None:
 def train(args):
     logger = MainLogger(args)
     # synthetic_size: CIFAR proportions (train N, test N/5) so a 50k run
-    # reproduces the reference protocol (391 steps/epoch, 10k eval;
-    # inceptionnet.ipynb cell 14's "391it" loop) without archives.
+    # reproduces the reference data scale (inceptionnet.ipynb cell 14's
+    # "391it" loop; drop-last batching makes it 390 full batches here,
+    # 10k eval) without archives.
     syn_n = getattr(args, "synthetic_size", 0)
     x, y, ncls, _, synthetic = load_dataset(args.dataset, args.data_dir, train=True,
                                             seed=args.seed, synthetic_n=syn_n)
@@ -252,6 +253,7 @@ def train(args):
         x_dev = eval_device_set(x_eval)
 
     best_acc, best_loss, patience = 0.0, 1e10, 0
+    epoch = -1  # sidecar-safe when the epoch budget is 0
     start = time.time()
     for epoch in range(args.epoch):
         order = rng.permutation(len(y))[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)

@@ -127,8 +127,8 @@ def _bn_relu_fwd_impl(x, scale, bias, eps):
 
 
 def _bn_relu_fwd(x, scale, bias, eps):
-    out, mean, var, (a, sh, inv, mean_) = _bn_relu_fwd_impl(x, scale, bias, eps)
-    return (out, mean, var), (x, a, sh, inv, mean)
+    out, mean, var, res = _bn_relu_fwd_impl(x, scale, bias, eps)
+    return (out, mean, var), (x,) + res
 
 
 def _bn_relu_bwd(eps, res, cts):

@@ -30,7 +30,7 @@ def scanner(body1):
         def body(c, _):
             out = body1(x + c.astype(x.dtype), c)
             leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.sum(leaf) * 1e-30, out
+            return jnp.sum(leaf, dtype=jnp.float32) * 1e-30, out
         c, outs = jax.lax.scan(body, jnp.asarray(0.0, jnp.float32), None, length=K)
         return c
     return run
