@@ -139,11 +139,16 @@ def make_superstep(raw_step, mesh=None):
     )
 
 
-def make_eval_fn(compute_dtype=jnp.bfloat16):
+def make_eval_fn(compute_dtype=jnp.bfloat16, image_size: int = 299):
+    """299 = notebook parity (Resize(299,299) eval transform); smaller
+    values exist for the CPU end-to-end test, mirroring make_train_step's
+    image_size hook."""
     @jax.jit
     def logits_fn(params, u8):
         x01 = u8.astype(jnp.float32) / 255.0
-        x = jax.image.resize(x01, (x01.shape[0], 299, 299, x01.shape[3]), "bilinear")
+        x = jax.image.resize(
+            x01, (x01.shape[0], image_size, image_size, x01.shape[3]),
+            "bilinear")
         x = (x - IMAGENET_MEAN_ARR) / IMAGENET_STD_ARR
         return inception_v3.apply(params, x.astype(compute_dtype), compute_dtype)
 
@@ -227,7 +232,7 @@ def train(args):
     )
     sstep = make_superstep(raw_step, mesh=mesh) if args.scan_steps > 0 else None
     opt_state = tx.init(params)
-    logits_fn = make_eval_fn()
+    logits_fn = make_eval_fn(image_size=getattr(args, "image_size", 299))
 
     rng = np.random.RandomState(args.seed)
     key = jax.random.PRNGKey(args.seed)
