@@ -195,6 +195,37 @@ def save_npz(path: str, params) -> None:
     np.savez_compressed(path, **flatten_params(jax.device_get(params)))
 
 
+def _save_train_state(path, opt_state, epoch, best_acc, best_loss, patience, key):
+    """Epoch-boundary resume state: optimizer leaves (momentum traces),
+    loop counters/bests, and the PRNG key. Params ride in last_bset.npz;
+    the epoch shuffle stream is reconstructed by fast-forwarding the
+    seeded RandomState (same recipe as the GAN trainer's resume)."""
+    leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(jax.device_get(opt_state))]
+    np.savez_compressed(
+        path,
+        meta=np.array([epoch, patience], np.int64),
+        bests=np.array([best_acc, best_loss], np.float64),
+        key=np.asarray(key),
+        **{f"opt_{i:04d}": l for i, l in enumerate(leaves)},
+    )
+
+
+def _load_train_state(path, opt_state_template):
+    z = np.load(path)
+    flat, treedef = jax.tree_util.tree_flatten(opt_state_template)
+    names = sorted(k for k in z.files if k.startswith("opt_"))
+    if len(names) != len(flat):
+        raise ValueError(
+            f"resume state {path} has {len(names)} optimizer leaves, "
+            f"expected {len(flat)} — optimizer or model shape changed"
+        )
+    leaves = [jnp.asarray(z[n]) for n in names]
+    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+    epoch, patience = (int(v) for v in z["meta"])
+    best_acc, best_loss = (float(v) for v in z["bests"])
+    return opt_state, epoch, best_acc, best_loss, patience, jnp.asarray(z["key"])
+
+
 def train(args):
     logger = MainLogger(args)
     # synthetic_size: CIFAR proportions (train N, test N/5) so a 50k run
@@ -259,8 +290,25 @@ def train(args):
 
     best_acc, best_loss, patience = 0.0, 1e10, 0
     epoch = -1  # sidecar-safe when the epoch budget is 0
+    start_epoch = 0
+    state_path = os.path.join(args.save_dir, "train_state.npz")
+    last_path = os.path.join(args.save_dir, "last_bset.npz")
+    if getattr(args, "resume", 0) and os.path.exists(state_path):
+        from jckx.metrics.metrics import _unflatten
+
+        with np.load(last_path) as z:
+            params = jax.tree_util.tree_map(
+                jnp.asarray, _unflatten({k: z[k] for k in z.files}))
+        opt_state, done_epoch, best_acc, best_loss, patience, key = (
+            _load_train_state(state_path, opt_state))
+        start_epoch = done_epoch + 1
+        epoch = done_epoch
+        for _ in range(start_epoch):  # fast-forward the shuffle stream
+            rng.permutation(len(y))
+        logger.debug(f"resumed at epoch {start_epoch} "
+                     f"(best top1 {best_acc:.4f}, best loss {best_loss:.4f})")
     start = time.time()
-    for epoch in range(args.epoch):
+    for epoch in range(start_epoch, args.epoch):
         order = rng.permutation(len(y))[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
         order_dev = jax.device_put(jnp.asarray(order.astype(np.int32)))  # ONE put/epoch
         losses, accs = [], []
@@ -287,6 +335,15 @@ def train(args):
                 accs.append(acc)
         tr_loss = float(jnp.mean(jnp.stack(losses)))
         tr_acc = float(jnp.mean(jnp.stack(accs)))
+        # failure detection (free: the epoch mean is already a host sync):
+        # abort a diverged run loudly; train_state.npz + last_bset.npz from
+        # the previous epoch remain valid for --resume.
+        if getattr(args, "nan_guard", 1) and not np.isfinite(tr_loss):
+            logger.error(
+                f"non-finite train loss at epoch {epoch} — aborting "
+                f"(--resume 1 restarts from the last finished epoch; "
+                f"--nan_guard 0 to continue anyway)")
+            raise FloatingPointError(f"training diverged: loss={tr_loss} at epoch {epoch}")
 
         ev = evaluate(params, logits_fn, xt_eval, yt_eval, device_images=xt_dev)
         tr_ev = {}
@@ -314,6 +371,8 @@ def train(args):
             save_npz(os.path.join(args.save_dir, "loss_bset.npz"), params)
         save_npz(os.path.join(args.save_dir, "last_bset.npz"), params)
         patience = 0 if improved else patience + 1
+        _save_train_state(state_path, opt_state, epoch, best_acc, best_loss,
+                          patience, key)
         if patience >= args.early_stop:
             logger.debug(f"early stopping at epoch {epoch} (patience {args.early_stop})")
             break
@@ -343,6 +402,10 @@ def get_args(argv=None):
     p.add_argument("-mlr", "--max_learning_rate", type=float, default=0.1)
     p.add_argument("-wd", "--weight_decay", type=float, default=5e-4)
     p.add_argument("--early_stop", type=int, default=10)
+    p.add_argument("--resume", type=int, default=0,
+                   help="1 = continue from save_dir's train_state.npz/last_bset.npz")
+    p.add_argument("--nan_guard", type=int, default=1,
+                   help="abort on non-finite epoch loss (0 = continue)")
     p.add_argument("--scan_steps", type=int, default=0,
                    help="steps per device launch via lax.scan (0 = per-step dispatch)")
     p.add_argument("--eval_samples", type=int, default=10000)

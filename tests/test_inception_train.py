@@ -200,3 +200,32 @@ def test_train_end_to_end_tiny(tmp_path):
     assert side["epochs_run"] == 2 and side["synthetic_fallback"] is True
     assert side["batch_size"] == 16 and side["best_top1"] == best_acc
     # eval ran at the train-side image_size (test hook; 299 = parity default)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    """2 epochs + --resume for 1 more ≡ 3 epochs straight: the saved
+    optimizer traces, PRNG key chain, and shuffle fast-forward reproduce
+    the uninterrupted trajectory bit-for-bit (GAN-trainer resume parity
+    for the backbone trainer)."""
+    from jckx.metrics.inception_train import get_args, train
+
+    def run(save, epochs, resume=0):
+        args = get_args([
+            "--dataset", "synthetic", "--synthetic_size", "32",
+            "-b", "8", "-e", str(epochs), "--image_size", "75",
+            "-mlr", "0.01", "--eval_samples", "8", "--scan_steps", "2",
+            "--resume", str(resume),
+            "--save_dir", str(save), "--save_path", str(tmp_path),
+        ])
+        return train(args)
+
+    a, b = tmp_path / "straight", tmp_path / "resumed"
+    run(a, 3)
+    run(b, 2)
+    run(b, 3, resume=1)
+
+    za = np.load(a / "last_bset.npz")
+    zb = np.load(b / "last_bset.npz")
+    assert set(za.files) == set(zb.files)
+    for k in za.files:
+        np.testing.assert_array_equal(za[k], zb[k], err_msg=k)
