@@ -19,11 +19,18 @@ import json
 import os
 from typing import Any, Optional, Tuple
 
+import jax
 from flax import serialization
 
 
 def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    # ONE batched device→host transfer up front: flax's to_bytes walks the
+    # tree calling np.asarray per leaf, which over the tunneled TPU runtime
+    # costs a ~0.4 s round-trip PER LEAF (measured: 13 s per checkpoint at
+    # every eval boundary vs 0.4 s once the host copies are cached).
+    # jax.device_get fetches the whole pytree in a single batched copy.
+    state = jax.device_get(state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(state))
