@@ -1,6 +1,7 @@
 from jckx.checkpoint.checkpoint import (  # noqa: F401
     save_checkpoint,
     restore_checkpoint,
+    flush_writes,
     BestMetricCheckpointer,
     latest_checkpoint,
 )

@@ -17,13 +17,52 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Optional, Tuple
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Any, Callable, List, Optional, Tuple
 
 import jax
 from flax import serialization
 
+# Single background writer: serialization + disk IO happen off the training
+# thread (async checkpointing). ONE worker keeps writes ordered, so the
+# reference retention policy (delete-previous-then-write) stays race-free.
+# The device→host fetch is always synchronous — the trainer's next donated
+# launch invalidates the device buffers, so state must leave the chip
+# before control returns.
+_writer: Optional[ThreadPoolExecutor] = None
+_writer_lock = threading.Lock()
+_pending: List[Future] = []
 
-def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None) -> None:
+
+def _submit(job: Callable[[], None]) -> None:
+    global _writer
+    with _writer_lock:
+        if _writer is None:
+            _writer = ThreadPoolExecutor(max_workers=1,
+                                         thread_name_prefix="jckx-ckpt")
+        _pending.append(_writer.submit(job))
+
+
+def flush_writes() -> None:
+    """Block until queued async checkpoint writes finish; re-raise the
+    first failure. Called at train end and before any restore."""
+    while _pending:
+        _pending.pop(0).result()
+
+
+def _write_checkpoint(path: str, host_state: Any, extra: Optional[dict]) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    os.replace(tmp, path)  # atomic — a crash mid-write can't corrupt latest
+    if extra is not None:
+        with open(path + ".json", "w") as f:
+            json.dump(extra, f)
+
+
+def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None,
+                    async_write: bool = False) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     # ONE batched device→host transfer up front: flax's to_bytes walks the
     # tree calling np.asarray per leaf, which over the tunneled TPU runtime
@@ -31,16 +70,14 @@ def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None) -> None
     # every eval boundary vs 0.4 s once the host copies are cached).
     # jax.device_get fetches the whole pytree in a single batched copy.
     state = jax.device_get(state)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(serialization.to_bytes(state))
-    os.replace(tmp, path)  # atomic — a crash mid-write can't corrupt latest
-    if extra is not None:
-        with open(path + ".json", "w") as f:
-            json.dump(extra, f)
+    if async_write:
+        _submit(lambda: _write_checkpoint(path, state, extra))
+    else:
+        _write_checkpoint(path, state, extra)
 
 
 def restore_checkpoint(path: str, template_state: Any) -> Tuple[Any, dict]:
+    flush_writes()  # a queued async write may target this very file
     with open(path, "rb") as f:
         data = f.read()
     try:
@@ -68,22 +105,31 @@ class BestMetricCheckpointer:
     """One retained checkpoint per metric subdir, reference retention policy
     (delete previous, filename encodes iters + metric values)."""
 
-    def __init__(self, run_dir: str):
+    def __init__(self, run_dir: str, async_write: bool = False):
         self.run_dir = run_dir
+        self.async_write = async_write
 
     def save(self, typ: str, iters: int, values: Tuple[float, ...], state: Any,
              extra: Optional[dict] = None) -> str:
         sub = os.path.join(self.run_dir, typ)
         os.makedirs(sub, exist_ok=True)
-        for fn in os.listdir(sub):
-            if fn.endswith(".ckpt") or fn.endswith(".ckpt.json"):
-                os.remove(os.path.join(sub, fn))
         tag = "_".join(f"{v:.04f}" for v in values)
         path = os.path.join(sub, f"{iters}_{tag}.ckpt")
-        save_checkpoint(path, state, extra)
+        host = jax.device_get(state)
+
+        def job():
+            for fn in os.listdir(sub):
+                if fn.endswith(".ckpt") or fn.endswith(".ckpt.json"):
+                    os.remove(os.path.join(sub, fn))
+            _write_checkpoint(path, host, extra)
+
+        if self.async_write:
+            _submit(job)  # delete+write as ONE ordered job
+        else:
+            job()
         return path
 
     def save_latest(self, state: Any, extra: Optional[dict] = None) -> str:
         path = os.path.join(self.run_dir, "latest.ckpt")
-        save_checkpoint(path, state, extra)
+        save_checkpoint(path, state, extra, async_write=self.async_write)
         return path

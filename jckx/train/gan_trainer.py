@@ -35,7 +35,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jckx.checkpoint import BestMetricCheckpointer, latest_checkpoint, restore_checkpoint
+from jckx.checkpoint import (BestMetricCheckpointer, flush_writes,
+                             latest_checkpoint, restore_checkpoint)
 from jckx.configs import Config
 from jckx.data.pipeline import decode_batch
 from jckx.logging.artifacts import save_image_grid, save_labeled_grid, save_loss_curve
@@ -145,7 +146,11 @@ class _BaseGANTrainer(Trainer):
 
         # run dir (reference: save/<model>/<ts>; created above, before logger)
         self.save_path = cfg.save_path
-        self.ckpt = BestMetricCheckpointer(self.save_path)
+        # async_write: serialization + disk IO run on a background writer
+        # thread (the device→host fetch stays synchronous — donation
+        # invalidates device buffers at the next launch); flushed at train
+        # end and before any restore.
+        self.ckpt = BestMetricCheckpointer(self.save_path, async_write=True)
         self.logger.debug(f"save path: {self.save_path}")
 
         self.bests = {"fid": 1e10, "is": 0.0, "intra_fid": 1e10}
@@ -432,6 +437,7 @@ class _BaseGANTrainer(Trainer):
 
         if self._streaming:
             self._stream.close()  # release gather threads (pool re-creates on reuse)
+        flush_writes()  # surface async checkpoint-write failures before exit
         end = time.time()
         self.logger.debug(f"train finish\ttime: {time_to_str(end - start)}")
         save_loss_curve(os.path.join(self.save_path, "loss.png"), losses_d, losses_g)

@@ -57,3 +57,24 @@ def test_latest_checkpoint_lookup(tmp_path):
     ck = BestMetricCheckpointer(str(tmp_path))
     ck.save_latest(_state())
     assert latest_checkpoint(str(tmp_path)).endswith("latest.ckpt")
+
+
+def test_async_write_ordering_and_flush(tmp_path):
+    """Async mode: queued writes land in order (retention delete+write is
+    one job), flush_writes surfaces completion, and restore reads the
+    LAST queued state even if called immediately after the saves."""
+    from jckx.checkpoint import flush_writes
+
+    ck = BestMetricCheckpointer(str(tmp_path), async_write=True)
+    s1, s2 = _state(1), _state(2)
+    ck.save_latest(s1)
+    ck.save("fid", 100, (1.0,), s1)
+    ck.save_latest(s2)          # supersedes s1's latest
+    ck.save("fid", 200, (0.5,), s2)  # retention: deletes the 100_ ckpt
+    restored, _ = restore_checkpoint(str(tmp_path / "latest.ckpt"), s1)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params_g["convt0"]),
+        np.asarray(s2.params_g["convt0"]))
+    flush_writes()
+    kept = [f for f in os.listdir(tmp_path / "fid") if f.endswith(".ckpt")]
+    assert kept == ["200_0.5000.ckpt"]
