@@ -170,7 +170,8 @@ def evaluate(params, logits_fn, images_u8, labels, batch_size=256, device_images
     outs = [logits_fn(params, dev[i * bs:(i + 1) * bs]) for i in range(nb)]
     logits = np.asarray(jnp.concatenate(outs), np.float32)[:n]
     top1 = (logits.argmax(-1) == labels).mean()
-    top5 = np.mean([labels[i] in np.argsort(logits[i])[-5:] for i in range(n)])
+    top5_idx = np.argpartition(logits, -5, axis=1)[:, -5:]  # vectorized top-5
+    top5 = (top5_idx == labels[:, None]).any(axis=1).mean()
     sup_pred = FINE_TO_SUPERCLASS[logits.argmax(-1) % 100]
     sup_true = FINE_TO_SUPERCLASS[labels % 100]
     sup = (sup_pred == sup_true).mean()
