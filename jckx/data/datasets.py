@@ -145,13 +145,25 @@ def load_mnist(data_dir: str, train: bool = True) -> Tuple[np.ndarray, np.ndarra
 
 
 def synthetic_dataset(
-    n: int = 2048, size: int = 32, channels: int = 3, num_classes: int = 100, seed: int = 0
+    n: int = 2048, size: int = 32, channels: int = 3, num_classes: int = 100, seed: int = 0,
+    cache_dir: str = "./data",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Deterministic class-structured fake data (smoke tests / no-egress runs).
 
     Each class gets a distinct smooth color/stripe pattern plus noise, so
     conditional models have real signal to fit.
+
+    Reference-scale sets are disk-cached (uncompressed .npz keyed by every
+    generation parameter): regenerating 50k images costs 30-240 s of
+    single-core numpy per launch; the cache loads in ~1 s.
     """
+    cache = None
+    if n >= 16384:
+        cache = os.path.join(
+            cache_dir, f"synthetic_{n}_{size}_{channels}_{num_classes}_{seed}.npz")
+        if os.path.exists(cache):
+            z = np.load(cache)
+            return z["x"], z["y"]
     rng = np.random.RandomState(seed)
     y = rng.randint(0, num_classes, size=n).astype(np.int32)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
@@ -163,7 +175,17 @@ def synthetic_dataset(
                          + yy[None] * ((y[:, None, None] % 3) + 1) * 0.25)
         )
     imgs += rng.randn(*imgs.shape).astype(np.float32) * 0.05
-    return (np.clip(imgs, 0, 1) * 255).astype(np.uint8), y
+    x = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+    if cache is not None:
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache + ".tmp.npz"
+            with open(tmp, "wb") as f:
+                np.savez(f, x=x, y=y)  # uncompressed: load speed is the point
+            os.replace(tmp, cache)
+        except OSError:
+            pass
+    return x, y
 
 
 def _with_cache(name: str, data_dir: str, train: bool, loader):

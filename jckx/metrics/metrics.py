@@ -67,6 +67,11 @@ class Metrics:
         # ---- backbone -----------------------------------------------------
         if backbone_params is not None:
             self.params = backbone_params
+            # explicit params: hash whatever leaves are host-resident (device
+            # leaves are skipped — reading them back can block for minutes
+            # through the tunnel); shapes still enter the fingerprint.
+            self._backbone_sig = self._content_sig(
+                jax.tree_util.tree_leaves(backbone_params))
         else:
             self.params = self._load_backbone(config)
 
@@ -139,16 +144,28 @@ class Metrics:
         h.update(np.ascontiguousarray(np.asarray(labels)).tobytes())
         h.update(np.int32(self.num_classes).tobytes())
         # backbone identity: every leaf SHAPE (tells class counts / geometries
-        # apart) + contents of a few small leaves (tells checkpoints apart).
-        # Content reads are capped to small vectors — a device→host read is
-        # ~0.4 s each through the TPU tunnel.
-        leaves = jax.tree_util.tree_leaves(self.params)
+        # apart) + a content signature computed from the HOST-side arrays at
+        # load time (_backbone_sig). Reading leaf contents back from the
+        # device here would hang: a cold device→host read through the TPU
+        # tunnel can block for MINUTES (measured: the fingerprint was the
+        # 3-17 min setup stall between backbone load and feature extraction).
+        for leaf in jax.tree_util.tree_leaves(self.params):
+            h.update(repr(tuple(getattr(leaf, "shape", ()))).encode())
+        h.update(self._backbone_sig.encode())
+        return h.hexdigest()[:12]
+
+    @staticmethod
+    def _content_sig(leaves) -> str:
+        """Hash a few small HOST arrays (numpy only — never device reads)."""
+        import hashlib
+
+        h = hashlib.sha1()
         sampled = 0
         for leaf in leaves:
-            shape = tuple(getattr(leaf, "shape", ()))
-            h.update(repr(shape).encode())
-            if sampled < 4 and 0 < int(np.prod(shape, dtype=np.int64)) <= 4096:
-                h.update(np.asarray(jax.device_get(leaf), np.float32).tobytes())
+            if sampled >= 4 or not isinstance(leaf, np.ndarray):
+                continue
+            if 0 < leaf.size <= 4096:
+                h.update(np.ascontiguousarray(leaf, dtype=np.float32).tobytes())
                 sampled += 1
         return h.hexdigest()[:12]
 
@@ -165,8 +182,9 @@ class Metrics:
         for c in candidates:
             if c and os.path.exists(c):
                 if c.endswith(".npz"):
-                    flat = np.load(c)
-                    params = _unflatten(dict(flat))
+                    flat = dict(np.load(c))
+                    self._backbone_sig = self._content_sig(flat.values())
+                    params = _unflatten(flat)
                     self._logger.debug(f"metric backbone loaded from {c}")
                     self._log_backbone_provenance(os.path.dirname(c))
                     return params
@@ -174,6 +192,8 @@ class Metrics:
                     import torch
 
                     sd = torch.load(c, map_location="cpu")
+                    self._backbone_sig = self._content_sig(
+                        [np.asarray(v) for v in sd.values()])
                     params = inception_v3.convert_torch_state_dict(sd)
                     self._logger.debug(f"metric backbone converted from torch ckpt {c}")
                     return params
@@ -184,6 +204,7 @@ class Metrics:
             "backbone; FID/IS are self-consistent but NOT comparable to the "
             "reference's absolute values"
         )
+        self._backbone_sig = f"seeded-random-0-{self.num_classes}"
         return inception_v3.init(0, num_classes=self.num_classes)
 
     def _log_backbone_provenance(self, ckpt_dir: str) -> None:
