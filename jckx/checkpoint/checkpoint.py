@@ -62,8 +62,15 @@ def _write_checkpoint(path: str, host_state: Any, extra: Optional[dict]) -> None
 
 
 def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None,
-                    async_write: bool = False) -> None:
+                    async_write: bool = False, async_fetch: bool = False) -> None:
+    """``async_fetch``: run even the device→host transfer on the writer
+    thread — the CALLER must guarantee the state's buffers are not donated
+    to a later launch (the trainers pass an un-donated on-device snapshot).
+    Implies async_write."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    if async_fetch:
+        _submit(lambda: _write_checkpoint(path, jax.device_get(state), extra))
+        return
     # ONE batched device→host transfer up front: flax's to_bytes walks the
     # tree calling np.asarray per leaf, which over the tunneled TPU runtime
     # costs a ~0.4 s round-trip PER LEAF (measured: 13 s per checkpoint at
@@ -105,9 +112,11 @@ class BestMetricCheckpointer:
     """One retained checkpoint per metric subdir, reference retention policy
     (delete previous, filename encodes iters + metric values)."""
 
-    def __init__(self, run_dir: str, async_write: bool = False):
+    def __init__(self, run_dir: str, async_write: bool = False,
+                 async_fetch: bool = False):
         self.run_dir = run_dir
-        self.async_write = async_write
+        self.async_write = async_write or async_fetch
+        self.async_fetch = async_fetch
 
     def save(self, typ: str, iters: int, values: Tuple[float, ...], state: Any,
              extra: Optional[dict] = None) -> str:
@@ -115,21 +124,23 @@ class BestMetricCheckpointer:
         os.makedirs(sub, exist_ok=True)
         tag = "_".join(f"{v:.04f}" for v in values)
         path = os.path.join(sub, f"{iters}_{tag}.ckpt")
-        host = jax.device_get(state)
+        host = state if self.async_fetch else jax.device_get(state)
 
         def job():
+            payload = jax.device_get(host)  # no-op when already fetched
             for fn in os.listdir(sub):
                 if fn.endswith(".ckpt") or fn.endswith(".ckpt.json"):
                     os.remove(os.path.join(sub, fn))
-            _write_checkpoint(path, host, extra)
+            _write_checkpoint(path, payload, extra)
 
         if self.async_write:
-            _submit(job)  # delete+write as ONE ordered job
+            _submit(job)  # delete+(fetch+)write as ONE ordered job
         else:
             job()
         return path
 
     def save_latest(self, state: Any, extra: Optional[dict] = None) -> str:
         path = os.path.join(self.run_dir, "latest.ckpt")
-        save_checkpoint(path, state, extra, async_write=self.async_write)
+        save_checkpoint(path, state, extra, async_write=self.async_write,
+                        async_fetch=self.async_fetch)
         return path

@@ -146,11 +146,14 @@ class _BaseGANTrainer(Trainer):
 
         # run dir (reference: save/<model>/<ts>; created above, before logger)
         self.save_path = cfg.save_path
-        # async_write: serialization + disk IO run on a background writer
-        # thread (the device→host fetch stays synchronous — donation
-        # invalidates device buffers at the next launch); flushed at train
-        # end and before any restore.
-        self.ckpt = BestMetricCheckpointer(self.save_path, async_write=True)
+        # async_fetch: the whole save — device→host transfer included —
+        # runs on a background writer thread. Safe because _evaluate hands
+        # the checkpointer an UN-DONATED on-device snapshot (one fused XLA
+        # copy), so the next superstep's buffer donation can't invalidate
+        # it. Flushed at train end and before any restore.
+        self.ckpt = BestMetricCheckpointer(self.save_path, async_fetch=True)
+        self._snapshot_fn = jax.jit(
+            lambda st: jax.tree_util.tree_map(jnp.copy, st))
         self.logger.debug(f"save path: {self.save_path}")
 
         self.bests = {"fid": 1e10, "is": 0.0, "intra_fid": 1e10}
@@ -445,14 +448,16 @@ class _BaseGANTrainer(Trainer):
 
     # ---------------------------------------------------- checkpoint helper
 
-    def _save_best(self, typ: str, iters: int, values, images_denorm):
+    def _save_best(self, typ: str, iters: int, values, images_denorm,
+                   state_snap=None):
         extra = {"bests": self.bests, "iters": iters,
                  "serve_config": self._serve_config()}
-        self.ckpt.save(typ, iters, values, self.state, extra)
-        save_image_grid(
-            os.path.join(self.save_path, typ, f"{iters}_fake_image.png"),
-            images_denorm, ncol=8,
-        )
+        self.ckpt.save(typ, iters, values,
+                       self.state if state_snap is None else state_snap, extra)
+        path = os.path.join(self.save_path, typ, f"{iters}_fake_image.png")
+        from jckx.checkpoint.checkpoint import _submit
+
+        _submit(lambda: save_image_grid(path, images_denorm, ncol=8))
         self.logger.debug(f"{iters} model save ({typ})")
 
 
@@ -475,16 +480,17 @@ class DCGANTrainer(_BaseGANTrainer):
         self.logger.scalars({"step": iters, "fid": fid, "is": is_score})
 
         denorm = np.asarray(0.5 * fake.astype(jnp.float32) + 0.5, np.float32)
+        snap = self._snapshot_fn(self.state)  # un-donated buffers for the writer
         if fid < self.bests["fid"]:
             self.bests["fid"] = fid
             self.logger.debug(f"{iters} lowest fid")
-            self._save_best("fid", iters, (fid,), denorm)
+            self._save_best("fid", iters, (fid,), denorm, snap)
         if is_score > self.bests["is"]:
             self.bests["is"] = is_score
             self.logger.debug(f"{iters} highest is")
-            self._save_best("is", iters, (is_score,), denorm)
+            self._save_best("is", iters, (is_score,), denorm, snap)
         self.ckpt.save_latest(
-            self.state,
+            snap,
             {"bests": self.bests, "losses": list(zip(losses_d, losses_g)),
              "serve_config": self._serve_config()},
         )
@@ -521,27 +527,29 @@ class CGANTrainer(_BaseGANTrainer):
         per_class = np.asarray(0.5 * fake[::10].astype(jnp.float32) + 0.5, np.float32)
         names = [self.data_pre.idx_to_labels[i] for i in range(self.num_classes)]
         values = (is_score, fid, intra)
+        snap = self._snapshot_fn(self.state)  # un-donated buffers for the writer
         if fid < self.bests["fid"]:
             self.bests["fid"] = fid
             self.logger.debug(f"{iters} lowest fid")
-            self._save_best("fid", iters, values, per_class)
+            self._save_best("fid", iters, values, per_class, snap)
         if intra < self.bests["intra_fid"]:
             self.bests["intra_fid"] = intra
             self.logger.debug(f"{iters} lowest intra fid")
-            self._save_best("intra_fid", iters, values, per_class)
+            self._save_best("intra_fid", iters, values, per_class, snap)
         if is_score > self.bests["is"]:
             self.bests["is"] = is_score
             self.logger.debug(f"{iters} highest is")
-            self._save_best("is", iters, values, per_class)
+            self._save_best("is", iters, values, per_class, snap)
 
         img_dir = os.path.join(self.save_path, "img")
-        save_labeled_grid(
-            os.path.join(img_dir, f"{iters}_fake_image.png"),
-            per_class[: min(100, len(per_class))],
-            names[: min(100, len(names))],
-        )
+        from jckx.checkpoint.checkpoint import _submit
+
+        _panel_path = os.path.join(img_dir, f"{iters}_fake_image.png")
+        _panel_imgs = per_class[: min(100, len(per_class))]
+        _panel_names = names[: min(100, len(names))]
+        _submit(lambda: save_labeled_grid(_panel_path, _panel_imgs, _panel_names))
         self.ckpt.save_latest(
-            self.state,
+            snap,
             {"bests": self.bests, "losses": list(zip(losses_d, losses_g)),
              "serve_config": self._serve_config()},
         )
