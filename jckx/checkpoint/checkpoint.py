@@ -35,13 +35,23 @@ _writer_lock = threading.Lock()
 _pending: List[Future] = []
 
 
-def _submit(job: Callable[[], None]) -> None:
+def submit_write(job: Callable[[], None]) -> None:
+    """Public enqueue onto the ordered background writer (checkpoints,
+    artifact renders). Bounded: if the queue backs up past 8 jobs, the
+    caller blocks on the oldest (natural backpressure — an unbounded queue
+    would pin state snapshots in memory for every lagging eval/epoch)."""
     global _writer
     with _writer_lock:
         if _writer is None:
             _writer = ThreadPoolExecutor(max_workers=1,
                                          thread_name_prefix="jckx-ckpt")
+        _pending[:] = [f for f in _pending if not f.done()]  # drop finished
+        while len(_pending) > 8:
+            _pending.pop(0).result()
         _pending.append(_writer.submit(job))
+
+
+_submit = submit_write  # internal alias
 
 
 def flush_writes() -> None:

@@ -158,12 +158,18 @@ def synthetic_dataset(
     single-core numpy per launch; the cache loads in ~1 s.
     """
     cache = None
-    if n >= 16384:
+    if n >= 8192:  # covers the reference-protocol 10k valid split too
         cache = os.path.join(
             cache_dir, f"synthetic_{n}_{size}_{channels}_{num_classes}_{seed}.npz")
         if os.path.exists(cache):
-            z = np.load(cache)
-            return z["x"], z["y"]
+            try:
+                z = np.load(cache)
+                return z["x"], z["y"]
+            except Exception:  # noqa: BLE001 — e.g. a racer's torn write
+                try:
+                    os.remove(cache)
+                except OSError:
+                    pass
     rng = np.random.RandomState(seed)
     y = rng.randint(0, num_classes, size=n).astype(np.int32)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
@@ -179,7 +185,7 @@ def synthetic_dataset(
     if cache is not None:
         try:
             os.makedirs(cache_dir, exist_ok=True)
-            tmp = cache + ".tmp.npz"
+            tmp = f"{cache}.tmp.{os.getpid()}.npz"  # unique: parallel launches
             with open(tmp, "wb") as f:
                 np.savez(f, x=x, y=y)  # uncompressed: load speed is the point
             os.replace(tmp, cache)
@@ -236,5 +242,6 @@ def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
     ch = 1 if name == "mnist" else 3
     ncls = num_classes or (10 if name in ("cifar10", "mnist") else 100)
     names = CIFAR100_CLASSES if ncls == 100 else [str(i) for i in range(ncls)]
-    x, y = synthetic_dataset(synthetic_n or 4096, 32 if ch == 3 else 28, ch, ncls, seed)
+    x, y = synthetic_dataset(synthetic_n or 4096, 32 if ch == 3 else 28, ch, ncls, seed,
+                             cache_dir=data_dir)
     return x, y, ncls, names, True

@@ -205,24 +205,29 @@ def save_npz(path: str, params, async_write: bool = False) -> None:
         os.replace(tmp, path)
 
     if async_write:
-        from jckx.checkpoint.checkpoint import _submit
+        from jckx.checkpoint.checkpoint import submit_write
 
-        _submit(job)
+        submit_write(job)
     else:
         job()
 
 
-def _save_train_state(path, opt_state, epoch, best_acc, best_loss, patience, key):
-    """Epoch-boundary resume state: optimizer leaves (momentum traces),
-    loop counters/bests, and the PRNG key. Params ride in last_bset.npz;
-    the epoch shuffle stream is reconstructed by fast-forwarding the
-    seeded RandomState (same recipe as the GAN trainer's resume)."""
+def _save_train_state(path, params, opt_state, epoch, best_acc, best_loss,
+                      patience, key):
+    """Epoch-boundary resume state in ONE atomic file: params, optimizer
+    leaves (momentum traces), loop counters/bests, and the PRNG key —
+    splitting params into a second file would open a crash window pairing
+    epoch-N params with epoch-N-1 optimizer state. The epoch shuffle
+    stream is reconstructed by fast-forwarding the seeded RandomState
+    (same recipe as the GAN trainer's resume)."""
     leaves = [np.asarray(l) for l in jax.tree_util.tree_leaves(jax.device_get(opt_state))]
+    flat_params = flatten_params(jax.device_get(params))
     arrays = dict(
         meta=np.array([epoch, patience], np.int64),
         bests=np.array([best_acc, best_loss], np.float64),
         key=np.asarray(key),
         **{f"opt_{i:04d}": l for i, l in enumerate(leaves)},
+        **{f"p::{k}": v for k, v in flat_params.items()},
     )
 
     def job():
@@ -231,12 +236,14 @@ def _save_train_state(path, opt_state, epoch, best_acc, best_loss, patience, key
             np.savez_compressed(f, **arrays)
         os.replace(tmp, path)
 
-    from jckx.checkpoint.checkpoint import _submit
+    from jckx.checkpoint.checkpoint import submit_write
 
-    _submit(job)
+    submit_write(job)
 
 
 def _load_train_state(path, opt_state_template):
+    from jckx.metrics.metrics import _unflatten
+
     z = np.load(path)
     flat, treedef = jax.tree_util.tree_flatten(opt_state_template)
     names = sorted(k for k in z.files if k.startswith("opt_"))
@@ -249,7 +256,10 @@ def _load_train_state(path, opt_state_template):
     opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
     epoch, patience = (int(v) for v in z["meta"])
     best_acc, best_loss = (float(v) for v in z["bests"])
-    return opt_state, epoch, best_acc, best_loss, patience, jnp.asarray(z["key"])
+    pflat = {k[len("p::"):]: z[k] for k in z.files if k.startswith("p::")}
+    params = jax.tree_util.tree_map(jnp.asarray, _unflatten(pflat)) if pflat else None
+    return (params, opt_state, epoch, best_acc, best_loss, patience,
+            jnp.asarray(z["key"]))
 
 
 def train(args):
@@ -325,11 +335,14 @@ def train(args):
 
         flush_writes()  # an in-process prior train() may still be writing
 
-        with np.load(last_path) as z:
-            params = jax.tree_util.tree_map(
-                jnp.asarray, _unflatten({k: z[k] for k in z.files}))
-        opt_state, done_epoch, best_acc, best_loss, patience, key = (
-            _load_train_state(state_path, opt_state))
+        (rparams, opt_state, done_epoch, best_acc, best_loss, patience,
+         key) = _load_train_state(state_path, opt_state)
+        if rparams is not None:
+            params = rparams
+        else:  # legacy state file (pre params-in-state): params from last_bset
+            with np.load(last_path) as z:
+                params = jax.tree_util.tree_map(
+                    jnp.asarray, _unflatten({k: z[k] for k in z.files}))
         start_epoch = done_epoch + 1
         epoch = done_epoch
         for _ in range(start_epoch):  # fast-forward the shuffle stream
@@ -369,9 +382,10 @@ def train(args):
         # the previous epoch remain valid for --resume.
         if getattr(args, "nan_guard", 1) and not np.isfinite(tr_loss):
             logger.error(
-                f"non-finite train loss at epoch {epoch} — aborting "
-                f"(--resume 1 restarts from the last finished epoch; "
-                f"--nan_guard 0 to continue anyway)")
+                f"non-finite train loss at epoch {epoch} — aborting. "
+                f"--resume 1 restarts from the last finished epoch but "
+                f"replays it bit-identically: lower -mlr (or change --seed) "
+                f"when resuming, or --nan_guard 0 to continue anyway")
             raise FloatingPointError(f"training diverged: loss={tr_loss} at epoch {epoch}")
 
         ev = evaluate(params, logits_fn, xt_eval, yt_eval, device_images=xt_dev)
@@ -403,8 +417,8 @@ def train(args):
         save_npz(os.path.join(args.save_dir, "last_bset.npz"), params,
                  async_write=True)
         patience = 0 if improved else patience + 1
-        _save_train_state(state_path, opt_state, epoch, best_acc, best_loss,
-                          patience, key)
+        _save_train_state(state_path, params, opt_state, epoch, best_acc,
+                          best_loss, patience, key)
         if patience >= args.early_stop:
             logger.debug(f"early stopping at epoch {epoch} (patience {args.early_stop})")
             break

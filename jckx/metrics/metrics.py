@@ -69,9 +69,20 @@ class Metrics:
             self.params = backbone_params
             # explicit params: hash whatever leaves are host-resident (device
             # leaves are skipped — reading them back can block for minutes
-            # through the tunnel); shapes still enter the fingerprint.
-            self._backbone_sig = self._content_sig(
-                jax.tree_util.tree_leaves(backbone_params))
+            # through the tunnel); shapes still enter the fingerprint. When
+            # NOTHING is host-resident the signature degrades to a per-run
+            # unique tag: re-extracting features is correct-but-slow, a
+            # silent cache collision between two same-shape backbones is not.
+            leaves = jax.tree_util.tree_leaves(backbone_params)
+            if any(isinstance(l, np.ndarray) for l in leaves):
+                self._backbone_sig = self._content_sig(leaves)
+            else:
+                import uuid
+
+                self._backbone_sig = f"unhashed-{uuid.uuid4().hex[:12]}"
+                self._logger.warning(
+                    "backbone_params are device-resident; real-feature cache "
+                    "keyed per-run (pass host numpy params to enable reuse)")
         else:
             self.params = self._load_backbone(config)
 

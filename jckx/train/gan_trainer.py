@@ -450,14 +450,16 @@ class _BaseGANTrainer(Trainer):
 
     def _save_best(self, typ: str, iters: int, values, images_denorm,
                    state_snap=None):
-        extra = {"bests": self.bests, "iters": iters,
+        # snapshot bests: the writer json.dumps later; the live dict keeps
+        # mutating and would stamp future bests onto this state's sidecar
+        extra = {"bests": dict(self.bests), "iters": iters,
                  "serve_config": self._serve_config()}
         self.ckpt.save(typ, iters, values,
                        self.state if state_snap is None else state_snap, extra)
         path = os.path.join(self.save_path, typ, f"{iters}_fake_image.png")
-        from jckx.checkpoint.checkpoint import _submit
+        from jckx.checkpoint.checkpoint import submit_write
 
-        _submit(lambda: save_image_grid(path, images_denorm, ncol=8))
+        submit_write(lambda: save_image_grid(path, images_denorm, ncol=8))
         self.logger.debug(f"{iters} model save ({typ})")
 
 
@@ -491,7 +493,7 @@ class DCGANTrainer(_BaseGANTrainer):
             self._save_best("is", iters, (is_score,), denorm, snap)
         self.ckpt.save_latest(
             snap,
-            {"bests": self.bests, "losses": list(zip(losses_d, losses_g)),
+            {"bests": dict(self.bests), "losses": list(zip(losses_d, losses_g)),
              "serve_config": self._serve_config()},
         )
 
@@ -542,14 +544,14 @@ class CGANTrainer(_BaseGANTrainer):
             self._save_best("is", iters, values, per_class, snap)
 
         img_dir = os.path.join(self.save_path, "img")
-        from jckx.checkpoint.checkpoint import _submit
+        from jckx.checkpoint.checkpoint import submit_write
 
         _panel_path = os.path.join(img_dir, f"{iters}_fake_image.png")
         _panel_imgs = per_class[: min(100, len(per_class))]
         _panel_names = names[: min(100, len(names))]
-        _submit(lambda: save_labeled_grid(_panel_path, _panel_imgs, _panel_names))
+        submit_write(lambda: save_labeled_grid(_panel_path, _panel_imgs, _panel_names))
         self.ckpt.save_latest(
             snap,
-            {"bests": self.bests, "losses": list(zip(losses_d, losses_g)),
+            {"bests": dict(self.bests), "losses": list(zip(losses_d, losses_g)),
              "serve_config": self._serve_config()},
         )
