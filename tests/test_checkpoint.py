@@ -78,3 +78,28 @@ def test_async_write_ordering_and_flush(tmp_path):
     flush_writes()
     kept = [f for f in os.listdir(tmp_path / "fid") if f.endswith(".ckpt")]
     assert kept == ["200_0.5000.ckpt"]
+
+
+def test_submit_write_backpressure_and_pruning():
+    """The writer queue prunes finished futures and blocks past 8 queued
+    jobs instead of pinning snapshots without bound."""
+    import threading
+    import time as _time
+
+    from jckx.checkpoint import flush_writes
+    from jckx.checkpoint.checkpoint import _pending, submit_write
+
+    gate = threading.Event()
+    ran = []
+    submit_write(gate.wait)  # blocks the single worker
+    for i in range(8):
+        submit_write(lambda i=i: ran.append(i))
+    assert len(_pending) == 9
+
+    t0 = _time.perf_counter()
+    t = threading.Timer(0.3, gate.set)
+    t.start()
+    submit_write(lambda: ran.append(99))  # must block until the gate opens
+    assert _time.perf_counter() - t0 >= 0.25
+    flush_writes()
+    assert ran[-1] == 99 and len(ran) == 9 and not _pending

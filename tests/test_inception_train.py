@@ -229,3 +229,27 @@ def test_resume_matches_uninterrupted(tmp_path):
     assert set(za.files) == set(zb.files)
     for k in za.files:
         np.testing.assert_array_equal(za[k], zb[k], err_msg=k)
+
+
+def test_resume_legacy_state_without_params(tmp_path):
+    """A pre-atomic train_state.npz (no p:: params inside) still resumes:
+    params fall back to last_bset.npz."""
+    from jckx.checkpoint import flush_writes
+    from jckx.metrics.inception_train import get_args, train
+
+    save = tmp_path / "bk"
+    args = lambda e, r=0: get_args([
+        "--dataset", "synthetic", "--synthetic_size", "32",
+        "-b", "8", "-e", str(e), "--image_size", "75",
+        "-mlr", "0.01", "--eval_samples", "8", "--scan_steps", "2",
+        "--resume", str(r), "--save_dir", str(save), "--save_path", str(tmp_path),
+    ])
+    train(args(1))
+    flush_writes()
+    sp = save / "train_state.npz"
+    z = dict(np.load(sp))
+    legacy = {k: v for k, v in z.items() if not k.startswith("p::")}
+    with open(sp, "wb") as f:
+        np.savez_compressed(f, **legacy)
+    best_acc, best_loss = train(args(2, r=1))
+    assert np.isfinite(best_loss) and best_loss < 1e9
