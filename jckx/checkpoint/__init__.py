@@ -3,5 +3,6 @@ from jckx.checkpoint.checkpoint import (  # noqa: F401
     restore_checkpoint,
     flush_writes,
     BestMetricCheckpointer,
+    DeviceSnapshot,
     latest_checkpoint,
 )

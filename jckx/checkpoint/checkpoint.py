@@ -27,28 +27,56 @@ from flax import serialization
 # Single background writer: serialization + disk IO happen off the training
 # thread (async checkpointing). ONE worker keeps writes ordered, so the
 # reference retention policy (delete-previous-then-write) stays race-free.
-# The device→host fetch is always synchronous — the trainer's next donated
-# launch invalidates the device buffers, so state must leave the chip
-# before control returns.
+# A failed write is never silently dropped: its exception is latched in
+# ``_first_error`` by a done-callback and re-raised at the next
+# submit_write/flush_writes — training cannot "succeed" past a checkpoint
+# that never landed (ENOSPC, serialization error, …).
 _writer: Optional[ThreadPoolExecutor] = None
 _writer_lock = threading.Lock()
 _pending: List[Future] = []
+_first_error: Optional[BaseException] = None
+
+
+def _note_done(fut: Future) -> None:
+    global _first_error
+    e = fut.exception()
+    if e is not None and _first_error is None:
+        _first_error = e
+
+
+def _raise_first_error() -> None:
+    """Re-raise (once) the earliest failed async write."""
+    global _first_error
+    if _first_error is not None:
+        e, _first_error = _first_error, None
+        raise e
 
 
 def submit_write(job: Callable[[], None]) -> None:
     """Public enqueue onto the ordered background writer (checkpoints,
     artifact renders). Bounded: if the queue backs up past 8 jobs, the
     caller blocks on the oldest (natural backpressure — an unbounded queue
-    would pin state snapshots in memory for every lagging eval/epoch)."""
+    would pin state snapshots in memory for every lagging eval/epoch).
+    The backpressure wait happens OUTSIDE ``_writer_lock`` so another
+    thread's enqueue is never stalled behind it."""
     global _writer
     with _writer_lock:
         if _writer is None:
             _writer = ThreadPoolExecutor(max_workers=1,
                                          thread_name_prefix="jckx-ckpt")
-        _pending[:] = [f for f in _pending if not f.done()]  # drop finished
-        while len(_pending) > 8:
-            _pending.pop(0).result()
-        _pending.append(_writer.submit(job))
+        # drop finished futures; failures were latched by _note_done
+        _pending[:] = [f for f in _pending if not f.done()]
+        overflow = _pending[: max(0, len(_pending) - 8)]
+        del _pending[: len(overflow)]
+        fut = _writer.submit(job)
+        fut.add_done_callback(_note_done)
+        _pending.append(fut)
+    for f in overflow:  # backpressure, lock released
+        try:
+            f.result()
+        except BaseException:  # noqa: BLE001 — latched; raised just below
+            pass
+    _raise_first_error()
 
 
 _submit = submit_write  # internal alias
@@ -56,9 +84,46 @@ _submit = submit_write  # internal alias
 
 def flush_writes() -> None:
     """Block until queued async checkpoint writes finish; re-raise the
-    first failure. Called at train end and before any restore."""
-    while _pending:
-        _pending.pop(0).result()
+    first failure (including failures that completed — and would otherwise
+    have been pruned — before this call). Called at train end and before
+    any restore."""
+    while True:
+        with _writer_lock:
+            if not _pending:
+                break
+            fut = _pending.pop(0)
+        try:
+            fut.result()
+        except BaseException:  # noqa: BLE001 — latched; raised below
+            pass
+    _raise_first_error()
+
+
+class DeviceSnapshot:
+    """Un-donated on-device state snapshot handed to the async writer.
+
+    The device→host transfer runs ONCE, on the writer thread, at the first
+    queued job that needs it; the device reference is dropped immediately
+    after, so the several saves of one eval boundary (best-fid + best-is +
+    latest) share a single host copy instead of each re-fetching a full
+    state through the tunnel — and at most one eval's snapshot stays pinned
+    in HBM while its jobs are queued."""
+
+    def __init__(self, dev_state: Any):
+        self._dev = dev_state
+        self._host = None
+        self._lock = threading.Lock()
+
+    def fetch(self) -> Any:
+        with self._lock:
+            if self._dev is not None:
+                self._host = jax.device_get(self._dev)
+                self._dev = None
+            return self._host
+
+
+def _host_of(state: Any) -> Any:
+    return state.fetch() if isinstance(state, DeviceSnapshot) else jax.device_get(state)
 
 
 def _write_checkpoint(path: str, host_state: Any, extra: Optional[dict]) -> None:
@@ -79,14 +144,14 @@ def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None,
     Implies async_write."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
     if async_fetch:
-        _submit(lambda: _write_checkpoint(path, jax.device_get(state), extra))
+        _submit(lambda: _write_checkpoint(path, _host_of(state), extra))
         return
     # ONE batched device→host transfer up front: flax's to_bytes walks the
     # tree calling np.asarray per leaf, which over the tunneled TPU runtime
     # costs a ~0.4 s round-trip PER LEAF (measured: 13 s per checkpoint at
     # every eval boundary vs 0.4 s once the host copies are cached).
     # jax.device_get fetches the whole pytree in a single batched copy.
-    state = jax.device_get(state)
+    state = _host_of(state)
     if async_write:
         _submit(lambda: _write_checkpoint(path, state, extra))
     else:
@@ -134,10 +199,10 @@ class BestMetricCheckpointer:
         os.makedirs(sub, exist_ok=True)
         tag = "_".join(f"{v:.04f}" for v in values)
         path = os.path.join(sub, f"{iters}_{tag}.ckpt")
-        host = state if self.async_fetch else jax.device_get(state)
+        host = state if self.async_fetch else _host_of(state)
 
         def job():
-            payload = jax.device_get(host)  # no-op when already fetched
+            payload = _host_of(host)  # no-op when already fetched
             for fn in os.listdir(sub):
                 if fn.endswith(".ckpt") or fn.endswith(".ckpt.json"):
                     os.remove(os.path.join(sub, fn))

@@ -163,8 +163,8 @@ def synthetic_dataset(
             cache_dir, f"synthetic_{n}_{size}_{channels}_{num_classes}_{seed}.npz")
         if os.path.exists(cache):
             try:
-                z = np.load(cache)
-                return z["x"], z["y"]
+                with np.load(cache) as z:
+                    return z["x"], z["y"]
             except Exception:  # noqa: BLE001 — e.g. a racer's torn write
                 try:
                     os.remove(cache)

@@ -244,22 +244,23 @@ def _save_train_state(path, params, opt_state, epoch, best_acc, best_loss,
 def _load_train_state(path, opt_state_template):
     from jckx.metrics.metrics import _unflatten
 
-    z = np.load(path)
-    flat, treedef = jax.tree_util.tree_flatten(opt_state_template)
-    names = sorted(k for k in z.files if k.startswith("opt_"))
-    if len(names) != len(flat):
-        raise ValueError(
-            f"resume state {path} has {len(names)} optimizer leaves, "
-            f"expected {len(flat)} — optimizer or model shape changed"
-        )
-    leaves = [jnp.asarray(z[n]) for n in names]
-    opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
-    epoch, patience = (int(v) for v in z["meta"])
-    best_acc, best_loss = (float(v) for v in z["bests"])
-    pflat = {k[len("p::"):]: z[k] for k in z.files if k.startswith("p::")}
-    params = jax.tree_util.tree_map(jnp.asarray, _unflatten(pflat)) if pflat else None
-    return (params, opt_state, epoch, best_acc, best_loss, patience,
-            jnp.asarray(z["key"]))
+    with np.load(path) as z:
+        flat, treedef = jax.tree_util.tree_flatten(opt_state_template)
+        names = sorted(k for k in z.files if k.startswith("opt_"))
+        if len(names) != len(flat):
+            raise ValueError(
+                f"resume state {path} has {len(names)} optimizer leaves, "
+                f"expected {len(flat)} — optimizer or model shape changed"
+            )
+        leaves = [jnp.asarray(z[n]) for n in names]
+        opt_state = jax.tree_util.tree_unflatten(treedef, leaves)
+        epoch, patience = (int(v) for v in z["meta"])
+        best_acc, best_loss = (float(v) for v in z["bests"])
+        pflat = {k[len("p::"):]: z[k] for k in z.files if k.startswith("p::")}
+        params = (jax.tree_util.tree_map(jnp.asarray, _unflatten(pflat))
+                  if pflat else None)
+        return (params, opt_state, epoch, best_acc, best_loss, patience,
+                jnp.asarray(z["key"]))
 
 
 def train(args):

@@ -67,15 +67,16 @@ class Metrics:
         # ---- backbone -----------------------------------------------------
         if backbone_params is not None:
             self.params = backbone_params
-            # explicit params: hash whatever leaves are host-resident (device
-            # leaves are skipped — reading them back can block for minutes
-            # through the tunnel); shapes still enter the fingerprint. When
-            # NOTHING is host-resident the signature degrades to a per-run
-            # unique tag: re-extracting features is correct-but-slow, a
-            # silent cache collision between two same-shape backbones is not.
-            leaves = jax.tree_util.tree_leaves(backbone_params)
-            if any(isinstance(l, np.ndarray) for l in leaves):
-                self._backbone_sig = self._content_sig(leaves)
+            # explicit params: hash whatever leaves are host-readable (numpy,
+            # or jax.Arrays on a CPU backend — non-CPU device leaves are
+            # skipped: reading them back can block for minutes through the
+            # tunnel); shapes still enter the fingerprint. When NOTHING is
+            # host-readable the signature degrades to a per-run unique tag:
+            # re-extracting features is correct-but-slow, a silent cache
+            # collision between two same-shape backbones is not.
+            sig = self._content_sig(_flatten_leaves(backbone_params))
+            if sig is not None:
+                self._backbone_sig = sig
             else:
                 import uuid
 
@@ -129,7 +130,8 @@ class Metrics:
         tag = self._cache_fingerprint(real_images_u8, real_labels)
         cache = os.path.join(cache_dir, f"metric_data_jckx_{tag}.npz")
         if os.path.exists(cache):
-            self.real_features = np.load(cache)["features"]
+            with np.load(cache) as z:
+                self.real_features = z["features"]
             self._logger.debug(f"loaded cached real features {self.real_features.shape}")
         else:
             self._logger.debug(f"extracting real features for {len(real_labels)} images")
@@ -166,18 +168,35 @@ class Metrics:
         return h.hexdigest()[:12]
 
     @staticmethod
-    def _content_sig(leaves) -> str:
-        """Hash a few small HOST arrays (numpy only — never device reads)."""
+    def _content_sig(flat: dict) -> Optional[str]:
+        """Content fingerprint over a flat ``name → array`` backbone view.
+
+        Hashed in sorted-key order so the same weights produce the same tag
+        whether they arrive as an in-memory pytree, an .npz load, or a torch
+        state_dict (different iteration orders must not re-key the cache).
+        Covers the leaf count plus a ≤4096-element strided sample of EVERY
+        host-readable leaf — small BN vectors enter whole, large conv
+        kernels through a stride that still moves when the kernel does, so
+        any fine-tune epoch re-keys (a few MB of SHA1, milliseconds). Only
+        host-readable leaves enter (numpy, or jax.Arrays on a CPU backend —
+        a device read through the TPU tunnel can block for minutes).
+        Returns None when nothing is hashable."""
         import hashlib
 
+        arrs = {}
+        for k in sorted(flat):
+            a = _host_readable(flat[k])
+            if a is not None and a.size > 0:
+                arrs[str(k)] = a
+        if not arrs:
+            return None
         h = hashlib.sha1()
-        sampled = 0
-        for leaf in leaves:
-            if sampled >= 4 or not isinstance(leaf, np.ndarray):
-                continue
-            if 0 < leaf.size <= 4096:
-                h.update(np.ascontiguousarray(leaf, dtype=np.float32).tobytes())
-                sampled += 1
+        h.update(np.int64(len(flat)).tobytes())
+        for k, a in arrs.items():
+            flat_a = np.ascontiguousarray(a, dtype=np.float32).ravel()
+            stride = max(1, flat_a.size // 4096)
+            h.update(k.encode())
+            h.update(np.ascontiguousarray(flat_a[::stride][:4096]).tobytes())
         return h.hexdigest()[:12]
 
     # ------------------------------------------------------------ backbone
@@ -193,8 +212,12 @@ class Metrics:
         for c in candidates:
             if c and os.path.exists(c):
                 if c.endswith(".npz"):
-                    flat = dict(np.load(c))
-                    self._backbone_sig = self._content_sig(flat.values())
+                    with np.load(c) as zf:
+                        flat = dict(zf)
+                    # same flat "a/b/c" keys as _flatten_leaves of the pytree,
+                    # so explicit-params and npz-loaded backbones agree on the
+                    # signature (one extraction cache, not two)
+                    self._backbone_sig = self._content_sig(flat)
                     params = _unflatten(flat)
                     self._logger.debug(f"metric backbone loaded from {c}")
                     self._log_backbone_provenance(os.path.dirname(c))
@@ -204,7 +227,7 @@ class Metrics:
 
                     sd = torch.load(c, map_location="cpu")
                     self._backbone_sig = self._content_sig(
-                        [np.asarray(v) for v in sd.values()])
+                        {k: np.asarray(v) for k, v in sd.items()})
                     params = inception_v3.convert_torch_state_dict(sd)
                     self._logger.debug(f"metric backbone converted from torch ckpt {c}")
                     return params
@@ -440,6 +463,41 @@ class Metrics:
                 sigmas.append(sig)
             self._real_super_stats = (jnp.stack(mus), jnp.stack(sigmas))
         return self._real_super_stats
+
+
+def _host_readable(leaf) -> Optional[np.ndarray]:
+    """numpy view of a leaf iff reading it cannot touch an accelerator:
+    np.ndarray passes through; a jax.Array qualifies only when every one of
+    its shards lives on a CPU device (host memory). Returns None otherwise."""
+    if isinstance(leaf, np.ndarray):
+        return leaf
+    if isinstance(leaf, jax.Array):
+        try:
+            if all(d.platform == "cpu" for d in leaf.devices()):
+                return np.asarray(leaf)
+        except Exception:  # noqa: BLE001 — e.g. deleted/donated buffer
+            return None
+    return None
+
+
+def _flatten_leaves(params, prefix: str = "") -> dict:
+    """Flatten a nested-dict pytree to ``a/b/c → leaf`` WITHOUT converting
+    leaves (flatten_params calls np.asarray, which would block on device
+    arrays). Key format matches flatten_params / the .npz layout, so
+    signatures agree across load mechanisms."""
+    if not isinstance(params, dict):
+        from jax.tree_util import keystr, tree_flatten_with_path
+
+        return {keystr(kp): leaf
+                for kp, leaf in tree_flatten_with_path(params)[0]}
+    flat = {}
+    for k, v in params.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(_flatten_leaves(v, key))
+        else:
+            flat[key] = v
+    return flat
 
 
 def _unflatten(flat: dict) -> dict:

@@ -35,8 +35,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from jckx.checkpoint import (BestMetricCheckpointer, flush_writes,
-                             latest_checkpoint, restore_checkpoint)
+from jckx.checkpoint import (BestMetricCheckpointer, DeviceSnapshot,
+                             flush_writes, latest_checkpoint,
+                             restore_checkpoint)
 from jckx.configs import Config
 from jckx.data.pipeline import decode_batch
 from jckx.logging.artifacts import save_image_grid, save_labeled_grid, save_loss_curve
@@ -482,7 +483,9 @@ class DCGANTrainer(_BaseGANTrainer):
         self.logger.scalars({"step": iters, "fid": fid, "is": is_score})
 
         denorm = np.asarray(0.5 * fake.astype(jnp.float32) + 0.5, np.float32)
-        snap = self._snapshot_fn(self.state)  # un-donated buffers for the writer
+        # ONE un-donated snapshot per eval; the writer fetches it to host
+        # once and every save of this boundary shares that copy
+        snap = DeviceSnapshot(self._snapshot_fn(self.state))
         if fid < self.bests["fid"]:
             self.bests["fid"] = fid
             self.logger.debug(f"{iters} lowest fid")
@@ -529,7 +532,9 @@ class CGANTrainer(_BaseGANTrainer):
         per_class = np.asarray(0.5 * fake[::10].astype(jnp.float32) + 0.5, np.float32)
         names = [self.data_pre.idx_to_labels[i] for i in range(self.num_classes)]
         values = (is_score, fid, intra)
-        snap = self._snapshot_fn(self.state)  # un-donated buffers for the writer
+        # ONE un-donated snapshot per eval; the writer fetches it to host
+        # once and every save of this boundary shares that copy
+        snap = DeviceSnapshot(self._snapshot_fn(self.state))
         if fid < self.bests["fid"]:
             self.bests["fid"] = fid
             self.logger.debug(f"{iters} lowest fid")

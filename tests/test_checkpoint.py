@@ -103,3 +103,67 @@ def test_submit_write_backpressure_and_pruning():
     assert _time.perf_counter() - t0 >= 0.25
     flush_writes()
     assert ran[-1] == 99 and len(ran) == 9 and not _pending
+
+
+def test_async_write_failure_reraised_by_flush():
+    """A failing async write surfaces at flush_writes; the writer stays
+    usable afterwards (the latched error is raised exactly once)."""
+    import pytest
+
+    from jckx.checkpoint import flush_writes
+    from jckx.checkpoint.checkpoint import submit_write
+
+    def boom():
+        raise OSError("disk full")
+
+    submit_write(boom)
+    with pytest.raises(OSError, match="disk full"):
+        flush_writes()
+    submit_write(lambda: None)  # no stale error re-raised
+    flush_writes()
+
+
+def test_async_write_failure_survives_prune():
+    """A write that fails AND completes before the next enqueue must not be
+    silently dropped by the finished-future prune (ADVICE r2, medium): the
+    next submit_write re-raises it."""
+    from concurrent.futures import wait
+
+    import pytest
+
+    from jckx.checkpoint import flush_writes
+    from jckx.checkpoint.checkpoint import _pending, submit_write
+
+    def boom():
+        raise OSError("enospc")
+
+    submit_write(boom)
+    wait(list(_pending))  # job finishes (failed) without anyone .result()ing
+    with pytest.raises(OSError, match="enospc"):
+        submit_write(lambda: None)
+    flush_writes()  # the lambda itself still ran; queue drains clean
+
+
+def test_device_snapshot_fetch_once():
+    """DeviceSnapshot transfers device→host exactly once and releases the
+    device reference; all queued saves of one eval share the host copy."""
+    from jckx.checkpoint import DeviceSnapshot
+
+    snap = DeviceSnapshot({"a": jnp.arange(3.0)})
+    h1 = snap.fetch()
+    h2 = snap.fetch()
+    assert h1 is h2 and snap._dev is None
+    np.testing.assert_array_equal(np.asarray(h1["a"]), [0.0, 1.0, 2.0])
+
+
+def test_save_latest_with_device_snapshot(tmp_path):
+    """save_latest(DeviceSnapshot) round-trips through the async writer."""
+    from jckx.checkpoint import DeviceSnapshot, flush_writes
+
+    ck = BestMetricCheckpointer(str(tmp_path), async_fetch=True)
+    s = _state(5)
+    ck.save_latest(DeviceSnapshot(s))
+    flush_writes()
+    restored, _ = restore_checkpoint(str(tmp_path / "latest.ckpt"), _state(1))
+    np.testing.assert_array_equal(
+        np.asarray(restored.params_g["convt0"]), np.asarray(s.params_g["convt0"]))
