@@ -3,7 +3,10 @@
 North-star metric (BASELINE.json): images/sec/chip for the fused DCGAN
 G+D adversarial step (incl. gradient-penalty double-backward, both Adam
 updates, and on-device uint8 gather+decode) at 64×64, global batch 128,
-bfloat16 compute.
+bfloat16 compute. ``--model CGAN`` benches the conditional family's fused
+step (one-hot label conditioning in G and D, Linear(K→2K) label path,
+fresh per-forward dropout masks, GP in D's grad — cgan_trainer.py:134-270
+semantics) on the same geometry.
 
 Methodology: the production trainer runs K train steps per device launch
 via ``lax.scan`` over an HBM-resident uint8 dataset ("superstep"), so host
@@ -35,14 +38,14 @@ from jckx.configs import REFERENCE_IMG_PER_SEC  # single-source anchor
 
 
 def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
-         K: int = 50, supersteps: int = 5):
+         K: int = 50, supersteps: int = 5, model: str = "DCGAN"):
     from jckx.configs import Config
     from jckx.data.datasets import synthetic_dataset
     from jckx.data.pipeline import decode_batch
-    from jckx.models import dcgan
+    from jckx.models import cgan, dcgan
     from jckx.models.dcgan import GANGeometry
     from jckx.train.state import GANTrainState, make_optimizer
-    from jckx.train.steps import make_dcgan_train_step
+    from jckx.train.steps import make_cgan_train_step, make_dcgan_train_step
 
     cfg = Config()  # reference defaults: bs=128, 64x64, z=100
     cfg.compute_dtype = "bfloat16"
@@ -51,33 +54,45 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
     cfg.batch_size = batch_size
     cfg.remat = remat
     geo = GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size, channels=cfg.channels)
+    ncls = cfg.num_classes
+    conditional = model.upper() == "CGAN"
 
     tx = make_optimizer(cfg)
-    pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
-    pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    if conditional:
+        pg = cgan.cgenerator_init(jax.random.PRNGKey(0), geo, ncls)
+        pd = cgan.cdiscriminator_init(jax.random.PRNGKey(1), geo, ncls)
+        base_step = make_cgan_train_step(cfg, geo)
+    else:
+        pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+        pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+        base_step = make_dcgan_train_step(cfg, geo)
     state = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
                           opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
                           rng=jax.random.PRNGKey(2))
 
-    base_step = make_dcgan_train_step(cfg, geo)
-
-    def superstep(state, data_u8, idx):
+    def superstep(state, data_u8, labels_i32, idx):
         def body(s, batch_idx):
             u8 = jnp.take(data_u8, batch_idx, axis=0)
-            return base_step(s, decode_batch(u8, cfg.image_size, jnp.bfloat16))
+            batch = decode_batch(u8, cfg.image_size, jnp.bfloat16)
+            if conditional:
+                onehot = jax.nn.one_hot(
+                    jnp.take(labels_i32, batch_idx), ncls, dtype=jnp.float32)
+                return base_step(s, batch, onehot)
+            return base_step(s, batch)
 
         state, ms = jax.lax.scan(body, state, idx)
         return state, jax.tree.map(lambda v: v[-1], ms)
 
     sstep = jax.jit(superstep, donate_argnums=(0,))
 
-    x_u8, _ = synthetic_dataset(4096, 32, 3, 100, seed=0)
+    x_u8, y = synthetic_dataset(4096, 32, 3, ncls, seed=0)
     data = jax.device_put(jnp.asarray(x_u8))
+    labels = jax.device_put(jnp.asarray(y, jnp.int32))
     rng = np.random.RandomState(0)
 
     def launch(state):
         idx = jnp.asarray(rng.randint(0, data.shape[0], size=(K, cfg.batch_size)), jnp.int32)
-        return sstep(state, data, idx)
+        return sstep(state, data, labels, idx)
 
     # compile + flush the early-completion artifact of the remote runtime
     for _ in range(2):
@@ -98,7 +113,7 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
     assert np.isfinite(loss_d), "non-finite training loss"
 
     print(json.dumps({
-        "metric": f"images/sec/chip fused DCGAN G+D step ({image_size}x{image_size}, "
+        "metric": f"images/sec/chip fused {model.upper()} G+D step ({image_size}x{image_size}, "
                   f"bs{batch_size}, bf16, incl. GP + on-device decode"
                   + (f", remat={remat}" if remat != "none" else "") + ")",
         "value": round(img_per_sec_per_chip, 1),
@@ -111,10 +126,11 @@ if __name__ == "__main__":
     import argparse
 
     p = argparse.ArgumentParser(description="fused GAN-step throughput bench")
+    p.add_argument("-m", "--model", default="DCGAN", choices=["DCGAN", "CGAN"])
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--remat", default="none", choices=["none", "g", "d", "both"])
     p.add_argument("--scan_steps", type=int, default=50)
     p.add_argument("--supersteps", type=int, default=5)
     a = p.parse_args()
-    main(a.image_size, a.batch_size, a.remat, a.scan_steps, a.supersteps)
+    main(a.image_size, a.batch_size, a.remat, a.scan_steps, a.supersteps, a.model)

@@ -29,3 +29,17 @@ def test_main_dcgan_tiny(tmp_path):
     assert any(f.endswith(".log") for f in os.listdir(run))
     assert os.path.exists(os.path.join(run, "metrics.jsonl"))
     MainLogger.reset()
+
+
+def test_bench_cgan_smoke(capsys):
+    """bench.py's CGAN path (one-hot labels gathered in the scan body)
+    builds and runs on CPU at a toy size; prints one valid JSON line."""
+    import json
+
+    import bench
+
+    bench.main(image_size=64, batch_size=4, K=2, supersteps=1, model="CGAN")
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    rec = json.loads(line)
+    assert rec["unit"] == "images/sec/chip" and rec["value"] > 0
+    assert "CGAN" in rec["metric"]
