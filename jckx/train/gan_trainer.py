@@ -159,6 +159,12 @@ class _BaseGANTrainer(Trainer):
 
         self.bests = {"fid": 1e10, "is": 0.0, "intra_fid": 1e10}
         self._resumed_losses: list = []
+        # host-side mirror of state.step at train start. Reading the device
+        # scalar (`int(self.state.step)`) instead would be the process's
+        # FIRST device→host read on eval-less runs, and the tunneled runtime
+        # can block such a cold read for minutes (see CLAUDE.md landmines);
+        # the value is statically known anyway: 0 fresh, ckpt step on resume.
+        self._host_step = 0
         if cfg.resume:
             self._try_resume()
 
@@ -283,7 +289,9 @@ class _BaseGANTrainer(Trainer):
         self.state, extra = restore_checkpoint(path, self.state)
         self.bests.update(extra.get("bests", {}))
         self._resumed_losses = extra.get("losses", [])
-        self.logger.debug(f"resumed from {path} at step {int(self.state.step)}")
+        # restored leaves are host numpy (flax from_bytes) — int() is free
+        self._host_step = int(self.state.step)
+        self.logger.debug(f"resumed from {path} at step {self._host_step}")
 
     def _serve_config(self) -> dict:
         """Geometry/conditioning sidecar so jckx.serve can self-configure."""
@@ -344,7 +352,7 @@ class _BaseGANTrainer(Trainer):
 
         start = time.time()
         self.logger.debug("train start")
-        it = int(self.state.step)
+        it = self._host_step
         last_metrics = None
 
         # Resume: fast-forward to the checkpointed position. The epoch loop
@@ -357,6 +365,30 @@ class _BaseGANTrainer(Trainer):
         for _ in range(start_epoch):
             rng.permutation(self.n_data)
 
+        # Streaming: double-buffered host→device upload. A dedicated
+        # single-thread uploader runs gather+device_put of slab N+1 WHILE the
+        # device executes superstep N (the train thread blocks in np.asarray
+        # on superstep N's metrics, so issuing the next upload inline would
+        # serialize transfer behind compute — VERDICT r2 weak #2). One job in
+        # flight by construction → at most two slabs device-resident. Row
+        # order and superstep sequence are unchanged, so the streaming run
+        # stays bit-identical to the resident plane. The gather fan-out keeps
+        # using the stream's own pool (the uploader thread is never one of
+        # its workers, so the fan-out cannot starve).
+        uploader = upload_next = None
+        if self._streaming:
+            from concurrent.futures import ThreadPoolExecutor
+
+            uploader = ThreadPoolExecutor(1, thread_name_prefix="jckx-upload")
+
+            def _upload(rows: np.ndarray, k: int):
+                slab, labs = self._stream.take(rows)
+                slab = jax.device_put(
+                    slab.reshape((k, bs) + slab.shape[1:]), self._slab_sharding
+                )
+                labs = jax.device_put(labs.reshape(k, bs), self._slab_sharding)
+                return slab, labs
+
         for epoch in range(start_epoch, cfg.epoch):
             order = rng.permutation(self.n_data)[: steps_per_epoch * bs].reshape(
                 steps_per_epoch, bs
@@ -364,24 +396,24 @@ class _BaseGANTrainer(Trainer):
             done = resume_offset
             resume_offset = 0
             if self._streaming and done < steps_per_epoch:
-                self._stream.prime(
-                    order[done : done + min(K, steps_per_epoch - done)].reshape(-1)
+                k0 = min(K, steps_per_epoch - done)
+                upload_next = uploader.submit(
+                    _upload, order[done : done + k0].reshape(-1), k0
                 )
             while done < steps_per_epoch:
                 k = min(K, steps_per_epoch - done)
                 t_launch = time.time()
                 if self._streaming:
-                    slab, labs = self._stream.take(order[done : done + k].reshape(-1))
+                    slab, labs = upload_next.result()
+                    upload_next = None
                     nxt = done + k
-                    if nxt < steps_per_epoch:  # gather next while device trains
-                        self._stream.prime(
-                            order[nxt : nxt + min(K, steps_per_epoch - nxt)].reshape(-1)
+                    if nxt < steps_per_epoch:  # gather+upload next while device trains
+                        k1 = min(K, steps_per_epoch - nxt)
+                        upload_next = uploader.submit(
+                            _upload, order[nxt : nxt + k1].reshape(-1), k1
                         )
-                    slab = jax.device_put(
-                        slab.reshape((k, bs) + slab.shape[1:]), self._slab_sharding
-                    )
-                    labs = jax.device_put(labs.reshape(k, bs), self._slab_sharding)
                     self.state, ms = self._superstep(self.state, slab, labs)
+                    del slab, labs  # release this slab's HBM before the next swap
                 else:
                     idx = jnp.asarray(order[done : done + k], jnp.int32)
                     self.state, ms = self._superstep(
@@ -440,6 +472,7 @@ class _BaseGANTrainer(Trainer):
                     self._evaluate(it, losses_d, losses_g)
 
         if self._streaming:
+            uploader.shutdown(wait=False)
             self._stream.close()  # release gather threads (pool re-creates on reuse)
         flush_writes()  # surface async checkpoint-write failures before exit
         end = time.time()
