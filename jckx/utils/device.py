@@ -18,6 +18,55 @@ def default_backend() -> str:
     return jax.default_backend()
 
 
+_CLUSTER_ENV_VARS = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                     "MEGASCALE_COORDINATOR_ADDRESS")
+
+
+def cluster_env_present() -> bool:
+    """True when coordinator env says this host is part of a MULTI-host pod
+    job. TPU_WORKER_HOSTNAMES counts only when it lists >1 worker — some
+    single-chip runtimes (e.g. the tunneled axon plugin) export it as a
+    lone 'localhost', which is not a cluster."""
+    import os
+
+    if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
+        return True
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    return len([w for w in workers.split(",") if w.strip()]) > 1
+
+
+def init_multihost():
+    """Multi-host SPMD bring-up (``--multihost``): every host runs the same
+    program; after this the mesh is built over the GLOBAL device set and the
+    sharded-batch jit needs no further changes (collectives ride ICI within
+    a slice, DCN across slices).
+
+    Configuration comes from the standard cluster env (TPU metadata, Slurm,
+    or ``JAX_COORDINATOR_ADDRESS``); jckx additionally honors explicit
+    ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` so a plain N-process job
+    (including the CPU-only bring-up test) needs no cluster scheduler.
+
+    Returns ``(ok, err)``: ``(True, None)`` when the distributed runtime is
+    up. On failure with NO cluster env present (the flag passed on a lone
+    dev box) degrades to ``(False, err)`` for the caller to warn about. If
+    cluster env IS present the failure re-raises — this host is part of a
+    real pod job, and proceeding solo would train N divergent duplicate
+    runs."""
+    import os
+
+    kwargs = {}
+    n, i = os.environ.get("JAX_NUM_PROCESSES"), os.environ.get("JAX_PROCESS_ID")
+    if n is not None and i is not None:
+        kwargs = {"num_processes": int(n), "process_id": int(i)}
+    try:
+        jax.distributed.initialize(**kwargs)
+        return True, None
+    except Exception as e:  # noqa: BLE001 — classified below
+        if cluster_env_present():
+            raise
+        return False, e
+
+
 def honor_jax_platforms_env() -> None:
     """Re-assert JAX_PLATFORMS in-process.
 

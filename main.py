@@ -34,27 +34,15 @@ def main(cfg: Config):
 
     honor_jax_platforms_env()
     if cfg.multihost:
-        # multi-host SPMD: every host runs this same program; the mesh is
-        # then built over the global device set and the sharded-batch jit
-        # needs no further changes (collectives ride ICI within a slice,
-        # DCN across slices). Requires the standard coordinator env
-        # (JAX_COORDINATOR_ADDRESS etc. or TPU metadata); degrades to a
-        # warning on a lone host so the flag is safe in every environment.
-        try:
-            jax.distributed.initialize()
-        except Exception as e:  # noqa: BLE001
-            # Degrade to single-host ONLY when no cluster was configured
-            # (e.g. the flag passed on a lone dev box). If coordinator env
-            # is present, this host is part of a real pod job — proceeding
-            # solo would train N divergent duplicate runs, so fail fast.
-            cluster_env = any(
-                os.environ.get(v)
-                for v in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
-                          "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES")
-            )
-            if cluster_env:
-                raise
-            MainLogger(cfg).warning(f"--multihost requested but not in a cluster: {e}")
+        # multi-host SPMD bring-up; fails fast when coordinator env is
+        # present but init fails, degrades to a warning on a lone host (see
+        # jckx.utils.device.init_multihost — exercised by
+        # tests/test_multihost.py with 2 real processes)
+        from jckx.utils.device import init_multihost
+
+        ok, err = init_multihost()
+        if not ok:
+            MainLogger(cfg).warning(f"--multihost requested but not in a cluster: {err}")
     if cfg.sanitize:
         jax.config.update("jax_debug_nans", True)
 
