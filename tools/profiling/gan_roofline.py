@@ -31,13 +31,13 @@ PEAK_BYTES = 819e9   # v5e HBM
 CONFIGS = [(64, 128, "none"), (128, 64, "none"), (256, 32, "both")]
 
 
-def build(image_size, batch_size, remat, K):
+def build(image_size, batch_size, remat, K, model="DCGAN"):
     from jckx.configs import Config
     from jckx.data.pipeline import decode_batch
-    from jckx.models import dcgan
+    from jckx.models import cgan, dcgan
     from jckx.models.dcgan import GANGeometry
     from jckx.train.state import GANTrainState, make_optimizer
-    from jckx.train.steps import make_dcgan_train_step
+    from jckx.train.steps import make_cgan_train_step, make_dcgan_train_step
 
     cfg = Config()
     cfg.compute_dtype = "bfloat16"
@@ -46,18 +46,29 @@ def build(image_size, batch_size, remat, K):
     cfg.batch_size = batch_size
     cfg.remat = remat
     geo = GANGeometry(z_dim=cfg.z_dim, image_size=image_size, channels=cfg.channels)
+    ncls = cfg.num_classes
+    conditional = model.upper() == "CGAN"
     tx = make_optimizer(cfg)
-    pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
-    pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    if conditional:
+        pg = cgan.cgenerator_init(jax.random.PRNGKey(0), geo, ncls)
+        pd = cgan.cdiscriminator_init(jax.random.PRNGKey(1), geo, ncls)
+        base = make_cgan_train_step(cfg, geo)
+    else:
+        pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+        pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+        base = make_dcgan_train_step(cfg, geo)
     state = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
                           opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
                           rng=jax.random.PRNGKey(2))
-    base = make_dcgan_train_step(cfg, geo)
 
     def superstep(state, data_u8, idx):
         def body(s, ib):
-            return base(s, decode_batch(jnp.take(data_u8, ib, axis=0),
-                                        image_size, jnp.bfloat16))
+            real = decode_batch(jnp.take(data_u8, ib, axis=0),
+                                image_size, jnp.bfloat16)
+            if conditional:
+                onehot = jax.nn.one_hot(ib % ncls, ncls, dtype=jnp.float32)
+                return base(s, real, onehot)
+            return base(s, real)
 
         st, ms = jax.lax.scan(body, state, idx)
         return st, jax.tree.map(lambda v: v[-1], ms)
@@ -65,8 +76,9 @@ def build(image_size, batch_size, remat, K):
     return jax.jit(superstep, donate_argnums=(0,)), state, cfg
 
 
-def one_config(image_size, batch_size, remat, K, supersteps, trace):
-    sstep, state, cfg = build(image_size, batch_size, remat, K)
+def one_config(image_size, batch_size, remat, K, supersteps, trace,
+               model="DCGAN"):
+    sstep, state, cfg = build(image_size, batch_size, remat, K, model)
     rng = np.random.RandomState(0)
     data = jax.device_put(
         rng.randint(0, 255, (4096, 32, 32, 3), dtype=np.uint8))
@@ -99,7 +111,7 @@ def one_config(image_size, batch_size, remat, K, supersteps, trace):
     byte_floor = 1e3 * byts / PEAK_BYTES
     bound = "HBM" if byte_floor > comp_floor else "MXU"
     floor = max(comp_floor, byte_floor)
-    print(f"{image_size}², bs{batch_size}, remat={remat}: "
+    print(f"{model} {image_size}², bs{batch_size}, remat={remat}: "
           f"{step_ms:.2f} ms/step ({img_s:,.0f} img/s) | "
           f"XLA cost: {flops/1e9:.0f} GFLOP, {byts/1e9:.2f} GB accessed | "
           f"floors: compute {comp_floor:.2f} ms, bytes {byte_floor:.2f} ms "
@@ -146,11 +158,13 @@ def main():
     p.add_argument("--trace", action="store_true")
     p.add_argument("--only", type=int, default=0,
                    help="run a single image_size from CONFIGS")
+    p.add_argument("-m", "--model", default="DCGAN", choices=["DCGAN", "CGAN"])
     a = p.parse_args()
     for size, bs, remat in CONFIGS:
         if a.only and size != a.only:
             continue
-        one_config(size, bs, remat, a.scan_steps, a.supersteps, a.trace)
+        one_config(size, bs, remat, a.scan_steps, a.supersteps, a.trace,
+                   a.model)
 
 
 if __name__ == "__main__":
