@@ -37,10 +37,16 @@ import numpy as np
 from jckx.configs import REFERENCE_IMG_PER_SEC  # single-source anchor
 
 
-def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
-         K: int = 50, supersteps: int = 5, model: str = "DCGAN"):
+def build_superstep(image_size: int = 64, batch_size: int = 128,
+                    remat: str = "none", model: str = "DCGAN"):
+    """Production-shaped fused superstep for benchmarking/profiling.
+
+    Returns ``(sstep, state, cfg)`` where ``sstep(state, data_u8,
+    labels_i32, idx)`` runs ``idx.shape[0]`` fused train steps in one
+    donated launch (labels ignored by the unconditional family). Shared by
+    bench.py and tools/profiling/gan_roofline.py so the timed program and
+    the cost-analyzed program are the same construction."""
     from jckx.configs import Config
-    from jckx.data.datasets import synthetic_dataset
     from jckx.data.pipeline import decode_batch
     from jckx.models import cgan, dcgan
     from jckx.models.dcgan import GANGeometry
@@ -83,9 +89,15 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
         state, ms = jax.lax.scan(body, state, idx)
         return state, jax.tree.map(lambda v: v[-1], ms)
 
-    sstep = jax.jit(superstep, donate_argnums=(0,))
+    return jax.jit(superstep, donate_argnums=(0,)), state, cfg
 
-    x_u8, y = synthetic_dataset(4096, 32, 3, ncls, seed=0)
+
+def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
+         K: int = 50, supersteps: int = 5, model: str = "DCGAN"):
+    from jckx.data.datasets import synthetic_dataset
+
+    sstep, state, cfg = build_superstep(image_size, batch_size, remat, model)
+    x_u8, y = synthetic_dataset(4096, 32, 3, cfg.num_classes, seed=0)
     data = jax.device_put(jnp.asarray(x_u8))
     labels = jax.device_put(jnp.asarray(y, jnp.int32))
     rng = np.random.RandomState(0)

@@ -71,14 +71,16 @@ def main(n_images: int = 50_000, batch: int = 2048):
 
         # eval-path roofline (VERDICT r2 task 8): XLA's own cost model for
         # the compiled tanh→features executable (resize-to-299 + normalize +
-        # InceptionV3 eval forward), v5e peaks 197 TFLOP/s bf16 / 819 GB/s
+        # InceptionV3 eval forward), v5e peaks from jckx.configs
+        from jckx.configs import V5E_BF16_PEAK_FLOPS, V5E_HBM_BYTES_PER_S
+
         ca = (m._features_from_tanh
               .lower(jnp.zeros((batch, 32, 32, 3), jnp.float32))
               .compile().cost_analysis()) or {}
         flops_img = float(ca.get("flops", 0.0)) / batch
         bytes_img = float(ca.get("bytes accessed", 0.0)) / batch
-        comp_floor_us = 1e6 * flops_img / 197e12
-        byte_floor_us = 1e6 * bytes_img / 819e9
+        comp_floor_us = 1e6 * flops_img / V5E_BF16_PEAK_FLOPS
+        byte_floor_us = 1e6 * bytes_img / V5E_HBM_BYTES_PER_S
         meas_us = 1e6 / steady_img_s
         bound = "HBM" if byte_floor_us > comp_floor_us else "MXU"
         roofline = {

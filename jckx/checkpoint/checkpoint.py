@@ -35,20 +35,25 @@ _writer: Optional[ThreadPoolExecutor] = None
 _writer_lock = threading.Lock()
 _pending: List[Future] = []
 _first_error: Optional[BaseException] = None
+_error_lock = threading.Lock()  # latch/clear must be atomic: a writer-thread
+# failure landing while _raise_first_error is mid-clear must not be dropped
 
 
 def _note_done(fut: Future) -> None:
     global _first_error
     e = fut.exception()
-    if e is not None and _first_error is None:
-        _first_error = e
+    if e is not None:
+        with _error_lock:
+            if _first_error is None:
+                _first_error = e
 
 
 def _raise_first_error() -> None:
     """Re-raise (once) the earliest failed async write."""
     global _first_error
-    if _first_error is not None:
+    with _error_lock:
         e, _first_error = _first_error, None
+    if e is not None:
         raise e
 
 
@@ -72,10 +77,11 @@ def submit_write(job: Callable[[], None]) -> None:
         fut.add_done_callback(_note_done)
         _pending.append(fut)
     for f in overflow:  # backpressure, lock released
-        try:
-            f.result()
-        except BaseException:  # noqa: BLE001 — latched; raised just below
-            pass
+        # Future.exception() waits without raising the JOB's error (it was
+        # latched by _note_done) but still propagates a wait-side
+        # KeyboardInterrupt — a try/except-pass here would make the
+        # backpressure wait uninterruptible
+        f.exception()
     _raise_first_error()
 
 
@@ -92,10 +98,9 @@ def flush_writes() -> None:
             if not _pending:
                 break
             fut = _pending.pop(0)
-        try:
-            fut.result()
-        except BaseException:  # noqa: BLE001 — latched; raised below
-            pass
+        # exception() waits without raising the job's (latched) error but
+        # keeps the flush interruptible — see the overflow wait above
+        fut.exception()
     _raise_first_error()
 
 

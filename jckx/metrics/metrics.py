@@ -194,9 +194,11 @@ class Metrics:
         h.update(np.int64(len(flat)).tobytes())
         for k, a in arrs.items():
             flat_a = np.ascontiguousarray(a, dtype=np.float32).ravel()
-            stride = max(1, flat_a.size // 4096)
+            # ceil-division stride: the sample SPANS the whole leaf (a floor
+            # stride would hash only a prefix for sizes in (4096, 8192))
+            stride = -(-flat_a.size // 4096)
             h.update(k.encode())
-            h.update(np.ascontiguousarray(flat_a[::stride][:4096]).tobytes())
+            h.update(np.ascontiguousarray(flat_a[::stride]).tobytes())
         return h.hexdigest()[:12]
 
     # ------------------------------------------------------------ backbone

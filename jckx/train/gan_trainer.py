@@ -389,91 +389,96 @@ class _BaseGANTrainer(Trainer):
                 labs = jax.device_put(labs.reshape(k, bs), self._slab_sharding)
                 return slab, labs
 
-        for epoch in range(start_epoch, cfg.epoch):
-            order = rng.permutation(self.n_data)[: steps_per_epoch * bs].reshape(
-                steps_per_epoch, bs
-            )
-            done = resume_offset
-            resume_offset = 0
-            if self._streaming and done < steps_per_epoch:
-                k0 = min(K, steps_per_epoch - done)
-                upload_next = uploader.submit(
-                    _upload, order[done : done + k0].reshape(-1), k0
+        try:
+            for epoch in range(start_epoch, cfg.epoch):
+                order = rng.permutation(self.n_data)[: steps_per_epoch * bs].reshape(
+                    steps_per_epoch, bs
                 )
-            while done < steps_per_epoch:
-                k = min(K, steps_per_epoch - done)
-                t_launch = time.time()
-                if self._streaming:
-                    slab, labs = upload_next.result()
-                    upload_next = None
-                    nxt = done + k
-                    if nxt < steps_per_epoch:  # gather+upload next while device trains
-                        k1 = min(K, steps_per_epoch - nxt)
-                        upload_next = uploader.submit(
-                            _upload, order[nxt : nxt + k1].reshape(-1), k1
-                        )
-                    self.state, ms = self._superstep(self.state, slab, labs)
-                    del slab, labs  # release this slab's HBM before the next swap
-                else:
-                    idx = jnp.asarray(order[done : done + k], jnp.int32)
-                    self.state, ms = self._superstep(
-                        self.state, self.images_dev, self.labels_dev, idx
+                done = resume_offset
+                resume_offset = 0
+                if self._streaming and done < steps_per_epoch:
+                    k0 = min(K, steps_per_epoch - done)
+                    upload_next = uploader.submit(
+                        _upload, order[done : done + k0].reshape(-1), k0
                     )
-                ms_np = {key: np.asarray(v) for key, v in ms.items()}  # (k,) + syncs
-                launch_dt = time.time() - t_launch
-                # failure detection (free: telemetry is already host-side at
-                # launch boundaries): a diverged run aborts loudly instead of
-                # training on garbage for hours. latest.ckpt still holds the
-                # last evaluated state for --resume; --sanitize additionally
-                # pinpoints the op that produced the first NaN.
-                if cfg.nan_guard:
-                    bad = [m for m, v in ms_np.items() if not np.isfinite(v).all()]
-                    if bad:
-                        self.logger.error(
-                            f"non-finite training metrics {bad} in steps "
-                            f"{it}..{it + k} — aborting (resume from "
-                            f"latest.ckpt; rerun with --sanitize to locate "
-                            f"the op; --nan_guard 0 to continue anyway)"
+                while done < steps_per_epoch:
+                    k = min(K, steps_per_epoch - done)
+                    t_launch = time.time()
+                    if self._streaming:
+                        slab, labs = upload_next.result()
+                        upload_next = None
+                        nxt = done + k
+                        if nxt < steps_per_epoch:  # gather+upload next while device trains
+                            k1 = min(K, steps_per_epoch - nxt)
+                            upload_next = uploader.submit(
+                                _upload, order[nxt : nxt + k1].reshape(-1), k1
+                            )
+                        self.state, ms = self._superstep(self.state, slab, labs)
+                        del slab, labs  # release this slab's HBM before the next swap
+                    else:
+                        idx = jnp.asarray(order[done : done + k], jnp.int32)
+                        self.state, ms = self._superstep(
+                            self.state, self.images_dev, self.labels_dev, idx
                         )
-                        raise FloatingPointError(
-                            f"training diverged: non-finite {bad} by step {it + k}"
-                        )
-                last_metrics = {key: float(v[-1]) for key, v in ms_np.items()}
-                losses_d += ms_np["loss_d"].tolist()
-                losses_g += ms_np["loss_g"].tolist()
+                    ms_np = {key: np.asarray(v) for key, v in ms.items()}  # (k,) + syncs
+                    launch_dt = time.time() - t_launch
+                    # failure detection (free: telemetry is already host-side at
+                    # launch boundaries): a diverged run aborts loudly instead of
+                    # training on garbage for hours. latest.ckpt still holds the
+                    # last evaluated state for --resume; --sanitize additionally
+                    # pinpoints the op that produced the first NaN.
+                    if cfg.nan_guard:
+                        bad = [m for m, v in ms_np.items() if not np.isfinite(v).all()]
+                        if bad:
+                            self.logger.error(
+                                f"non-finite training metrics {bad} in steps "
+                                f"{it}..{it + k} — aborting (resume from "
+                                f"latest.ckpt; rerun with --sanitize to locate "
+                                f"the op; --nan_guard 0 to continue anyway)"
+                            )
+                            raise FloatingPointError(
+                                f"training diverged: non-finite {bad} by step {it + k}"
+                            )
+                    last_metrics = {key: float(v[-1]) for key, v in ms_np.items()}
+                    losses_d += ms_np["loss_d"].tolist()
+                    losses_g += ms_np["loss_g"].tolist()
 
-                # per-100-iteration console log (dcgan_trainer.py:191-193)
-                for s_off in range(k):
-                    step_i = done + s_off
-                    if step_i % cfg.log_every == 0:
-                        self.logger.debug(
-                            f"[{epoch}/{cfg.epoch}][{step_i}/{steps_per_epoch}]\t"
-                            f"loss_d: {ms_np['loss_d'][s_off]:.4f}\t"
-                            f"loss_g: {ms_np['loss_g'][s_off]:.4f}\t"
-                            f"D(x): {ms_np['d_x'][s_off]:.4f}\t"
-                            f"D(G(z)): {ms_np['d_gz1'][s_off]:.4f} / {ms_np['d_gz2'][s_off]:.4f}"
-                        )
-                img_per_sec = bs * k / max(launch_dt, 1e-9)
-                self.logger.scalars(
-                    {"step": it + k, "epoch": epoch,
-                     "images_per_sec": round(img_per_sec, 1),
-                     "step_ms": round(1e3 * launch_dt / k, 3),
-                     **{m: float(v[-1]) for m, v in ms_np.items()}}
-                )
+                    # per-100-iteration console log (dcgan_trainer.py:191-193)
+                    for s_off in range(k):
+                        step_i = done + s_off
+                        if step_i % cfg.log_every == 0:
+                            self.logger.debug(
+                                f"[{epoch}/{cfg.epoch}][{step_i}/{steps_per_epoch}]\t"
+                                f"loss_d: {ms_np['loss_d'][s_off]:.4f}\t"
+                                f"loss_g: {ms_np['loss_g'][s_off]:.4f}\t"
+                                f"D(x): {ms_np['d_x'][s_off]:.4f}\t"
+                                f"D(G(z)): {ms_np['d_gz1'][s_off]:.4f} / {ms_np['d_gz2'][s_off]:.4f}"
+                            )
+                    img_per_sec = bs * k / max(launch_dt, 1e-9)
+                    self.logger.scalars(
+                        {"step": it + k, "epoch": epoch,
+                         "images_per_sec": round(img_per_sec, 1),
+                         "step_ms": round(1e3 * launch_dt / k, 3),
+                         **{m: float(v[-1]) for m, v in ms_np.items()}}
+                    )
 
-                prev_it = it
-                it += k
-                done += k
-                last_step_of_run = (epoch == cfg.epoch - 1) and (done >= steps_per_epoch)
-                if cfg.eval_every > 0 and (
-                    prev_it // cfg.eval_every != it // cfg.eval_every or prev_it == 0
-                    or last_step_of_run
-                ):
-                    self._evaluate(it, losses_d, losses_g)
+                    prev_it = it
+                    it += k
+                    done += k
+                    last_step_of_run = (epoch == cfg.epoch - 1) and (done >= steps_per_epoch)
+                    if cfg.eval_every > 0 and (
+                        prev_it // cfg.eval_every != it // cfg.eval_every or prev_it == 0
+                        or last_step_of_run
+                    ):
+                        self._evaluate(it, losses_d, losses_g)
+        finally:
+            # runs on the nan-guard abort / any mid-epoch exception too:
+            # a library caller that catches and retries train() must not
+            # accumulate leaked uploader/gather threads or a pinned slab
+            if self._streaming:
+                uploader.shutdown(wait=False)
+                self._stream.close()  # release gather threads (pool re-creates on reuse)
 
-        if self._streaming:
-            uploader.shutdown(wait=False)
-            self._stream.close()  # release gather threads (pool re-creates on reuse)
         flush_writes()  # surface async checkpoint-write failures before exit
         end = time.time()
         self.logger.debug(f"train finish\ttime: {time_to_str(end - start)}")

@@ -23,14 +23,23 @@ _CLUSTER_ENV_VARS = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
 
 
 def cluster_env_present() -> bool:
-    """True when coordinator env says this host is part of a MULTI-host pod
-    job. TPU_WORKER_HOSTNAMES counts only when it lists >1 worker — some
-    single-chip runtimes (e.g. the tunneled axon plugin) export it as a
-    lone 'localhost', which is not a cluster."""
+    """True when the environment says this host is part of a MULTI-process
+    job: a coordinator address, an explicit process count >1
+    (``JAX_NUM_PROCESSES``, Slurm, OpenMPI), or TPU_WORKER_HOSTNAMES
+    listing >1 worker. Single-process values do NOT count — some
+    single-chip runtimes (e.g. the tunneled axon plugin) export
+    TPU_WORKER_HOSTNAMES as a lone 'localhost', which is not a cluster."""
     import os
 
     if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
         return True
+    for v in ("JAX_NUM_PROCESSES", "SLURM_NTASKS", "SLURM_NPROCS",
+              "OMPI_COMM_WORLD_SIZE"):
+        try:
+            if int(os.environ.get(v, "")) > 1:
+                return True
+        except ValueError:
+            pass
     workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     return len([w for w in workers.split(",") if w.strip()]) > 1
 

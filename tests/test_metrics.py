@@ -368,3 +368,15 @@ def test_backbone_cache_tag_changes_across_finetune_epochs(tmp_path):
     assert sig1 is not None and sig1 != sig2
     # determinism: hashing the same checkpoint twice gives the same tag
     assert Metrics._content_sig(flat1) == sig1
+
+
+def test_content_sig_samples_span_whole_leaf():
+    """Regression: for leaf sizes in (4096, 8192) a floor-division stride
+    hashed only a prefix — a change in the leaf's tail must re-key."""
+    from jckx.metrics.metrics import Metrics
+
+    base = {"w": np.zeros(8191, np.float32)}
+    s1 = Metrics._content_sig(base)
+    bumped = {"w": base["w"].copy()}
+    bumped["w"][-1] = 1.0  # last element, outside the old prefix sample
+    assert Metrics._content_sig(bumped) != s1

@@ -105,3 +105,13 @@ def test_multihost_multi_worker_hostnames_fail_fast():
     assert r.returncode == 0, r.stderr
     rec = json.loads(r.stdout.strip().splitlines()[-1])
     assert rec["outcome"] == "reraised"
+
+
+def test_multihost_explicit_process_count_fail_fast():
+    """Explicit JAX_NUM_PROCESSES=2 (half-configured: no coordinator
+    address) is cluster evidence — a failed init must re-raise, not train a
+    divergent solo run."""
+    r = _run(_child_env(2, JAX_NUM_PROCESSES=2, JAX_PROCESS_ID=0))
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["outcome"] == "reraised"

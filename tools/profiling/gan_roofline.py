@@ -18,88 +18,54 @@ v5e peaks used: 197 TFLOP/s bf16, 819 GB/s HBM.
 """
 
 import argparse
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-PEAK_FLOPS = 197e12  # v5e bf16
-PEAK_BYTES = 819e9   # v5e HBM
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))  # repo root (bench import)
+
+from jckx.configs import (V5E_BF16_PEAK_FLOPS as PEAK_FLOPS,  # noqa: E402
+                          V5E_HBM_BYTES_PER_S as PEAK_BYTES)
 
 # (image_size, batch_size, remat) — README perf-table geometries
 CONFIGS = [(64, 128, "none"), (128, 64, "none"), (256, 32, "both")]
 
 
-def build(image_size, batch_size, remat, K, model="DCGAN"):
-    from jckx.configs import Config
-    from jckx.data.pipeline import decode_batch
-    from jckx.models import cgan, dcgan
-    from jckx.models.dcgan import GANGeometry
-    from jckx.train.state import GANTrainState, make_optimizer
-    from jckx.train.steps import make_cgan_train_step, make_dcgan_train_step
-
-    cfg = Config()
-    cfg.compute_dtype = "bfloat16"
-    cfg.max_learning_rate = 2e-4
-    cfg.image_size = image_size
-    cfg.batch_size = batch_size
-    cfg.remat = remat
-    geo = GANGeometry(z_dim=cfg.z_dim, image_size=image_size, channels=cfg.channels)
-    ncls = cfg.num_classes
-    conditional = model.upper() == "CGAN"
-    tx = make_optimizer(cfg)
-    if conditional:
-        pg = cgan.cgenerator_init(jax.random.PRNGKey(0), geo, ncls)
-        pd = cgan.cdiscriminator_init(jax.random.PRNGKey(1), geo, ncls)
-        base = make_cgan_train_step(cfg, geo)
-    else:
-        pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
-        pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
-        base = make_dcgan_train_step(cfg, geo)
-    state = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
-                          opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
-                          rng=jax.random.PRNGKey(2))
-
-    def superstep(state, data_u8, idx):
-        def body(s, ib):
-            real = decode_batch(jnp.take(data_u8, ib, axis=0),
-                                image_size, jnp.bfloat16)
-            if conditional:
-                onehot = jax.nn.one_hot(ib % ncls, ncls, dtype=jnp.float32)
-                return base(s, real, onehot)
-            return base(s, real)
-
-        st, ms = jax.lax.scan(body, state, idx)
-        return st, jax.tree.map(lambda v: v[-1], ms)
-
-    return jax.jit(superstep, donate_argnums=(0,)), state, cfg
-
-
 def one_config(image_size, batch_size, remat, K, supersteps, trace,
                model="DCGAN"):
-    sstep, state, cfg = build(image_size, batch_size, remat, K, model)
+    # the SAME construction bench.py times — cost-analysis and throughput
+    # always describe one program
+    from bench import build_superstep
+
+    sstep, state, cfg = build_superstep(image_size, batch_size, remat, model)
     rng = np.random.RandomState(0)
     data = jax.device_put(
         rng.randint(0, 255, (4096, 32, 32, 3), dtype=np.uint8))
+    labels = jax.device_put(
+        rng.randint(0, cfg.num_classes, (4096,)).astype(np.int32))
 
     def idxs():
         return jnp.asarray(rng.randint(0, 4096, (K, batch_size)), jnp.int32)
 
-    lowered = sstep.lower(state, data, idxs())
+    lowered = sstep.lower(state, data, labels, idxs())
     compiled = lowered.compile()
     ca = compiled.cost_analysis() or {}
     flops = float(ca.get("flops", 0.0)) / K          # per train step
     byts = float(ca.get("bytes accessed", 0.0)) / K
 
-    state, ms = compiled(state, data, idxs())        # warm launch 1
-    state, ms = compiled(state, data, idxs())        # flush early-completion
+    state, ms = compiled(state, data, labels, idxs())        # warm launch 1
+    state, ms = compiled(state, data, labels, idxs())        # flush early-completion
     jax.block_until_ready(state)
     float(ms["loss_d"])
 
     t0 = time.perf_counter()
     for _ in range(supersteps):
-        state, ms = compiled(state, data, idxs())
+        state, ms = compiled(state, data, labels, idxs())
     jax.block_until_ready(state)
     loss_d = float(ms["loss_d"])
     dt = time.perf_counter() - t0
@@ -121,7 +87,7 @@ def one_config(image_size, batch_size, remat, K, supersteps, trace,
     if trace:
         with jax.profiler.trace(f"/tmp/jckx_gan_{image_size}",
                                 create_perfetto_trace=True):
-            state, ms = compiled(state, data, idxs())
+            state, ms = compiled(state, data, labels, idxs())
             float(ms["loss_d"])
         _print_top_ops(f"/tmp/jckx_gan_{image_size}")
     return {"image_size": image_size, "batch": batch_size, "remat": remat,
