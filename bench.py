@@ -10,11 +10,15 @@ semantics) on the same geometry.
 
 Methodology: the production trainer runs K train steps per device launch
 via ``lax.scan`` over an HBM-resident uint8 dataset ("superstep"), so host
-dispatch / tunnel latency is off the hot path. We time several supersteps
-back-to-back from a blocked start and divide; the first post-compile launch
-is excluded (the remote runtime reports it complete early). A device→host
-read of the final loss closes the timing region so nothing can be left in
-flight.
+dispatch / tunnel latency is off the hot path. Timing is DIFFERENTIAL: two
+regions of S and 2S supersteps, each launched from a blocked start and
+closed with a device→host read of the final loss (so nothing is left in
+flight — the remote runtime reports async completion early); the reported
+time is region2 − region1, which cancels the constant read/dispatch
+overhead. On a healthy link (sub-ms reads) this equals the old
+single-region number; when the tunnel degrades (reads have been observed
+to take minutes) the throughput stays a property of the chip, not the
+link.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -112,12 +116,21 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
     jax.block_until_ready(state)
     float(metrics["loss_d"])  # hard host sync
 
-    t0 = time.perf_counter()
-    for _ in range(supersteps):
-        state, metrics = launch(state)
-    jax.block_until_ready(state)
-    loss_d = float(metrics["loss_d"])  # device→host read closes the region
-    dt = time.perf_counter() - t0
+    def region(state, n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = launch(state)
+        jax.block_until_ready(state)
+        loss = float(metrics["loss_d"])  # read closes the region
+        return time.perf_counter() - t0, state, loss
+
+    dt_a, state, _ = region(state, supersteps)
+    dt_b, state, loss_d = region(state, 2 * supersteps)
+    # differential: constant read/dispatch overhead cancels; guard against
+    # pathological link jitter making the difference non-positive
+    dt = dt_b - dt_a
+    if dt <= 0.05 * dt_b:
+        dt = dt_b / 2.0
 
     n_chips = jax.device_count()
     total_images = cfg.batch_size * K * supersteps
