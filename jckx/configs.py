@@ -104,9 +104,12 @@ class Config:
     compute_dtype: str = "bfloat16"    # matmul/conv compute dtype; params stay f32
     # rematerialization policy for the fused step: "none" | "g" | "d" |
     # "both". Measured on v5e: 64²/bs128 none=3.83 ms/step, g=4.08, d=5.05,
-    # both=5.29; 128²/bs64 none=16.1, g=16.7, both=20.9 — XLA's fusion keeps
-    # the step near the roofline without spilling at these scales, so "none"
-    # is the default; the knob exists for geometries that exceed HBM.
+    # both=5.29; 128²/bs64 none=16.1, g=16.7, both=20.9; 256²/bs32
+    # none=37.1, both=49.3 (cost model: remat adds ~10 GB/step of recompute
+    # traffic while nothing spills at bs32 — both variants run at 1.00× of
+    # their own HBM byte floor, so the smaller-byte program wins). "none"
+    # is the default; the knob exists for batch/width combinations whose
+    # residuals genuinely exceed HBM.
     remat: str = "none"
     # EMA of generator weights (0 = off, reference-parity default). When on,
     # eval/serving sample from the averaged generator — standard GAN practice
