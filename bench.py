@@ -96,6 +96,30 @@ def build_superstep(image_size: int = 64, batch_size: int = 128,
     return jax.jit(superstep, donate_argnums=(0,)), state, cfg
 
 
+def differential_time(run_region, supersteps: int) -> float:
+    """Tunnel-safe elapsed time for ``supersteps`` region launches.
+
+    ``run_region(n)`` must launch n supersteps from a blocked start, close
+    with a device→host scalar read, and return its wall seconds. The 2S−S
+    difference cancels the constant read/dispatch overhead of the link, so
+    the result stays a property of the chip even when the tunnel degrades
+    (reads observed taking minutes). Only a NON-POSITIVE difference — link
+    jitter exceeding a full region — falls back to the 2S single-region
+    estimate; a small positive difference IS the measurement (on a sick
+    link the differential is precisely the case that still works, so it
+    must not be second-guessed by a relative-size heuristic).
+
+    Single source of the methodology for bench.py and
+    tools/profiling/gan_roofline.py (same programs, same clock).
+    """
+    dt_a = run_region(supersteps)
+    dt_b = run_region(2 * supersteps)
+    dt = dt_b - dt_a
+    if dt <= 0.0:
+        dt = dt_b / 2.0
+    return dt
+
+
 def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
          K: int = 50, supersteps: int = 5, model: str = "DCGAN"):
     from jckx.data.datasets import synthetic_dataset
@@ -116,21 +140,20 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
     jax.block_until_ready(state)
     float(metrics["loss_d"])  # hard host sync
 
-    def region(state, n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            state, metrics = launch(state)
-        jax.block_until_ready(state)
-        loss = float(metrics["loss_d"])  # read closes the region
-        return time.perf_counter() - t0, state, loss
+    box = {"state": state}
 
-    dt_a, state, _ = region(state, supersteps)
-    dt_b, state, loss_d = region(state, 2 * supersteps)
-    # differential: constant read/dispatch overhead cancels; guard against
-    # pathological link jitter making the difference non-positive
-    dt = dt_b - dt_a
-    if dt <= 0.05 * dt_b:
-        dt = dt_b / 2.0
+    def run_region(n):
+        t0 = time.perf_counter()
+        s = box["state"]
+        for _ in range(n):
+            s, metrics = launch(s)
+        jax.block_until_ready(s)
+        box["loss"] = float(metrics["loss_d"])  # read closes the region
+        box["state"] = s
+        return time.perf_counter() - t0
+
+    dt = differential_time(run_region, supersteps)
+    loss_d = box["loss"]
 
     n_chips = jax.device_count()
     total_images = cfg.batch_size * K * supersteps

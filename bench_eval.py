@@ -82,7 +82,10 @@ def main(n_images: int = 50_000, batch: int = 2048):
         comp_floor_us = 1e6 * flops_img / V5E_BF16_PEAK_FLOPS
         byte_floor_us = 1e6 * bytes_img / V5E_HBM_BYTES_PER_S
         meas_us = 1e6 / steady_img_s
+        floor_us = max(comp_floor_us, byte_floor_us)
         bound = "HBM" if byte_floor_us > comp_floor_us else "MXU"
+        if floor_us <= 0.0:  # cost model unavailable — don't lose the run
+            bound, floor_us = "unknown", float("nan")
         roofline = {
             "gflop_per_image": round(flops_img / 1e9, 2),
             "gb_accessed_per_image": round(bytes_img / 1e9, 3),
@@ -90,7 +93,8 @@ def main(n_images: int = 50_000, batch: int = 2048):
             "byte_floor_us_per_image": round(byte_floor_us, 1),
             "measured_us_per_image": round(meas_us, 1),
             "bound": bound,
-            "x_floor": round(meas_us / max(comp_floor_us, byte_floor_us), 2),
+            "x_floor": (round(meas_us / floor_us, 2)
+                        if np.isfinite(floor_us) else None),
         }
 
     ref_eval_img_s = 10.0 * 128

@@ -116,9 +116,10 @@ class HostStreamLoader:
     threads (the product role of the reference DataLoader's ``num_worker``,
     dcgan_data_preprocessor.py:69-75 — there: per-item PIL decode workers;
     here: parallel memcpy into the transfer slab), then uploaded as a
-    single host→device transfer. ``prime``/``take`` give one-block
-    lookahead so the next slab is gathered while the device trains on the
-    current one.
+    single host→device transfer. The trainer double-buffers the WHOLE
+    gather+upload on its own uploader thread and calls ``take`` directly
+    (gan_trainer.train); standalone consumers without such a thread can use
+    ``prime``/``take`` for gather-only one-block lookahead.
     """
 
     def __init__(self, images_u8: np.ndarray, labels: np.ndarray, workers: int = 0):

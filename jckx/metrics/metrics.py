@@ -74,16 +74,10 @@ class Metrics:
             # host-readable the signature degrades to a per-run unique tag:
             # re-extracting features is correct-but-slow, a silent cache
             # collision between two same-shape backbones is not.
-            sig = self._content_sig(_flatten_leaves(backbone_params))
-            if sig is not None:
-                self._backbone_sig = sig
-            else:
-                import uuid
-
-                self._backbone_sig = f"unhashed-{uuid.uuid4().hex[:12]}"
-                self._logger.warning(
-                    "backbone_params are device-resident; real-feature cache "
-                    "keyed per-run (pass host numpy params to enable reuse)")
+            self._backbone_sig = self._sig_or_per_run(
+                self._content_sig(_flatten_leaves(backbone_params)),
+                "backbone_params are device-resident (pass host numpy "
+                "params to enable reuse)")
         else:
             self.params = self._load_backbone(config)
 
@@ -167,6 +161,19 @@ class Metrics:
         h.update(self._backbone_sig.encode())
         return h.hexdigest()[:12]
 
+    def _sig_or_per_run(self, sig: Optional[str], why: str) -> str:
+        """Degrade a None content signature to a per-run unique tag.
+
+        Re-extracting features is correct-but-slow; a silent cache collision
+        between two same-shape backbones is not — so an unhashable backbone
+        keys the real-feature cache per-run instead of colliding."""
+        if sig is not None:
+            return sig
+        import uuid
+
+        self._logger.warning(f"{why}; real-feature cache keyed per-run")
+        return f"unhashed-{uuid.uuid4().hex[:12]}"
+
     @staticmethod
     def _content_sig(flat: dict) -> Optional[str]:
         """Content fingerprint over a flat ``name → array`` backbone view.
@@ -193,12 +200,15 @@ class Metrics:
         h = hashlib.sha1()
         h.update(np.int64(len(flat)).tobytes())
         for k, a in arrs.items():
-            flat_a = np.ascontiguousarray(a, dtype=np.float32).ravel()
+            flat_a = np.asarray(a).ravel()  # view when contiguous
             # ceil-division stride: the sample SPANS the whole leaf (a floor
-            # stride would hash only a prefix for sizes in (4096, 8192))
+            # stride would hash only a prefix for sizes in (4096, 8192));
+            # stride FIRST, then cast only the ≤4096-element sample to f32
+            # (casting whole leaves would copy ~100 MB for an InceptionV3)
             stride = -(-flat_a.size // 4096)
             h.update(k.encode())
-            h.update(np.ascontiguousarray(flat_a[::stride]).tobytes())
+            h.update(np.ascontiguousarray(flat_a[::stride],
+                                          dtype=np.float32).tobytes())
         return h.hexdigest()[:12]
 
     # ------------------------------------------------------------ backbone
@@ -219,7 +229,9 @@ class Metrics:
                     # same flat "a/b/c" keys as _flatten_leaves of the pytree,
                     # so explicit-params and npz-loaded backbones agree on the
                     # signature (one extraction cache, not two)
-                    self._backbone_sig = self._content_sig(flat)
+                    self._backbone_sig = self._sig_or_per_run(
+                        self._content_sig(flat), f"npz backbone {c} has no "
+                        "hashable leaves")
                     params = _unflatten(flat)
                     self._logger.debug(f"metric backbone loaded from {c}")
                     self._log_backbone_provenance(os.path.dirname(c))
@@ -228,8 +240,10 @@ class Metrics:
                     import torch
 
                     sd = torch.load(c, map_location="cpu")
-                    self._backbone_sig = self._content_sig(
-                        {k: np.asarray(v) for k, v in sd.items()})
+                    self._backbone_sig = self._sig_or_per_run(
+                        self._content_sig(
+                            {k: np.asarray(v) for k, v in sd.items()}),
+                        f"torch backbone {c} has no hashable leaves")
                     params = inception_v3.convert_torch_state_dict(sd)
                     self._logger.debug(f"metric backbone converted from torch ckpt {c}")
                     return params

@@ -474,10 +474,19 @@ class _BaseGANTrainer(Trainer):
         finally:
             # runs on the nan-guard abort / any mid-epoch exception too:
             # a library caller that catches and retries train() must not
-            # accumulate leaked uploader/gather threads or a pinned slab
+            # accumulate leaked uploader/gather threads or a pinned slab.
+            # cancel_futures + wait=True: a queued-but-unstarted upload is
+            # dropped, a running one is joined BEFORE _stream.close() — else
+            # its take() would race the close and re-create the gather pool
+            # with nothing left to shut it down.
             if self._streaming:
-                uploader.shutdown(wait=False)
+                uploader.shutdown(wait=True, cancel_futures=True)
                 self._stream.close()  # release gather threads (pool re-creates on reuse)
+            # keep host-side step accounting correct for a caller that
+            # catches (e.g. the nan-guard abort) and calls train() again:
+            # resume fast-forward, eval cadence, and checkpoint labels all
+            # derive from _host_step
+            self._host_step = it
 
         flush_writes()  # surface async checkpoint-write failures before exit
         end = time.time()

@@ -108,15 +108,21 @@ def test_submit_write_backpressure_and_pruning():
 def test_async_write_failure_reraised_by_flush():
     """A failing async write surfaces at flush_writes; the writer stays
     usable afterwards (the latched error is raised exactly once)."""
+    import threading
+
     import pytest
 
     from jckx.checkpoint import flush_writes
     from jckx.checkpoint.checkpoint import submit_write
 
+    gate = threading.Event()
+
     def boom():
-        raise OSError("disk full")
+        gate.wait(5)  # can't fail before submit_write returns (determinism:
+        raise OSError("disk full")  # the latch must surface at FLUSH here)
 
     submit_write(boom)
+    gate.set()
     with pytest.raises(OSError, match="disk full"):
         flush_writes()
     submit_write(lambda: None)  # no stale error re-raised
@@ -127,6 +133,7 @@ def test_async_write_failure_survives_prune():
     """A write that fails AND completes before the next enqueue must not be
     silently dropped by the finished-future prune (ADVICE r2, medium): the
     next submit_write re-raises it."""
+    import threading
     from concurrent.futures import wait
 
     import pytest
@@ -134,10 +141,14 @@ def test_async_write_failure_survives_prune():
     from jckx.checkpoint import flush_writes
     from jckx.checkpoint.checkpoint import _pending, submit_write
 
+    gate = threading.Event()
+
     def boom():
-        raise OSError("enospc")
+        gate.wait(5)  # can't fail before submit_write returns (determinism:
+        raise OSError("enospc")  # the latch must surface at the NEXT submit)
 
     submit_write(boom)
+    gate.set()
     wait(list(_pending))  # job finishes (failed) without anyone .result()ing
     with pytest.raises(OSError, match="enospc"):
         submit_write(lambda: None)

@@ -41,9 +41,9 @@ CONFIGS = [(64, 128, "none"), (128, 64, "none"), (256, 32, "none")]
 
 def one_config(image_size, batch_size, remat, K, supersteps, trace,
                model="DCGAN"):
-    # the SAME construction bench.py times — cost-analysis and throughput
-    # always describe one program
-    from bench import build_superstep
+    # the SAME construction bench.py times (and its timing methodology) —
+    # cost-analysis and throughput always describe one program
+    from bench import build_superstep, differential_time
 
     sstep, state, cfg = build_superstep(image_size, batch_size, remat, model)
     rng = np.random.RandomState(0)
@@ -69,21 +69,21 @@ def one_config(image_size, batch_size, remat, K, supersteps, trace,
     jax.block_until_ready(state)
     float(ms["loss_d"])
 
-    def region(state, n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            state, ms = compiled(state, data, labels, idxs())
-        jax.block_until_ready(state)
-        loss = float(ms["loss_d"])  # read closes the region
-        return time.perf_counter() - t0, state, loss
+    box = {"state": state}
 
-    # differential timing (bench.py methodology): the 2S−S difference
-    # cancels the constant read/dispatch overhead of the tunnel
-    dt_a, state, _ = region(state, supersteps)
-    dt_b, state, loss_d = region(state, 2 * supersteps)
-    dt = dt_b - dt_a
-    if dt <= 0.05 * dt_b:
-        dt = dt_b / 2.0
+    def run_region(n):
+        t0 = time.perf_counter()
+        s = box["state"]
+        for _ in range(n):
+            s, ms = compiled(s, data, labels, idxs())
+        jax.block_until_ready(s)
+        box["loss"] = float(ms["loss_d"])  # read closes the region
+        box["state"] = s
+        return time.perf_counter() - t0
+
+    # tunnel-safe differential timing, single-sourced with the bench
+    dt = differential_time(run_region, supersteps)
+    state, loss_d = box["state"], box["loss"]
     assert np.isfinite(loss_d)
 
     step_ms = 1e3 * dt / (K * supersteps)
@@ -92,6 +92,8 @@ def one_config(image_size, batch_size, remat, K, supersteps, trace,
     byte_floor = 1e3 * byts / PEAK_BYTES
     bound = "HBM" if byte_floor > comp_floor else "MXU"
     floor = max(comp_floor, byte_floor)
+    if floor <= 0.0:  # cost model unavailable on this backend/runtime
+        bound, floor = "unknown", float("nan")
     print(f"{model} {image_size}², bs{batch_size}, remat={remat}: "
           f"{step_ms:.2f} ms/step ({img_s:,.0f} img/s) | "
           f"XLA cost: {flops/1e9:.0f} GFLOP, {byts/1e9:.2f} GB accessed | "
