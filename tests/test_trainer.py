@@ -132,6 +132,42 @@ def test_dcgan_trainer_resume_continues_step(tmp_path):
     MainLogger.reset()
 
 
+def test_second_train_call_on_same_trainer_continues(tmp_path):
+    """Calling train() again on the SAME trainer (no checkpoint round-trip
+    — the catch-and-retry / raise-epoch-budget library pattern) continues
+    step accounting and data order exactly like one uninterrupted run.
+    Regression: _host_step used to stay stale after train(), replaying
+    epoch-0 permutations and mislabeling checkpoints on the second call."""
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    def run(subdir, epochs_schedule):
+        geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+        keys = KeyChain(seed_everything(3))  # fresh identical params per run
+        pg = dcgan.generator_init(keys.next(), geo)  # (the donated superstep
+        pd = dcgan.discriminator_init(keys.next(), geo)  # consumes them)
+        cfg = tiny_cfg(tmp_path / subdir)
+        data_pre = DCGANDataPreprocessor(cfg)
+        data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps/epoch
+        data_pre.labels_np = data_pre.labels_np[:64]
+        tr = DCGANTrainer(cfg, pg, pd, data_pre, metrics=StubMetrics())
+        for e in epochs_schedule:
+            tr.cfg.epoch = e
+            tr.train()
+        MainLogger.reset()
+        return tr
+
+    straight = run("a", [2])          # 2 epochs, one call
+    split = run("b", [1, 2])          # 1 epoch, then raise budget + re-call
+
+    assert int(straight.state.step) == int(split.state.step) == 8
+    for la, lb in zip(jax.tree_util.tree_leaves(straight.state.params_g),
+                      jax.tree_util.tree_leaves(split.state.params_g)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+    for la, lb in zip(jax.tree_util.tree_leaves(straight.state.params_d),
+                      jax.tree_util.tree_leaves(split.state.params_d)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_mnist_style_grayscale_geometry(tmp_path):
     """BASELINE.json config: DCGAN on MNIST-like 28×28 grayscale → resized
     to a power-of-two geometry, 1-channel G/D."""
