@@ -122,6 +122,12 @@ class Config:
     # abort on non-finite step telemetry (checked at launch boundaries where
     # the scalars are host-side anyway — zero extra device work)
     nan_guard: bool = True
+    # graceful preemption: while train() runs, SIGTERM is caught and the run
+    # checkpoints latest.ckpt at the next launch boundary, then returns —
+    # --resume continues bit-identically. This is what Cloud TPU preemption
+    # and most cluster schedulers send before the hard kill. The reference
+    # has no analog (its resume was never implemented, dcgan_trainer.py:102-107).
+    preempt_save: bool = True
     multihost: bool = False            # jax.distributed.initialize() before mesh
     profile_dir: str = ""              # jax.profiler trace dir ('' = off)
     save_root: str = "./save"
@@ -174,6 +180,8 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--sanitize", action="store_true", default=d.sanitize)
     parser.add_argument("--nan_guard", type=int, default=int(d.nan_guard),
                         help="1 = abort when step telemetry goes non-finite (free check)")
+    parser.add_argument("--preempt_save", type=int, default=int(d.preempt_save),
+                        help="1 = on SIGTERM, checkpoint at the next launch boundary and exit cleanly")
     parser.add_argument("--multihost", action="store_true", default=d.multihost)
     parser.add_argument("--profile_dir", type=str, default=d.profile_dir)
     parser.add_argument("--save_root", type=str, default=d.save_root)
@@ -193,11 +201,12 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
         **{
             f.name: getattr(ns, f.name)
             for f in dataclasses.fields(Config)
-            if hasattr(ns, f.name) and f.name not in ("mesh_shape", "mesh_axes", "gp_in_d_grad", "nan_guard", "save_path")
+            if hasattr(ns, f.name) and f.name not in ("mesh_shape", "mesh_axes", "gp_in_d_grad", "nan_guard", "preempt_save", "save_path")
         }
     )
     cfg.gp_in_d_grad = bool(ns.gp_in_d_grad)
     cfg.nan_guard = bool(ns.nan_guard)
+    cfg.preempt_save = bool(ns.preempt_save)
     from jckx.parallel import parse_mesh_shape
 
     cfg.mesh_shape = parse_mesh_shape(ns.mesh_shape)

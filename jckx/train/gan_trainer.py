@@ -27,6 +27,8 @@ bit-identically (rng/step live in the checkpointed state).
 from __future__ import annotations
 
 import os
+import signal
+import threading
 import time
 from datetime import datetime
 
@@ -165,6 +167,12 @@ class _BaseGANTrainer(Trainer):
         # can block such a cold read for minutes (see CLAUDE.md landmines);
         # the value is statically known anyway: 0 fresh, ckpt step on resume.
         self._host_step = 0
+        # graceful-preemption latch: the SIGTERM handler (installed for the
+        # duration of train() only) sets this; the train loop checkpoints at
+        # the next launch boundary and returns. `preempted` tells callers the
+        # run was cut short (main.py exits 143, the conventional SIGTERM code).
+        self._preempt = threading.Event()
+        self.preempted = False
         if cfg.resume:
             self._try_resume()
 
@@ -375,6 +383,28 @@ class _BaseGANTrainer(Trainer):
         # stays bit-identical to the resident plane. The gather fan-out keeps
         # using the stream's own pool (the uploader thread is never one of
         # its workers, so the fan-out cannot starve).
+        # Graceful preemption (cfg.preempt_save): catch SIGTERM — what Cloud
+        # TPU maintenance events and cluster schedulers send before the hard
+        # kill — for the duration of train() only. The handler just sets a
+        # latch; the loop below checkpoints latest.ckpt at the next launch
+        # boundary (state is consistent there: the scan has retired, telemetry
+        # is host-side) and returns. --resume then continues bit-identically,
+        # same as the kill-and-resume soak but without losing the steps since
+        # the last eval. Handler installation is main-thread-only (signal
+        # module restriction); library callers on worker threads keep their
+        # process-level handlers untouched.
+        prev_term = None
+        own_handler = (cfg.preempt_save
+                       and threading.current_thread() is threading.main_thread())
+        if own_handler:
+            def _on_term(signum, frame):
+                self._preempt.set()
+
+            try:
+                prev_term = signal.signal(signal.SIGTERM, _on_term)
+            except (ValueError, OSError):
+                own_handler = False
+
         uploader = upload_next = None
         if self._streaming:
             from concurrent.futures import ThreadPoolExecutor
@@ -465,13 +495,33 @@ class _BaseGANTrainer(Trainer):
                     prev_it = it
                     it += k
                     done += k
+                    if self._preempt.is_set():
+                        # checkpoint NOW and skip the (possibly minutes-long)
+                        # eval: the preemption deadline is short
+                        self.preempted = True
+                        self.logger.warning(
+                            f"SIGTERM received — saving latest.ckpt at step {it} "
+                            f"and exiting (continue with --resume)"
+                        )
+                        self.ckpt.save_latest(
+                            DeviceSnapshot(self._snapshot_fn(self.state)),
+                            {"bests": dict(self.bests),
+                             "losses": list(zip(losses_d, losses_g)),
+                             "serve_config": self._serve_config()},
+                        )
+                        break
                     last_step_of_run = (epoch == cfg.epoch - 1) and (done >= steps_per_epoch)
                     if cfg.eval_every > 0 and (
                         prev_it // cfg.eval_every != it // cfg.eval_every or prev_it == 0
                         or last_step_of_run
                     ):
                         self._evaluate(it, losses_d, losses_g)
+                if self.preempted:
+                    break
         finally:
+            if own_handler:
+                signal.signal(signal.SIGTERM,
+                              prev_term if prev_term is not None else signal.SIG_DFL)
             # runs on the nan-guard abort / any mid-epoch exception too:
             # a library caller that catches and retries train() must not
             # accumulate leaked uploader/gather threads or a pinned slab.

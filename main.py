@@ -82,6 +82,10 @@ def main(cfg: Config):
 
     if cfg.profile_dir:
         jax.profiler.stop_trace()
+    if trainer.preempted:
+        # conventional "terminated by SIGTERM" code so schedulers/wrappers
+        # distinguish a preempted (resumable) run from a completed one
+        raise SystemExit(143)
     return result
 
 

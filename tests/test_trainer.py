@@ -354,6 +354,77 @@ def test_nan_guard_aborts_on_divergence(tmp_path):
     MainLogger.reset()
 
 
+def test_sigterm_preemption_checkpoints_and_resumes_bit_identical(tmp_path):
+    """Graceful preemption: a real SIGTERM mid-run makes train() save
+    latest.ckpt at the next launch boundary and return with .preempted set;
+    --resume then continues to a final state bit-identical to an
+    uninterrupted twin. Also pins that the handler is restored after
+    train() (library safety)."""
+    import signal as _signal
+
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    def build(subdir, **cfg_over):
+        geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+        keys = KeyChain(seed_everything(11))  # identical params every build
+        pg = dcgan.generator_init(keys.next(), geo)
+        pd = dcgan.discriminator_init(keys.next(), geo)
+        cfg = tiny_cfg(tmp_path / subdir)
+        cfg.epoch = 2
+        cfg.log_every = 2  # K=2 → launch boundaries at it=2,4,6,8
+        for k, v in cfg_over.items():
+            setattr(cfg, k, v)
+        data_pre = DCGANDataPreprocessor(cfg)
+        data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps/epoch
+        data_pre.labels_np = data_pre.labels_np[:64]
+        return DCGANTrainer(cfg, pg, pd, data_pre, metrics=StubMetrics())
+
+    # uninterrupted twin
+    straight = build("a")
+    straight.train()
+    assert int(straight.state.step) == 8 and not straight.preempted
+    MainLogger.reset()
+
+    # preempted run: deliver a REAL SIGTERM during the 2nd superstep launch
+    before = _signal.getsignal(_signal.SIGTERM)
+    tr = build("b")
+    real_superstep = tr._superstep
+    calls = {"n": 0}
+
+    def kicking(*args):
+        calls["n"] += 1
+        out = real_superstep(*args)
+        if calls["n"] == 2:
+            os.kill(os.getpid(), _signal.SIGTERM)
+            # we ARE the main thread: executing bytecodes lets the handler run
+            for _ in range(10**7):
+                if tr._preempt.is_set():
+                    break
+            assert tr._preempt.is_set()
+        return out
+
+    tr._superstep = kicking
+    tr.train()
+    assert tr.preempted and int(tr.state.step) == 4
+    assert _signal.getsignal(_signal.SIGTERM) is before  # handler restored
+    ck = os.path.join(tr.cfg.save_path, "latest.ckpt")
+    assert os.path.exists(ck)
+    MainLogger.reset()
+
+    # resume in the same run dir → finishes the remaining steps
+    resumed = build("b", resume=True)
+    assert int(resumed.state.step) == 4
+    resumed.train()
+    assert int(resumed.state.step) == 8 and not resumed.preempted
+    MainLogger.reset()
+
+    for a, b in zip(jax.tree_util.tree_leaves(straight.state.params_g)
+                    + jax.tree_util.tree_leaves(straight.state.params_d),
+                    jax.tree_util.tree_leaves(resumed.state.params_g)
+                    + jax.tree_util.tree_leaves(resumed.state.params_d)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_eval_cadence_launch_quantized_boundary_set(tmp_path):
     """_evaluate fires exactly at the launch-quantized images of the
     reference's {after step 1, eval_every+1, 2·eval_every+1, …, last}
