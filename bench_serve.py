@@ -1,0 +1,186 @@
+"""Serving benchmark — generation throughput of the production sampler.
+
+Measures the deployed inference path (jckx/serve.py): generator forward at
+bf16 with the Pallas fused BN+act inference kernels, INCLUDING the
+device-side tanh→uint8 pixel conversion that GeneratorService ships — i.e.
+exactly the program a serving replica runs per request batch, at the
+reference geometry (64×64, z=100; ``-m CGAN`` benches the conditional
+family with on-device one-hot label draw).
+
+Methodology matches bench.py: a ``lax.scan`` over S request batches per
+device launch (so host dispatch / tunnel latency is off the hot path, the
+same way a serving replica pipelines requests), timed DIFFERENTIALLY
+(2S−S regions from a blocked start, closed with a scalar read) so the
+number stays a property of the chip when the TPU tunnel degrades. Each
+batch is reduced to a checksum carried through the scan, forcing every
+pixel to be materialized.
+
+Prints ONE JSON line (bench.py contract). vs_baseline divides by the
+reference's only published number (374 img/s fine-tune training,
+inceptionnet.ipynb cell 14) purely to keep the driver's series comparable —
+the reference has NO inference/serving path at all (generation exists only
+inside its training eval loop, train/dcgan_trainer.py:198-222), so there is
+no apples-to-apples serving baseline to cite.
+
+``detail`` adds the end-to-end GeneratorService rate (checkpoint restore →
+sample() → uint8 on host), which on this machine is dominated by the
+tunnel's per-transfer latency and is reported for transparency only.
+"""
+
+import json
+import os
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bench import differential_time
+from jckx.configs import (REFERENCE_IMG_PER_SEC, V5E_BF16_PEAK_FLOPS,
+                          V5E_HBM_BYTES_PER_S)
+
+
+def build_region(model: str = "DCGAN", image_size: int = 64,
+                 batch_size: int = 512, scan_batches: int = 20,
+                 compute_dtype=jnp.bfloat16):
+    """→ ``(region, params, geo, conditional)`` where ``region(params, keys)``
+    renders ``keys.shape[0]`` uint8 request batches in one launch and
+    returns their checksum (forces materialization)."""
+    from jckx.models import cgan, dcgan
+    from jckx.models.dcgan import GANGeometry
+
+    geo = GANGeometry(image_size=image_size)
+    conditional = model.upper() == "CGAN"
+    ncls = 100
+    if conditional:
+        params = cgan.cgenerator_init(jax.random.PRNGKey(0), geo, ncls)
+    else:
+        params = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+
+    def to_u8(imgs):  # same pixel conversion GeneratorService ships
+        x = imgs.astype(jnp.float32) * 0.5 + 0.5
+        return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+    def render(params, key):
+        z = jax.random.normal(key, (batch_size, geo.z_dim))
+        if conditional:
+            lab = jax.random.randint(jax.random.fold_in(key, 1),
+                                     (batch_size,), 0, ncls)
+            out = cgan.cgenerator_apply(params, z, jax.nn.one_hot(lab, ncls),
+                                        geo, compute_dtype)
+        else:
+            out = dcgan.generator_apply(params, z, geo, compute_dtype)
+        return to_u8(out)
+
+    def region(params, keys):
+        def body(acc, key):
+            u8 = render(params, key)
+            return acc + jnp.sum(u8.astype(jnp.uint32)), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.uint32), keys)
+        return acc
+
+    return region, params, geo, conditional
+
+
+def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
+         scan_batches: int = 20, regions: int = 5):
+    from jckx.kernels.fused_bn_act import pallas_inference
+
+    region, params, geo, conditional = build_region(
+        model, image_size, batch_size, scan_batches)
+    jitted = jax.jit(region)
+
+    def keys_for(i, n):
+        return jax.random.split(jax.random.fold_in(jax.random.PRNGKey(7), i),
+                                n * scan_batches)
+
+    # compile (Pallas inference path engages at trace time) + warm
+    with pallas_inference():
+        acc = jitted(params, keys_for(0, 1))
+    int(acc)
+
+    counter = {"i": 1}
+
+    def run_region(n):
+        i = counter["i"]
+        counter["i"] += 1
+        ks = keys_for(i, n).reshape(n, scan_batches, -1)
+        t0 = time.perf_counter()
+        accs = [jitted(params, ks[j]) for j in range(n)]
+        jax.block_until_ready(accs)
+        int(accs[-1])  # scalar read closes the region
+        return time.perf_counter() - t0
+
+    dt = differential_time(run_region, regions)
+    n_chips = jax.device_count()
+    img_s_chip = batch_size * scan_batches * regions / dt / n_chips
+
+    # roofline from XLA's cost model of the compiled region
+    with pallas_inference():
+        ca = (jitted.lower(params, keys_for(0, 1)).compile()
+              .cost_analysis()) or {}
+    n_img = batch_size * scan_batches
+    flops_img = float(ca.get("flops", 0.0)) / n_img
+    bytes_img = float(ca.get("bytes accessed", 0.0)) / n_img
+    comp_us = 1e6 * flops_img / V5E_BF16_PEAK_FLOPS
+    byte_us = 1e6 * bytes_img / V5E_HBM_BYTES_PER_S
+    meas_us = 1e6 / img_s_chip
+    floor = max(comp_us, byte_us)
+    roofline = {
+        "gflop_per_image": round(flops_img / 1e9, 3),
+        "mb_accessed_per_image": round(bytes_img / 1e6, 2),
+        "compute_floor_us_per_image": round(comp_us, 2),
+        "byte_floor_us_per_image": round(byte_us, 2),
+        "measured_us_per_image": round(meas_us, 2),
+        "bound": "HBM" if byte_us > comp_us else "MXU",
+        "x_floor": round(meas_us / floor, 2) if floor > 0 else None,
+    }
+
+    # end-to-end service rate (ckpt restore → sample() → uint8 on host);
+    # tunnel-transfer-bound on this machine, reported for transparency
+    from jckx.checkpoint import save_checkpoint
+    from jckx.serve import GeneratorService
+    from jckx.train.state import make_template_state
+
+    with tempfile.TemporaryDirectory() as td:
+        ck = os.path.join(td, "bench.ckpt")
+        save_checkpoint(ck, make_template_state(
+            geo, conditional=conditional, num_classes=100))
+        svc = GeneratorService(ck, conditional=conditional, geo=geo,
+                               batch_size=batch_size)
+        svc.sample(batch_size)  # warm the service executable
+        t0 = time.perf_counter()
+        svc.sample(4 * batch_size)
+        e2e = 4 * batch_size / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": f"images/sec/chip served {model.upper()} generation "
+                  f"({image_size}x{image_size}, bs{batch_size}, bf16, "
+                  f"incl. on-device uint8 conversion)",
+        "value": round(img_s_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s_chip / REFERENCE_IMG_PER_SEC, 2),
+        "detail": {
+            "e2e_service_img_per_s_incl_host_fetch": round(e2e, 1),
+            "serve_forward_roofline": roofline,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    import argparse
+
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # allow JAX_PLATFORMS=cpu smokes (the axon
+    # sitecustomize force-registers the TPU backend regardless of the env)
+    p = argparse.ArgumentParser(description="serving throughput bench")
+    p.add_argument("-m", "--model", default="DCGAN", choices=["DCGAN", "CGAN"])
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--scan_batches", type=int, default=20)
+    p.add_argument("--regions", type=int, default=5)
+    a = p.parse_args()
+    main(a.model, a.image_size, a.batch_size, a.scan_batches, a.regions)

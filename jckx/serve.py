@@ -6,13 +6,20 @@ deployment-ready API:
 
 - ``GeneratorService``: loads any jckx checkpoint (best-metric or latest),
   jit-compiles the sampler once (Pallas fused BN+act inference path), and
-  serves batched ``sample()`` calls entirely on device. Fixed batch shapes
-  keep one executable; requests are padded to the compiled batch.
+  serves batched ``sample()`` calls entirely on device — including the
+  tanh→uint8 pixel conversion, so the device→host fetch is the final uint8
+  payload (4× fewer bytes than fetching float32 and converting on host).
+  Fixed batch shapes keep one executable; requests are padded to the
+  compiled batch.
+- Multi-chip: pass ``mesh=`` (or ``--mesh_shape`` on the CLI) and the
+  request batch is sharded over the mesh's 'data' axis with replicated
+  params — each chip renders its slice, XLA gathers on fetch.
 - CLI: ``python -m jckx.serve --ckpt save/dcgan/<ts>/latest.ckpt -n 64
   -o samples.png`` (add ``--labels 3,17,42`` for CGAN class control).
 
-Throughput: the 64×64 DCGAN generator serves ~190k images/s on one v5e at
-bs512 (see kernels.fused_bn_act measurements).
+Throughput: ``bench_serve.py`` measures the production sampler (generator
+forward + on-device uint8 conversion) with the tunnel-safe differential
+clock; see README's perf table for the recorded numbers.
 """
 
 from __future__ import annotations
@@ -51,6 +58,7 @@ class GeneratorService:
         seed: int = 0,
         use_ema: Optional[bool] = None,
         geo_overrides: Optional[dict] = None,
+        mesh=None,
     ):
         # self-configure from the trainer's sidecar when present (explicit
         # args always win)
@@ -91,14 +99,42 @@ class GeneratorService:
         self.step = int(state.step)
 
         cd = compute_dtype
+
+        def to_u8(imgs):
+            # device-side pixel conversion. floor (not round) keeps this
+            # bit-identical to numpy's `astype(uint8)` truncation on the
+            # same f32 values, so on- and off-device conversion agree.
+            x = imgs.astype(jnp.float32) * 0.5 + 0.5
+            return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
         if conditional:
             def sample(params, z, onehot):
-                return cgan.cgenerator_apply(params, z, onehot, self.geo, cd)
+                return to_u8(cgan.cgenerator_apply(params, z, onehot, self.geo, cd))
         else:
             def sample(params, z, onehot=None):
-                return dcgan.generator_apply(params, z, self.geo, cd)
+                return to_u8(dcgan.generator_apply(params, z, self.geo, cd))
 
-        self._jitted = jax.jit(sample)
+        self.mesh = mesh
+        if mesh is not None:
+            # multi-chip serving: replicated params, request batch sharded on
+            # 'data' — each chip renders batch/n_data images, the final uint8
+            # fetch gathers. Same collectives-free layout as DP training's
+            # forward, so scaling is linear in chips.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            n_data = mesh.shape.get("data", 1)
+            if batch_size % n_data:
+                raise ValueError(
+                    f"serving batch_size {batch_size} is not divisible by the "
+                    f"mesh 'data' axis ({n_data} shards)")
+            repl = NamedSharding(mesh, P())
+            batch_sh = NamedSharding(mesh, P("data"))
+            self.params_g = jax.device_put(self.params_g, repl)
+            in_sh = (repl, batch_sh) + ((batch_sh,) if conditional else ())
+            self._jitted = jax.jit(sample, in_shardings=in_sh,
+                                   out_shardings=batch_sh)
+        else:
+            self._jitted = jax.jit(sample)
 
     def _next_key(self):
         self._count += 1
@@ -132,8 +168,7 @@ class GeneratorService:
             with pallas_inference():
                 imgs = self._jitted(*args)
             take = min(bs, n - made)
-            arr = np.asarray(imgs[:take], np.float32)
-            out.append(((arr * 0.5 + 0.5).clip(0, 1) * 255).astype(np.uint8))
+            out.append(np.asarray(imgs)[:take])  # uint8 payload fetch
             made += take
         return np.concatenate(out)
 
@@ -154,6 +189,9 @@ def get_args(argv=None):
     p.add_argument("--z_dim", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--mesh_shape", default="",
+                   help="comma ints (e.g. '8') — shard the request batch over "
+                        "a 'data' mesh of that shape; '' = single device")
     return p.parse_args(argv)
 
 
@@ -161,9 +199,15 @@ def main(args):
     overrides = {k: getattr(args, k)
                  for k in ("z_dim", "image_size", "channels", "base_width")
                  if getattr(args, k) is not None}
+    mesh = None
+    if args.mesh_shape:
+        from jckx.parallel import make_mesh, parse_mesh_shape
+
+        mesh = make_mesh(parse_mesh_shape(args.mesh_shape), ("data",))
     svc = GeneratorService(
         args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
         geo_overrides=overrides or None, batch_size=args.batch_size, seed=args.seed,
+        mesh=mesh,
     )
     labels = [int(x) for x in args.labels.split(",") if x] or None
     imgs = svc.sample(args.num, labels=labels)

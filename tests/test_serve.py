@@ -102,6 +102,33 @@ def test_service_self_configures_from_trainer_sidecar(tmp_path):
     assert svc3.geo.base_width == 8  # still from sidecar
 
 
+def test_service_mesh_sharded_batch_matches_single_device(tmp_path):
+    """Multi-chip serving: the request batch sharded over the 8-device
+    'data' mesh renders the same images as the single-device service (the
+    only tolerated delta is ±1 pixel level from GSPMD's reduction order in
+    the BN batch stats)."""
+    import pytest
+
+    from jckx.parallel import make_mesh
+
+    path, geo = _save_ckpt(tmp_path)
+    k = jax.random.PRNGKey(5)
+    single = GeneratorService(path, geo=geo, batch_size=16,
+                              compute_dtype=jnp.float32)
+    a = single.sample(16, key=k)
+
+    mesh = make_mesh((8,), ("data",))
+    sharded = GeneratorService(path, geo=geo, batch_size=16,
+                               compute_dtype=jnp.float32, mesh=mesh)
+    b = sharded.sample(16, key=k)
+    assert b.shape == (16, 16, 16, 3) and b.dtype == np.uint8
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+    # global batch must divide the data axis
+    with pytest.raises(ValueError, match="divisible"):
+        GeneratorService(path, geo=geo, batch_size=12, mesh=mesh)
+
+
 def test_serve_cli_writes_grid(tmp_path):
     path, geo = _save_ckpt(tmp_path)
     from jckx.serve import get_args, main
