@@ -13,7 +13,12 @@ deployment-ready API:
   compiled batch.
 - Multi-chip: pass ``mesh=`` (or ``--mesh_shape`` on the CLI) and the
   request batch is sharded over the mesh's 'data' axis with replicated
-  params — each chip renders its slice, XLA gathers on fetch.
+  params — each chip renders its slice, XLA gathers on fetch. Caveat,
+  verified on the 8-device virtual mesh: GSPMD treats the Pallas fused-BN
+  custom call as opaque and replicates that stage (all-gather in, slice
+  out) rather than partitioning it — the convs (all the FLOPs) still
+  partition, so scaling holds until the elementwise stage dominates. Only
+  functional multi-chip validation is possible on this 1-chip machine.
 - CLI: ``python -m jckx.serve --ckpt save/dcgan/<ts>/latest.ckpt -n 64
   -o samples.png`` (add ``--labels 3,17,42`` for CGAN class control).
 
