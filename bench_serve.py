@@ -106,7 +106,13 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
     def run_region(n):
         i = counter["i"]
         counter["i"] += 1
-        ks = keys_for(i, n).reshape(n, scan_batches, -1)
+        # Pre-slice the per-launch key arrays OFF the clock: slicing a
+        # device array is itself a dispatched device op, and doing it
+        # inside the timed loop added ~n tunnel dispatches that scale with
+        # region count (so the differential could not cancel them —
+        # measured ~3 µs/img of phantom cost, serve_forward_probe.py).
+        ks = list(keys_for(i, n).reshape(n, scan_batches, -1))
+        jax.block_until_ready(ks)
         t0 = time.perf_counter()
         accs = [jitted(params, ks[j]) for j in range(n)]
         jax.block_until_ready(accs)
@@ -117,11 +123,15 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
     n_chips = jax.device_count()
     img_s_chip = batch_size * scan_batches * regions / dt / n_chips
 
-    # roofline from XLA's cost model of the compiled region
+    # roofline from XLA's cost model. Lower a trip-count-1 region: the TPU
+    # cost model counts a scan body ONCE regardless of trip count (verified
+    # in tools/profiling/gan_roofline.py), so a 20-trip region would report
+    # per-image numbers 20x low, while a 1-trip region is correct on every
+    # backend.
     with pallas_inference():
-        ca = (jitted.lower(params, keys_for(0, 1)).compile()
+        ca = (jitted.lower(params, keys_for(0, 1)[:1]).compile()
               .cost_analysis()) or {}
-    n_img = batch_size * scan_batches
+    n_img = batch_size
     flops_img = float(ca.get("flops", 0.0)) / n_img
     bytes_img = float(ca.get("bytes accessed", 0.0)) / n_img
     comp_us = 1e6 * flops_img / V5E_BF16_PEAK_FLOPS
