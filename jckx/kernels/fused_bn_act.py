@@ -15,8 +15,13 @@ Two implementations:
   the 128-wide lane axis.
 
 ``bn_act`` dispatches: Pallas only when explicitly enabled, shapes are
-lane-aligned, and we are on TPU; otherwise XLA. The two paths agree to
-float tolerance (tested in tests/test_kernels.py).
+lane-aligned, and we are on TPU (or in interpret mode, which emulates the
+kernel on any backend); otherwise XLA. The two paths agree to float
+tolerance (tested in tests/test_kernels.py).
+
+The Pallas stage is wrapped in ``custom_partitioning`` so mesh-sharded
+inference programs (multi-chip serving) shard it on the row axis instead of
+all-gathering around an opaque custom call — see ``_partitioned_pallas_call``.
 """
 
 from __future__ import annotations
@@ -80,36 +85,91 @@ def _bn_act_xla(x, scale, bias, act, negative_slope, eps):
     return y.astype(x.dtype)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("act", "negative_slope", "eps", "interpret")
-)
-def _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps, interpret=False):
+@functools.lru_cache(maxsize=None)
+def _partitioned_pallas_call(act: str, negative_slope: float, interpret: bool):
+    """The normalize+activate kernel, wrapped in ``custom_partitioning`` so
+    the SPMD partitioners (Shardy/GSPMD) shard it on the ROW axis instead of
+    treating the custom call as opaque. Without this, a mesh-sharded
+    inference program (multi-chip serving, jckx/serve.py) all-gathered the
+    full activation into every chip before the elementwise stage and sliced
+    after it — the kernel is elementwise over rows given replicated
+    per-channel vectors, so row sharding is collective-free by construction
+    (verified: no all-gather in the sharded HLO, tests/test_kernels.py).
+
+    One wrapper per (act, slope, interpret) — the cache keeps tracing cheap
+    and equal configs pointing at one primitive.
+    """
     from jax.experimental import pallas as pl
+    from jax.experimental.custom_partitioning import custom_partitioning
     from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
 
-    rows, chans = x2d.shape
-    tile_r = 256 if rows % 256 == 0 else 8
+    def raw(x2d, inv, shift):
+        rows, chans = x2d.shape
+        tile_r = 256 if rows % 256 == 0 else 8
 
-    def kernel(x_ref, inv_ref, shift_ref, o_ref):
-        y = x_ref[:].astype(jnp.float32) * inv_ref[:] + shift_ref[:]
-        if act == "relu":
-            y = jnp.maximum(y, 0.0)
-        elif act == "leaky_relu":
-            y = jnp.where(y >= 0, y, negative_slope * y)
-        o_ref[:] = y.astype(o_ref.dtype)
+        def kernel(x_ref, inv_ref, shift_ref, o_ref):
+            y = x_ref[:].astype(jnp.float32) * inv_ref[:] + shift_ref[:]
+            if act == "relu":
+                y = jnp.maximum(y, 0.0)
+            elif act == "leaky_relu":
+                y = jnp.where(y >= 0, y, negative_slope * y)
+            o_ref[:] = y.astype(o_ref.dtype)
 
-    return pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
-        grid=(rows // tile_r,),
-        in_specs=[
-            pl.BlockSpec((tile_r, chans), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chans), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chans), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((tile_r, chans), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        interpret=interpret,
-    )(x2d, inv, shift)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+            grid=(rows // tile_r,),
+            in_specs=[
+                pl.BlockSpec((tile_r, chans), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chans), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, chans), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile_r, chans), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x2d, inv, shift)
+
+    @custom_partitioning
+    def pallas_rows(x2d, inv, shift):
+        return raw(x2d, inv, shift)
+
+    def _row_axis(mesh, arg_shapes):
+        # the mesh axis (or axes) the partitioner put on x2d's row dim;
+        # None = replicate. Fall back to replication when the per-shard row
+        # count would break the kernel's 8-row tiling.
+        sh = getattr(arg_shapes[0], "sharding", None)
+        if sh is None or len(sh.spec) == 0 or sh.spec[0] is None:
+            return None
+        row = sh.spec[0]
+        axes = (row,) if isinstance(row, str) else tuple(row)
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        if (arg_shapes[0].shape[0] // n) % 8 != 0:
+            return None
+        return row
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_row_axis(mesh, arg_shapes), None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        row = _row_axis(mesh, arg_shapes)
+        arg_sh = (
+            NamedSharding(mesh, P(row, None)),
+            NamedSharding(mesh, P(None, None)),
+            NamedSharding(mesh, P(None, None)),
+        )
+        return mesh, raw, NamedSharding(mesh, P(row, None)), arg_sh
+
+    pallas_rows.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        # Shardy propagation rule: rows ('i') may shard, channels stay with
+        # the replicated per-channel vectors' lane dim ('j').
+        sharding_rule="i j, k j, k j -> i j",
+    )
+    return pallas_rows
 
 
 def _bn_act_pallas(x, scale, bias, act, negative_slope, eps):
@@ -128,7 +188,8 @@ def _bn_act_pallas(x, scale, bias, act, negative_slope, eps):
     import os
 
     interpret = os.environ.get("JCKX_PALLAS_INTERPRET") == "1"
-    y = _bn_act_pallas_call(x2d, inv, shift, act, negative_slope, eps, interpret)
+    y = _partitioned_pallas_call(act, float(negative_slope), interpret)(
+        x2d, inv, shift)
     return y.reshape(x.shape)
 
 
@@ -141,9 +202,14 @@ def bn_act(
     eps: float = 1e-5,
 ) -> jax.Array:
     """Batch-stat BN fused with activation. See module docstring."""
+    # interpret mode also UNLOCKS the Pallas path off-TPU, so the CPU test
+    # mesh can exercise the exact serving dispatch (kernel + partitioning)
+    import os
+
+    interpret = os.environ.get("JCKX_PALLAS_INTERPRET") == "1"
     if (
         _USE_PALLAS
-        and jax.default_backend() == "tpu"
+        and (jax.default_backend() == "tpu" or interpret)
         and x.shape[-1] % 128 == 0
         and (x.size // x.shape[-1]) % 8 == 0
     ):

@@ -13,12 +13,13 @@ deployment-ready API:
   compiled batch.
 - Multi-chip: pass ``mesh=`` (or ``--mesh_shape`` on the CLI) and the
   request batch is sharded over the mesh's 'data' axis with replicated
-  params — each chip renders its slice, XLA gathers on fetch. Caveat,
-  verified on the 8-device virtual mesh: GSPMD treats the Pallas fused-BN
-  custom call as opaque and replicates that stage (all-gather in, slice
-  out) rather than partitioning it — the convs (all the FLOPs) still
-  partition, so scaling holds until the elementwise stage dominates. Only
-  functional multi-chip validation is possible on this 1-chip machine.
+  params — each chip renders its slice, XLA gathers on fetch. The Pallas
+  fused-BN stage carries a ``custom_partitioning`` rule so the SPMD
+  partitioner shards it on rows like everything else (an earlier revision
+  saw GSPMD replicate it — all-gather in, slice out — because the custom
+  call was opaque; tests/test_kernels.py now pins "no all-gather" on the
+  8-device virtual mesh). Only functional multi-chip validation is
+  possible on this 1-chip machine.
 - CLI: ``python -m jckx.serve --ckpt save/dcgan/<ts>/latest.ckpt -n 64
   -o samples.png`` (add ``--labels 3,17,42`` for CGAN class control).
 

@@ -277,10 +277,14 @@ class _BaseGANTrainer(Trainer):
 
         def sample_wrapped(params_g, *args):
             if gather_params:
-                # safety net for direct callers with TP-sharded params: the
-                # Pallas fused-BN kernel is a custom call GSPMD cannot
-                # partition. The trainer's own eval path gathers once in
-                # _eval_params_g, making this a no-op there.
+                # safety net for direct callers with TP-sharded params:
+                # sampling is one forward at eval cadence, so gathering the
+                # generator once beats re-partitioning the whole forward
+                # (the fused-BN kernel itself now carries a
+                # custom_partitioning rule, but TP shards CHANNELS, which
+                # the row-partitioned kernel replicates anyway). The
+                # trainer's own eval path gathers once in _eval_params_g,
+                # making this a no-op there.
                 params_g = jax.device_put(params_g, repl)
             with pallas_inference():
                 return jitted_sample(params_g, *args)

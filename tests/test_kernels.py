@@ -1,8 +1,10 @@
-"""Fused BN+activation kernel: XLA/Pallas agreement and scoping.
+"""Fused BN+activation kernel: XLA/Pallas agreement, scoping, partitioning.
 
-The Pallas path only engages on TPU; on the CPU test mesh these tests pin
-the dispatch logic and the XLA reference math (Pallas-vs-XLA numeric
-agreement is asserted on-device by the perf harness / verify drives)."""
+The Pallas path engages on TPU — or on any backend in interpret mode
+(JCKX_PALLAS_INTERPRET=1), which is how the CPU test mesh exercises the
+kernel body, its dispatch, and its custom_partitioning rule. On-device
+Pallas-vs-XLA agreement is additionally asserted by the perf harness /
+verify drives."""
 
 import numpy as np
 import jax
@@ -65,6 +67,50 @@ def test_pallas_kernel_interpret_mode_matches_xla():
             # call the pallas path directly (interpret mode works on CPU)
             got = np.asarray(fba._bn_act_pallas(x, s, b, "leaky_relu", 0.2, 1e-5))
         np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    finally:
+        os.environ.pop("JCKX_PALLAS_INTERPRET", None)
+
+
+def test_pallas_partitioned_sharded_matches_and_no_allgather(monkeypatch):
+    """The Pallas stage is custom_partitioning-wrapped: on a batch-sharded
+    8-device mesh the jitted bn_act (a) takes the Pallas dispatch, (b)
+    matches the unsharded XLA path, and (c) compiles with NO all-gather —
+    the kernel shards on rows instead of being replicated around an opaque
+    custom call (this is what keeps multi-chip serving's elementwise stage
+    partitioned, jckx/serve.py)."""
+    import os
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from jckx.parallel import make_mesh
+
+    os.environ["JCKX_PALLAS_INTERPRET"] = "1"
+    calls = []
+    orig = fba._bn_act_pallas
+    monkeypatch.setattr(
+        fba, "_bn_act_pallas",
+        lambda *a, **k: (calls.append(1), orig(*a, **k))[1])
+    try:
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(16, 4, 4, 128).astype(np.float32))
+        s = jnp.asarray(rng.rand(128).astype(np.float32) + 0.5)
+        b = jnp.asarray(rng.randn(128).astype(np.float32))
+        ref = np.asarray(fba._bn_act_xla(x, s, b, "leaky_relu", 0.2, 1e-5))
+
+        mesh = make_mesh((8,), ("data",))
+        xsh = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        xd = jax.device_put(x, xsh)
+        with fba.pallas_inference():
+            f = jax.jit(
+                lambda x, s, b: fba.bn_act(x, s, b, act="leaky_relu"),
+                in_shardings=(xsh, repl, repl), out_shardings=xsh)
+            got = np.asarray(f(xd, s, b))
+            hlo = f.lower(xd, s, b).compile().as_text()
+        assert calls, "Pallas dispatch did not engage"
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+        assert "all-gather" not in hlo
     finally:
         os.environ.pop("JCKX_PALLAS_INTERPRET", None)
 
