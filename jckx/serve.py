@@ -158,24 +158,40 @@ class GeneratorService:
         bs = self.batch_size
         out = []
         made = 0
+        # dispatch async, drain in order: jit calls return futures, so keep a
+        # small window of request batches in flight and fetch the oldest —
+        # the device renders batch N+1 while the host receives batch N
+        # (the serial dispatch→fetch loop paid compute+transfer per batch).
+        # The window bounds HBM held by undrained uint8 payloads.
+        window = 8
+        inflight = []  # (device_imgs, take)
+
+        def drain_one():
+            imgs, take = inflight.pop(0)
+            out.append(np.asarray(imgs)[:take])  # uint8 payload fetch
+
         while made < n:
             k = jax.random.fold_in(key, made)
             z = jax.random.normal(k, (bs, self.geo.z_dim))
             args = (self.params_g, z)
             if self.conditional:
                 if labels is not None:
-                    lab = np.asarray(
+                    lab = jnp.asarray(
                         [labels[(made + i) % len(labels)] for i in range(bs)]
                     )
                 else:
-                    lab = np.asarray(jax.random.randint(
-                        jax.random.fold_in(k, 1), (bs,), 0, self.num_classes))
-                args = args + (jax.nn.one_hot(jnp.asarray(lab), self.num_classes),)
+                    # stays on device — a host read here would sync the
+                    # pipeline once per batch
+                    lab = jax.random.randint(
+                        jax.random.fold_in(k, 1), (bs,), 0, self.num_classes)
+                args = args + (jax.nn.one_hot(lab, self.num_classes),)
             with pallas_inference():
-                imgs = self._jitted(*args)
-            take = min(bs, n - made)
-            out.append(np.asarray(imgs)[:take])  # uint8 payload fetch
-            made += take
+                inflight.append((self._jitted(*args), min(bs, n - made)))
+            made += inflight[-1][1]
+            if len(inflight) >= window:
+                drain_one()
+        while inflight:
+            drain_one()
         return np.concatenate(out)
 
 

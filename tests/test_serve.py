@@ -102,6 +102,21 @@ def test_service_self_configures_from_trainer_sidecar(tmp_path):
     assert svc3.geo.base_width == 8  # still from sidecar
 
 
+def test_sample_pipelined_batches_keep_order_and_determinism(tmp_path):
+    """sample() keeps a window of request batches in flight (async dispatch,
+    ordered drain). With more batches than the window, ordering and
+    determinism must hold: same key → identical images, and the first batch
+    equals a single-batch request with the same key."""
+    path, geo = _save_ckpt(tmp_path)
+    svc = GeneratorService(path, geo=geo, batch_size=4, compute_dtype=jnp.float32)
+    k = jax.random.PRNGKey(3)
+    a = svc.sample(40, key=k)   # 10 batches > the 8-deep window
+    b = svc.sample(40, key=k)
+    assert a.shape == (40, 16, 16, 3)
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a[:4], svc.sample(4, key=k))
+
+
 def test_service_mesh_sharded_batch_matches_single_device(tmp_path):
     """Multi-chip serving: the request batch sharded over the 8-device
     'data' mesh renders the same images as the single-device service (the
