@@ -58,9 +58,8 @@ def build_region(model: str = "DCGAN", image_size: int = 64,
     else:
         params = dcgan.generator_init(jax.random.PRNGKey(0), geo)
 
-    def to_u8(imgs):  # same pixel conversion GeneratorService ships
-        x = imgs.astype(jnp.float32) * 0.5 + 0.5
-        return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    # the exact pixel conversion GeneratorService ships (single definition)
+    from jckx.serve import tanh_to_u8 as to_u8
 
     def render(params, key):
         z = jax.random.normal(key, (batch_size, geo.z_dim))

@@ -180,11 +180,11 @@ def _bn_act_pallas(x, scale, bias, act, negative_slope, eps):
     # kernel sanitizer (SURVEY §5): JCKX_PALLAS_INTERPRET=1 runs the Pallas
     # kernel in interpreter mode (python-level bounds/shape checking, works
     # on CPU) — the jckx analog of the reference's always-on anomaly
-    # detector for hand-written kernels. Read OUTSIDE the kernel jit and
-    # passed as a static arg so it is part of this jit's cache key (toggling
-    # mid-process takes effect for direct calls; a caller's own outer jit
-    # still caches whatever was set when IT first traced — set the env var
-    # before building samplers).
+    # detector for hand-written kernels. Read at trace time and part of
+    # _partitioned_pallas_call's lru_cache key, so toggling mid-process
+    # takes effect for fresh traces; a caller's own outer jit still caches
+    # whatever was set when IT first traced — set the env var before
+    # building samplers.
     import os
 
     interpret = os.environ.get("JCKX_PALLAS_INTERPRET") == "1"

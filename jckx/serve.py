@@ -45,6 +45,17 @@ from jckx.models.dcgan import GANGeometry
 from jckx.train.state import make_template_state
 
 
+def tanh_to_u8(imgs):
+    """Device-side pixel conversion for serving: tanh output in [-1, 1] →
+    uint8. floor (not round) keeps this bit-identical to numpy's
+    ``astype(uint8)`` truncation on the same f32 values, so on- and
+    off-device conversion agree. The single definition the service ships —
+    bench_serve.py and the profiling tools import it so the recorded
+    numbers always measure the production conversion."""
+    x = imgs.astype(jnp.float32) * 0.5 + 0.5
+    return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
 class GeneratorService:
     """Checkpoint-backed image generator.
 
@@ -105,20 +116,33 @@ class GeneratorService:
         self.step = int(state.step)
 
         cd = compute_dtype
+        bs = batch_size
+        ncls = num_classes
 
-        def to_u8(imgs):
-            # device-side pixel conversion. floor (not round) keeps this
-            # bit-identical to numpy's `astype(uint8)` truncation on the
-            # same f32 values, so on- and off-device conversion agree.
-            x = imgs.astype(jnp.float32) * 0.5 + 0.5
-            return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+        # The whole request batch is ONE compiled program: fold the batch
+        # offset into the key, draw z (and random labels for conditional
+        # serving) on device, render, convert to uint8. Host-side eager
+        # per-batch device ops (fold_in/normal/one_hot) would each cost a
+        # dispatch (~0.4 s through this machine's tunnel) that the async
+        # drain in sample() cannot hide.
+        def render_rand(params, key, offset):
+            k = jax.random.fold_in(key, offset)
+            z = jax.random.normal(k, (bs, self.geo.z_dim))
+            if conditional:
+                lab = jax.random.randint(
+                    jax.random.fold_in(k, 1), (bs,), 0, ncls)
+                imgs = cgan.cgenerator_apply(
+                    params, z, jax.nn.one_hot(lab, ncls), self.geo, cd)
+            else:
+                imgs = dcgan.generator_apply(params, z, self.geo, cd)
+            return tanh_to_u8(imgs)
 
-        if conditional:
-            def sample(params, z, onehot):
-                return to_u8(cgan.cgenerator_apply(params, z, onehot, self.geo, cd))
-        else:
-            def sample(params, z, onehot=None):
-                return to_u8(dcgan.generator_apply(params, z, self.geo, cd))
+        def render_labeled(params, key, offset, lab):
+            k = jax.random.fold_in(key, offset)
+            z = jax.random.normal(k, (bs, self.geo.z_dim))
+            imgs = cgan.cgenerator_apply(
+                params, z, jax.nn.one_hot(lab, ncls), self.geo, cd)
+            return tanh_to_u8(imgs)
 
         self.mesh = mesh
         if mesh is not None:
@@ -136,11 +160,15 @@ class GeneratorService:
             repl = NamedSharding(mesh, P())
             batch_sh = NamedSharding(mesh, P("data"))
             self.params_g = jax.device_put(self.params_g, repl)
-            in_sh = (repl, batch_sh) + ((batch_sh,) if conditional else ())
-            self._jitted = jax.jit(sample, in_shardings=in_sh,
-                                   out_shardings=batch_sh)
+            self._jit_rand = jax.jit(
+                render_rand, in_shardings=(repl, repl, repl),
+                out_shardings=batch_sh)
+            self._jit_labeled = jax.jit(
+                render_labeled, in_shardings=(repl, repl, repl, batch_sh),
+                out_shardings=batch_sh)
         else:
-            self._jitted = jax.jit(sample)
+            self._jit_rand = jax.jit(render_rand)
+            self._jit_labeled = jax.jit(render_labeled)
 
     def _next_key(self):
         self._count += 1
@@ -154,7 +182,10 @@ class GeneratorService:
     ) -> np.ndarray:
         """→ uint8 images (n, S, S, C). Requests pad to the compiled batch."""
         key = key if key is not None else self._next_key()
-        labels = labels or None  # empty selection → random classes
+        # empty selection → random classes (len(), not truthiness: a numpy
+        # label array raises on bool())
+        if labels is not None and len(labels) == 0:
+            labels = None
         bs = self.batch_size
         out = []
         made = 0
@@ -162,7 +193,9 @@ class GeneratorService:
         # small window of request batches in flight and fetch the oldest —
         # the device renders batch N+1 while the host receives batch N
         # (the serial dispatch→fetch loop paid compute+transfer per batch).
-        # The window bounds HBM held by undrained uint8 payloads.
+        # The window bounds HBM held by undrained uint8 payloads. Each batch
+        # is exactly ONE dispatch (the compiled render draws z/labels from
+        # key+offset on device).
         window = 8
         inflight = []  # (device_imgs, take)
 
@@ -171,22 +204,15 @@ class GeneratorService:
             out.append(np.asarray(imgs)[:take])  # uint8 payload fetch
 
         while made < n:
-            k = jax.random.fold_in(key, made)
-            z = jax.random.normal(k, (bs, self.geo.z_dim))
-            args = (self.params_g, z)
-            if self.conditional:
-                if labels is not None:
-                    lab = jnp.asarray(
-                        [labels[(made + i) % len(labels)] for i in range(bs)]
-                    )
-                else:
-                    # stays on device — a host read here would sync the
-                    # pipeline once per batch
-                    lab = jax.random.randint(
-                        jax.random.fold_in(k, 1), (bs,), 0, self.num_classes)
-                args = args + (jax.nn.one_hot(lab, self.num_classes),)
             with pallas_inference():
-                inflight.append((self._jitted(*args), min(bs, n - made)))
+                if self.conditional and labels is not None:
+                    lab = np.asarray(
+                        [labels[(made + i) % len(labels)] for i in range(bs)],
+                        np.int32)
+                    imgs = self._jit_labeled(self.params_g, key, made, lab)
+                else:
+                    imgs = self._jit_rand(self.params_g, key, made)
+            inflight.append((imgs, min(bs, n - made)))
             made += inflight[-1][1]
             if len(inflight) >= window:
                 drain_one()

@@ -45,9 +45,7 @@ BS, S, R = 512, 20, 5
 CD = jnp.bfloat16
 
 
-def to_u8(imgs):
-    x = imgs.astype(jnp.float32) * 0.5 + 0.5
-    return jnp.floor(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+from jckx.serve import tanh_to_u8 as to_u8  # noqa: E402  production conversion
 
 
 def build(geo, params):
@@ -133,9 +131,13 @@ def main(skip_xla: bool):
         print(f"{name:10s} {results[name]:7.2f} us/img", flush=True)
 
     if not skip_xla:
-        jitted = jax.jit(regions["bare"])  # fresh jit → XLA BN path
-        # NOTE: traced OUTSIDE pallas_inference. Expected ~100x slow
-        # (fused_bn_act.py:41) — time one region only, no differential.
+        # a FRESH CLOSURE, not jax.jit(regions["bare"]) again: jit's
+        # function-identity trace cache would reuse the jaxpr traced above
+        # under pallas_inference() and silently measure the Pallas program
+        bare = regions["bare"]
+        jitted = jax.jit(lambda p, z: bare(p, z))  # traced OUTSIDE the scope
+        # → XLA BN path. Expected ~100x slow (fused_bn_act.py:41) — time one
+        # region only, no differential.
         acc = jitted(params, zs_arg(0))
         float(jnp.asarray(acc, jnp.float32))
         t0 = time.perf_counter()
