@@ -115,6 +115,38 @@ def test_pallas_partitioned_sharded_matches_and_no_allgather(monkeypatch):
         os.environ.pop("JCKX_PALLAS_INTERPRET", None)
 
 
+def test_pallas_partitioned_auto_propagation(monkeypatch):
+    """Without explicit in_shardings, the partitioner must still shard the
+    kernel from the INPUT's sharding alone — that's what the Shardy
+    sharding_rule provides. jit with no sharding annotations, batch-sharded
+    operand in: output must come back batch-sharded with no all-gather."""
+    import os
+
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from jckx.parallel import make_mesh
+
+    os.environ["JCKX_PALLAS_INTERPRET"] = "1"
+    try:
+        rng = np.random.RandomState(11)
+        x = jnp.asarray(rng.randn(16, 4, 4, 128).astype(np.float32))
+        s = jnp.asarray(rng.rand(128).astype(np.float32) + 0.5)
+        b = jnp.asarray(rng.randn(128).astype(np.float32))
+        ref = np.asarray(fba._bn_act_xla(x, s, b, "leaky_relu", 0.2, 1e-5))
+
+        mesh = make_mesh((8,), ("data",))
+        xd = jax.device_put(x, NamedSharding(mesh, P("data")))
+        with fba.pallas_inference():
+            f = jax.jit(lambda x, s, b: fba.bn_act(x, s, b, act="leaky_relu"))
+            got = f(xd, s, b)
+            hlo = f.lower(xd, s, b).compile().as_text()
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
+        assert "all-gather" not in hlo
+    finally:
+        os.environ.pop("JCKX_PALLAS_INTERPRET", None)
+
+
 def test_bn_act_grad_and_double_grad():
     # the GP path needs grad-of-grad through bn_act (XLA path)
     x0 = jnp.asarray(np.random.RandomState(1).randn(4, 4, 4, 3).astype(np.float32))
