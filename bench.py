@@ -181,4 +181,7 @@ if __name__ == "__main__":
     p.add_argument("--scan_steps", type=int, default=50)
     p.add_argument("--supersteps", type=int, default=5)
     a = p.parse_args()
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     main(a.image_size, a.batch_size, a.remat, a.scan_steps, a.supersteps, a.model)

@@ -117,4 +117,7 @@ def main(n_images: int = 50_000, batch: int = 2048):
 
 
 if __name__ == "__main__":
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     main()

@@ -74,4 +74,7 @@ def main(batch_size: int = 128, K: int = 8, supersteps: int = 4):
 
 
 if __name__ == "__main__":
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     main()

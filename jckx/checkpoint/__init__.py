@@ -6,3 +6,8 @@ from jckx.checkpoint.checkpoint import (  # noqa: F401
     DeviceSnapshot,
     latest_checkpoint,
 )
+from jckx.checkpoint.torch_convert import (  # noqa: F401
+    import_torch_gan_checkpoint,
+    export_torch_gan_checkpoint,
+    infer_gan_config,
+)

@@ -132,6 +132,11 @@ class Config:
     profile_dir: str = ""              # jax.profiler trace dir ('' = off)
     save_root: str = "./save"
     resume: bool = False               # auto-resume from latest checkpoint
+    # warm-start from a reference torch .pt (train/dcgan_trainer.py:86-91
+    # format): params + Adam moments + step are imported, so training
+    # continues where the reference's optimizer left off. --resume, when a
+    # jckx latest.ckpt exists in the run dir, takes precedence.
+    init_from_torch: str = ""
 
     # populated by main()/trainers, mirrors reference args.save_path
     save_path: str = ""
@@ -186,6 +191,8 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--profile_dir", type=str, default=d.profile_dir)
     parser.add_argument("--save_root", type=str, default=d.save_root)
     parser.add_argument("--resume", action="store_true", default=d.resume)
+    parser.add_argument("--init_from_torch", type=str, default=d.init_from_torch,
+                        help="warm-start from a reference torch .pt checkpoint")
     parser.add_argument("--mesh_shape", type=str, default="", help="comma ints, e.g. '8' or '4,2'")
     parser.add_argument("--mesh_axes", type=str, default=",".join(d.mesh_axes))
     parser.add_argument("--model_axis_mode", type=str, default=d.model_axis_mode,

@@ -4,7 +4,9 @@ The reference has no inference path at all — generation exists only inside
 the training eval loop. jckx exposes the trained generator as a standalone,
 deployment-ready API:
 
-- ``GeneratorService``: loads any jckx checkpoint (best-metric or latest),
+- ``GeneratorService``: loads any jckx checkpoint (best-metric or latest) —
+  or a REFERENCE torch ``.pt`` (checkpoint/torch_convert.py imports it and
+  infers geometry/conditionality from the weight shapes) —
   jit-compiles the sampler once (Pallas fused BN+act inference path), and
   serves batched ``sample()`` calls entirely on device — including the
   tanh→uint8 pixel conversion, so the device→host fetch is the final uint8
@@ -78,15 +80,31 @@ class GeneratorService:
         mesh=None,
     ):
         # self-configure from the trainer's sidecar when present (explicit
-        # args always win)
+        # args always win). A reference torch checkpoint (.pt) is imported
+        # directly — its "sidecar" is inferred from the weight shapes
+        # (checkpoint/torch_convert.py), so a reference user can point the
+        # server at the .pt their old stack produced and nothing else.
         sidecar = {}
-        try:
-            import json
+        torch_state = None
+        if ckpt_path.endswith(".pt"):
+            from jckx.checkpoint import import_torch_gan_checkpoint
 
-            with open(ckpt_path + ".json") as f:
-                sidecar = json.load(f).get("serve_config", {})
-        except (OSError, ValueError):
-            pass
+            torch_state, tinfo = import_torch_gan_checkpoint(ckpt_path)
+            tg = tinfo["geo"]
+            sidecar = {
+                "conditional": tinfo["conditional"],
+                "num_classes": tinfo["num_classes"],
+                "z_dim": tg.z_dim, "image_size": tg.image_size,
+                "channels": tg.channels, "base_width": tg.base_width,
+            }
+        else:
+            try:
+                import json
+
+                with open(ckpt_path + ".json") as f:
+                    sidecar = json.load(f).get("serve_config", {})
+            except (OSError, ValueError):
+                pass
         if conditional is None:
             conditional = bool(sidecar.get("conditional", False))
         if geo is None:
@@ -107,11 +125,14 @@ class GeneratorService:
         self._key = jax.random.PRNGKey(seed)
         self._count = 0
 
-        template = make_template_state(
-            self.geo, conditional=conditional, num_classes=num_classes,
-            with_ema=use_ema,
-        )
-        state, _ = restore_checkpoint(ckpt_path, template)
+        if torch_state is not None:
+            state = torch_state
+        else:
+            template = make_template_state(
+                self.geo, conditional=conditional, num_classes=num_classes,
+                with_ema=use_ema,
+            )
+            state, _ = restore_checkpoint(ckpt_path, template)
         self.params_g = state.ema_g if (use_ema and state.ema_g is not None) else state.params_g
         self.step = int(state.step)
 
@@ -223,7 +244,9 @@ class GeneratorService:
 
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="jckx generator serving")
-    p.add_argument("--ckpt", required=True, help="checkpoint path (.ckpt)")
+    p.add_argument("--ckpt", required=True,
+                   help="checkpoint path (.ckpt, or a reference torch .pt — "
+                        "imported in place, geometry inferred)")
     p.add_argument("-n", "--num", type=int, default=64)
     p.add_argument("-o", "--out", default="samples.png")
     p.add_argument("--conditional", action="store_true", default=None)
@@ -244,6 +267,10 @@ def get_args(argv=None):
 
 
 def main(args):
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # JAX_PLATFORMS=cpu smokes: the axon plugin
+    # pins jax_platforms at import, before the env var is consulted
     overrides = {k: getattr(args, k)
                  for k in ("z_dim", "image_size", "channels", "base_width")
                  if getattr(args, k) is not None}

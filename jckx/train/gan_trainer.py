@@ -173,7 +173,11 @@ class _BaseGANTrainer(Trainer):
         # run was cut short (main.py exits 143, the conventional SIGTERM code).
         self._preempt = threading.Event()
         self.preempted = False
+        if cfg.init_from_torch:
+            self._init_from_torch(cfg.init_from_torch)
         if cfg.resume:
+            # a jckx latest.ckpt in the run dir wins over --init_from_torch:
+            # the torch import warm-starts a NEW run; resume continues it
             self._try_resume()
 
         self._build_jits()
@@ -292,6 +296,38 @@ class _BaseGANTrainer(Trainer):
         self._sample = sample_wrapped
 
     # -------------------------------------------------------------- resume
+
+    def _init_from_torch(self, path: str) -> None:
+        """Warm-start from a reference torch checkpoint (--init_from_torch).
+
+        The import (checkpoint/torch_convert.py) replaces params, Adam
+        moments, AND the step counter, so the optimizer's bias correction
+        and the eval/epoch cadence continue exactly where the reference's
+        run stopped — the resume the reference never implemented
+        (dcgan_trainer.py:103-111) applied to ITS OWN checkpoints.
+        Geometry/conditionality inferred from the weights must match this
+        trainer's config (a mismatch is a user error, not a fallback case).
+        """
+        from jckx.checkpoint import import_torch_gan_checkpoint
+
+        state, info = import_torch_gan_checkpoint(
+            path, lr=self.cfg.max_learning_rate,
+            with_ema=self.cfg.ema_decay > 0, seed=self.cfg.seed)
+        if info["conditional"] != self.conditional:
+            raise ValueError(
+                f"{path} is a {'CGAN' if info['conditional'] else 'DCGAN'} "
+                f"checkpoint but the trainer is {self._model_name()}")
+        if info["geo"] != self.geo:
+            raise ValueError(
+                f"{path} geometry {info['geo']} != configured {self.geo}")
+        if info["conditional"] and info["num_classes"] != self.num_classes:
+            raise ValueError(
+                f"{path} has {info['num_classes']} classes, dataset has "
+                f"{self.num_classes}")
+        self.state = state
+        self._host_step = info["step"]
+        self.logger.info(
+            f"warm-started from torch checkpoint {path} at step {info['step']}")
 
     def _try_resume(self):
         path = latest_checkpoint(self.save_path)
