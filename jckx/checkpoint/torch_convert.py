@@ -44,7 +44,6 @@ from __future__ import annotations
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -214,8 +213,11 @@ def _check_keys(sd: Dict[str, Any], entries: List[MapEntry], what: str) -> None:
 
 def params_from_torch(sd: Dict[str, Any], entries: List[MapEntry],
                       what: str = "state_dict") -> Params:
+    """Returns HOST numpy leaves (like flax from_bytes): eager per-leaf
+    device_puts would cost one dispatch each (~0.4 s/leaf through a
+    tunneled runtime); the first jit call uploads the whole tree batched."""
     _check_keys(sd, entries, what)
-    return {jk: jnp.asarray(t2j(_np(sd[tk]))) for tk, jk, t2j, _ in entries}
+    return {jk: t2j(_np(sd[tk])) for tk, jk, t2j, _ in entries}
 
 
 def params_to_torch(params: Params, entries: List[MapEntry],
@@ -243,7 +245,7 @@ def _fill_adam(template_opt_state, mu: Params, nu: Params, count: int):
     def repl(s):
         if isinstance(s, optax.ScaleByAdamState):
             return optax.ScaleByAdamState(
-                count=jnp.asarray(count, jnp.int32), mu=mu, nu=nu)
+                count=np.asarray(count, np.int32), mu=mu, nu=nu)
         return s
 
     return jax.tree_util.tree_map(
@@ -265,19 +267,27 @@ def adam_state_from_torch(opt_sd: Dict[str, Any], entries: List[MapEntry],
     state = {int(k): v for k, v in opt_sd.get("state", {}).items()}
     if not state:
         return template_opt_state, 0
-    steps = {int(_np(v["step"]).reshape(())) for v in state.values()}
-    if len(steps) != 1:
-        raise ValueError(f"per-param Adam steps differ ({sorted(steps)}); "
-                         f"cannot map onto optax's single count")
-    count = steps.pop()
+    count = _torch_adam_count(opt_sd)
     mu: Params = {}
     nu: Params = {}
     for i, (tk, jk, t2j, _) in enumerate(entries):
         if i not in state:
             raise KeyError(f"torch optimizer state missing param index {i} ({tk})")
-        mu[jk] = jnp.asarray(t2j(_np(state[i]["exp_avg"])))
-        nu[jk] = jnp.asarray(t2j(_np(state[i]["exp_avg_sq"])))
+        mu[jk] = t2j(_np(state[i]["exp_avg"]))
+        nu[jk] = t2j(_np(state[i]["exp_avg_sq"]))
     return _fill_adam(template_opt_state, mu, nu, count), count
+
+
+def _torch_adam_count(opt_sd: Dict[str, Any]) -> int:
+    """The shared step count of a torch Adam state_dict (0 when untrained)."""
+    state = opt_sd.get("state", {})
+    if not state:
+        return 0
+    steps = {int(_np(v["step"]).reshape(())) for v in state.values()}
+    if len(steps) != 1:
+        raise ValueError(f"per-param Adam steps differ ({sorted(steps)}); "
+                         f"cannot map onto optax's single count")
+    return steps.pop()
 
 
 def adam_state_to_torch(opt_state, entries: List[MapEntry], lr: float,
@@ -305,6 +315,14 @@ def adam_state_to_torch(opt_state, entries: List[MapEntry], lr: float,
     return {"state": state, "param_groups": [group]}
 
 
+def _host_key(seed: int, fold: int) -> np.ndarray:
+    """Seed-derived PRNG key as HOST numpy uint32 — computed on the CPU
+    backend so importing a checkpoint never dispatches to (or reads from)
+    the accelerator; the first jit uploads it with the rest of the state."""
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        return np.asarray(jax.random.fold_in(jax.random.PRNGKey(seed), fold))
+
+
 # ------------------------------------------------------------------ top level
 
 def _maps_for(conditional: bool, geo: GANGeometry, num_classes: int):
@@ -315,7 +333,8 @@ def _maps_for(conditional: bool, geo: GANGeometry, num_classes: int):
 
 
 def import_torch_gan_checkpoint(src, *, lr: float = 2e-4, with_ema: bool = False,
-                                seed: int = RANDOMSEED):
+                                seed: int = RANDOMSEED,
+                                with_optimizer: bool = True):
     """Reference ``.pt`` checkpoint (path or already-loaded dict) →
     ``(GANTrainState, info)``.
 
@@ -327,7 +346,11 @@ def import_torch_gan_checkpoint(src, *, lr: float = 2e-4, with_ema: bool = False
     average is the only faithful start). The state's step is the Adam step
     count (the reference stores its iteration counter only in the
     checkpoint FILENAME, dcgan_trainer.py:91, which may not survive renames
-    — the optimizer state is authoritative).
+    — the optimizer state is authoritative). ``with_optimizer=False`` skips
+    the moment import and template init (opt_g/opt_d = None) — serving and
+    eval never touch them, and the template init allocates on the default
+    device. All array leaves are HOST numpy; the first jit uploads them
+    batched.
     """
     from jckx.configs import Config
     from jckx.train.state import GANTrainState, make_optimizer
@@ -345,17 +368,23 @@ def import_torch_gan_checkpoint(src, *, lr: float = 2e-4, with_ema: bool = False
     params_g = params_from_torch(src["model_g"], gmap, "model_g")
     params_d = params_from_torch(src["model_d"], dmap, "model_d")
 
-    cfg = Config()
-    cfg.max_learning_rate = lr
-    tx = make_optimizer(cfg)
-    opt_g, step_g = adam_state_from_torch(src.get("optimizer_g", {}), gmap, tx.init(params_g))
-    opt_d, _ = adam_state_from_torch(src.get("optimizer_d", {}), dmap, tx.init(params_d))
+    if with_optimizer:
+        cfg = Config()
+        cfg.max_learning_rate = lr
+        tx = make_optimizer(cfg)
+        opt_g, step_g = adam_state_from_torch(
+            src.get("optimizer_g", {}), gmap, tx.init(params_g))
+        opt_d, _ = adam_state_from_torch(
+            src.get("optimizer_d", {}), dmap, tx.init(params_d))
+    else:
+        opt_g = opt_d = None
+        step_g = _torch_adam_count(src.get("optimizer_g", {}))
 
     state = GANTrainState(
         params_g=params_g, params_d=params_d, opt_g=opt_g, opt_d=opt_d,
-        step=jnp.asarray(step_g, jnp.int32),
-        rng=jax.random.fold_in(jax.random.PRNGKey(seed), step_g),
-        ema_g=jax.tree_util.tree_map(jnp.copy, params_g) if with_ema else None,
+        step=np.asarray(step_g, np.int32),
+        rng=_host_key(seed, step_g),
+        ema_g=jax.tree_util.tree_map(np.copy, params_g) if with_ema else None,
     )
     info = {"conditional": conditional, "geo": geo,
             "num_classes": num_classes, "step": step_g}

@@ -80,16 +80,22 @@ class GeneratorService:
         mesh=None,
     ):
         # self-configure from the trainer's sidecar when present (explicit
-        # args always win). A reference torch checkpoint (.pt) is imported
-        # directly — its "sidecar" is inferred from the weight shapes
+        # args win — for a jckx checkpoint, whose sidecar is advisory). A
+        # reference torch checkpoint (.pt) is imported directly — its
+        # "sidecar" is inferred from the weight shapes
         # (checkpoint/torch_convert.py), so a reference user can point the
         # server at the .pt their old stack produced and nothing else.
+        # Explicit args that CONTRADICT the .pt's weights are rejected here
+        # with a clear error (the weights are ground truth; letting an
+        # override "win" would surface as an opaque XLA shape error at
+        # trace time instead).
         sidecar = {}
         torch_state = None
         if ckpt_path.endswith(".pt"):
             from jckx.checkpoint import import_torch_gan_checkpoint
 
-            torch_state, tinfo = import_torch_gan_checkpoint(ckpt_path)
+            torch_state, tinfo = import_torch_gan_checkpoint(
+                ckpt_path, with_optimizer=False)  # serving never reads opt_*
             tg = tinfo["geo"]
             sidecar = {
                 "conditional": tinfo["conditional"],
@@ -97,6 +103,20 @@ class GeneratorService:
                 "z_dim": tg.z_dim, "image_size": tg.image_size,
                 "channels": tg.channels, "base_width": tg.base_width,
             }
+            explicit = dict(geo_overrides or {})
+            if conditional is not None:
+                explicit["conditional"] = conditional
+            if num_classes is not None:
+                explicit["num_classes"] = num_classes
+            if geo is not None:
+                explicit.update({f: getattr(geo, f) for f in (
+                    "z_dim", "image_size", "channels", "base_width")})
+            clashes = {k: (v, sidecar[k]) for k, v in explicit.items()
+                       if k in sidecar and v != sidecar[k]}
+            if clashes:
+                raise ValueError(
+                    f"{ckpt_path}: explicit args contradict the checkpoint's "
+                    f"weights (given vs inferred): {clashes}")
         else:
             try:
                 import json
@@ -127,14 +147,16 @@ class GeneratorService:
 
         if torch_state is not None:
             state = torch_state
+            self.step = tinfo["step"]  # host-side: int(state.step) would be
+            # a cold-channel device read on some backends (CLAUDE.md landmine)
         else:
             template = make_template_state(
                 self.geo, conditional=conditional, num_classes=num_classes,
                 with_ema=use_ema,
             )
             state, _ = restore_checkpoint(ckpt_path, template)
+            self.step = int(state.step)  # flax from_bytes leaves are host numpy
         self.params_g = state.ema_g if (use_ema and state.ema_g is not None) else state.params_g
-        self.step = int(state.step)
 
         cd = compute_dtype
         bs = batch_size

@@ -354,6 +354,13 @@ def test_serve_from_torch_pt(tmp_path):
         np.testing.assert_array_equal(
             np.asarray(svc.params_g[k]), np.asarray(state.params_g[k]))
 
+    # explicit args that contradict the .pt's weights are a clear error,
+    # not an opaque trace-time shape failure
+    with pytest.raises(ValueError, match="contradict"):
+        GeneratorService(path, batch_size=8, geo_overrides={"image_size": 32})
+    with pytest.raises(ValueError, match="contradict"):
+        GeneratorService(path, batch_size=8, conditional=True)
+
 
 def test_trainer_init_from_torch(tmp_path):
     """--init_from_torch warm-starts a DCGANTrainer: params + Adam moments +

@@ -28,7 +28,9 @@ BENCHES = {
 
 
 def probe_tunnel(timeout_s: int = 120):
-    """→ (ok, read_seconds|None): put+blocked read of a scalar."""
+    """→ (read_seconds|None, error|None): put+blocked read of a scalar.
+    A probe that CRASHES (plugin init error, etc.) is reported with its
+    stderr tail, not conflated with a tunnel timeout."""
     code = (
         "import numpy as np, jax, time;"
         "a = jax.device_put(np.ones((8, 8), np.float32));"
@@ -41,10 +43,11 @@ def probe_tunnel(timeout_s: int = 120):
                              text=True, timeout=timeout_s)
         for line in out.stdout.splitlines():
             if line.startswith("PROBE_S"):
-                return True, float(line.split()[1])
+                return float(line.split()[1]), None
+        return None, (f"probe exited {out.returncode} without a reading; "
+                      f"stderr: {out.stderr[-300:]}")
     except subprocess.TimeoutExpired:
-        pass
-    return False, None
+        return None, f"timed out after {timeout_s}s"
 
 
 def main():
@@ -55,15 +58,28 @@ def main():
     args = p.parse_args()
     skip = {s for s in args.skip.split(",") if s}
 
-    ok, probe_s = probe_tunnel()
+    probe_s, probe_err = probe_tunnel()
     report = {"tunnel_probe_read_s": probe_s, "benches": {}}
-    print(f"tunnel probe: {'%.2fs' % probe_s if ok else 'TIMED OUT'}"
-          f"{' — SICK, numbers will be unreliable' if not ok or probe_s > 5 else ''}",
-          flush=True)
+    if probe_err:
+        report["tunnel_probe_error"] = probe_err
+        print(f"tunnel probe: {probe_err} — numbers will be unreliable",
+              flush=True)
+    else:
+        print(f"tunnel probe: {probe_s:.2f}s"
+              f"{' — SICK, numbers will be unreliable' if probe_s > 5 else ''}",
+              flush=True)
 
+    def flush_report():
+        # after every bench, not just at the end: one bad bench (or a kill)
+        # must not discard the completed 900-second runs before it
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+    flush_report()
     for name, cmd in BENCHES.items():
         if name in skip:
             report["benches"][name] = {"skipped": True}
+            flush_report()
             continue
         t0 = time.perf_counter()
         try:
@@ -72,20 +88,23 @@ def main():
             wall = round(time.perf_counter() - t0, 1)
             line = next((ln for ln in reversed(out.stdout.splitlines())
                          if ln.startswith("{")), None)
-            entry = json.loads(line) if line else {
-                "error": f"no JSON line (exit {out.returncode})",
-                "stderr_tail": out.stderr[-500:]}
+            try:
+                entry = json.loads(line) if line else {
+                    "error": f"no JSON line (exit {out.returncode})",
+                    "stderr_tail": out.stderr[-500:]}
+            except json.JSONDecodeError as e:
+                entry = {"error": f"unparseable JSON line ({e})",
+                         "line": line[:300], "stderr_tail": out.stderr[-500:]}
         except subprocess.TimeoutExpired:
             wall = round(time.perf_counter() - t0, 1)
             entry = {"error": f"timeout after {args.timeout}s"}
         entry["wall_s_incl_compile"] = wall
         report["benches"][name] = entry
+        flush_report()
         val = entry.get("value")
         print(f"{name:14s} {val if val is not None else entry.get('error')}",
               flush=True)
 
-    with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
     print(f"wrote {args.out}")
 
 
