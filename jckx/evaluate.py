@@ -1,0 +1,144 @@
+"""Standalone checkpoint evaluation: FID / IS / intra-FID outside training.
+
+The reference computes metrics only INSIDE its training loop
+(train/dcgan_trainer.py:198-226, train/cgan_trainer.py:200-270) — there is
+no way to score an existing checkpoint. jckx exposes the trainers' exact
+eval protocol as a CLI over any checkpoint, including an imported reference
+torch ``.pt``:
+
+    python -m jckx.evaluate --ckpt save/dcgan/<ts>/latest.ckpt --dataset cifar100
+    python -m jckx.evaluate --ckpt path/to/5000_0.1000_88.4000.pt
+
+Protocol identical to the in-training eval (gan_trainer._fixed_eval_inputs
+/ _evaluate): seeded z = fold_in(PRNGKey(seed), 999); ``--sample_count``
+unconditional samples, or the class-major 10×num_classes grid for
+conditional checkpoints (cgan_trainer.py:144-153); generation in ≤500-image
+device-resident chunks; ONE backbone pass feeds IS + FID (+ intra-FID).
+So a checkpoint scored here reproduces the numbers its training run logged
+at the same step (same backbone, same seed → bit-identical samples).
+
+Prints one JSON line: {"step", "n", "is", "fid"[, "intra_fid"]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="jckx checkpoint evaluation")
+    p.add_argument("--ckpt", required=True,
+                   help="checkpoint (.ckpt, or a reference torch .pt)")
+    p.add_argument("--dataset", default="cifar100",
+                   help="real-side dataset (cifar100/cifar10/mnist/synthetic)")
+    p.add_argument("--data_dir", default="./data")
+    p.add_argument("--synthetic_size", type=int, default=None)
+    p.add_argument("--sample_count", type=int, default=None,
+                   help="unconditional sample count (default: trainer's "
+                        "sample_count; conditional always 10/class)")
+    p.add_argument("--eval_batch_size", type=int, default=None)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--seed", type=int, default=None,
+                   help="eval-noise seed (default: the training seed, so the "
+                        "samples match the run's own eval boundaries)")
+    p.add_argument("--use_ema", action="store_true", default=None,
+                   help="score the EMA generator (default: the sidecar's say)")
+    # explicit overrides, forwarded to GeneratorService (rejected when they
+    # contradict a .pt's inferred config)
+    p.add_argument("--conditional", action="store_true", default=None)
+    p.add_argument("--num_classes", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--channels", type=int, default=None)
+    p.add_argument("--base_width", type=int, default=None)
+    p.add_argument("--z_dim", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def evaluate(args, metrics=None):
+    """→ result dict (the printed JSON line). ``metrics`` injects a
+    prebuilt/stub engine (tests); default builds Metrics on the dataset."""
+    from jckx.configs import Config
+    from jckx.models import cgan, dcgan
+    from jckx.serve import GeneratorService
+
+    overrides = {k: getattr(args, k)
+                 for k in ("z_dim", "image_size", "channels", "base_width")
+                 if getattr(args, k) is not None}
+    svc = GeneratorService(
+        args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
+        geo_overrides=overrides or None, use_ema=args.use_ema,
+        batch_size=1,  # the render programs are for serving; never traced here
+    )
+    geo, conditional, ncls = svc.geo, svc.conditional, svc.num_classes
+    cd = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    cfg = Config()
+    cfg.dataset = args.dataset
+    cfg.data_dir = args.data_dir
+    cfg.image_size = geo.image_size
+    cfg.channels = geo.channels
+    cfg.num_classes = ncls
+    if args.synthetic_size is not None:
+        cfg.synthetic_size = args.synthetic_size
+    seed = cfg.seed if args.seed is None else args.seed
+    n_samples = (10 * ncls if conditional
+                 else (args.sample_count or cfg.sample_count))
+
+    if metrics is None:
+        from jckx.data.pipeline import (CGANDataPreprocessor,
+                                        DCGANDataPreprocessor)
+        from jckx.metrics import Metrics
+
+        pre = (CGANDataPreprocessor if conditional else DCGANDataPreprocessor)(cfg)
+        pre.transform_data()
+        if conditional and pre.num_classes != ncls:
+            raise ValueError(
+                f"checkpoint has {ncls} classes, dataset {args.dataset} has "
+                f"{pre.num_classes}")
+        metrics = Metrics(
+            (pre.images_u8, pre.labels_np), cfg,
+            batch_size=args.eval_batch_size or cfg.eval_batch_size,
+            compute_dtype=cd, cache_dir=cfg.data_dir, num_classes=ncls)
+
+    # the trainers' fixed eval inputs (gan_trainer._fixed_eval_inputs)
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), 999)
+    z = jax.random.normal(key, (n_samples, geo.z_dim))
+    onehot = (jax.nn.one_hot(jnp.repeat(jnp.arange(ncls), 10), ncls)
+              if conditional else None)
+
+    chunks = []
+    for i in range(0, n_samples, 500):
+        if conditional:
+            chunks.append(cgan.cgenerator_apply(
+                svc.params_g, z[i:i + 500], onehot[i:i + 500], geo, cd))
+        else:
+            chunks.append(dcgan.generator_apply(
+                svc.params_g, z[i:i + 500], geo, cd))
+    fake = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+
+    feats = metrics.extract_features(fake)
+    result = {
+        "step": svc.step,
+        "n": n_samples,
+        "is": float(metrics.inception_score(logits=feats)),
+        "fid": float(metrics.fid(features=feats)),
+    }
+    if conditional:
+        result["intra_fid"] = float(metrics.intra_fid(features=feats))
+    return result
+
+
+def main(argv=None):
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    print(json.dumps(evaluate(get_args(argv))))
+
+
+if __name__ == "__main__":
+    main()
