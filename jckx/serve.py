@@ -264,6 +264,120 @@ class GeneratorService:
         return np.concatenate(out)
 
 
+# ----------------------------------------------------------------- HTTP mode
+
+def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
+                     port: int = 8000):
+    """Production HTTP front for a ``GeneratorService`` (stdlib-only).
+
+    - ``GET /healthz`` → JSON {status, step, conditional, num_classes,
+      image_size, channels, batch_size} (readiness probe: it only answers
+      once the service is constructed).
+    - ``POST /generate`` with JSON {"n": int, "labels": [ints]?,
+      "seed": int?, "format": "png"|"npy"?} → a PNG sample grid (default) or
+      a raw ``.npy`` uint8 array (N,S,S,C). ``seed`` makes the response
+      deterministic (same seed → byte-identical images); without it each
+      request draws fresh noise. ``labels`` selects CGAN classes (rejected
+      for unconditional checkpoints).
+
+    Requests are handled on threads but SAMPLING IS SERIALIZED under one
+    lock: there is one device pipeline, and GeneratorService's async
+    dispatch window is the batching layer — interleaving two sample() calls
+    would interleave their key counters, not add throughput.
+
+    Returns the (not yet running) ``ThreadingHTTPServer``; callers run
+    ``serve_forever()`` (the CLI does, with SIGTERM → clean ``shutdown()``).
+    """
+    import io
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *a):  # quiet: jckx logging owns stdout
+            pass
+
+        def _reply(self, code: int, ctype: str, body: bytes):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, code: int, msg: str):
+            self._reply(code, "application/json",
+                        _json.dumps({"error": msg}).encode())
+
+        def do_GET(self):
+            if self.path != "/healthz":
+                return self._error(404, "unknown path (GET /healthz)")
+            self._reply(200, "application/json", _json.dumps({
+                "status": "ok", "step": svc.step,
+                "conditional": svc.conditional,
+                "num_classes": svc.num_classes,
+                "image_size": svc.geo.image_size,
+                "channels": svc.geo.channels,
+                "batch_size": svc.batch_size,
+            }).encode())
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._error(404, "unknown path (POST /generate)")
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+                req = _json.loads(self.rfile.read(length) or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
+            except ValueError as e:
+                return self._error(400, f"bad JSON body: {e}")
+
+            n = req.get("n", 1)
+            if not isinstance(n, int) or not 1 <= n <= 4096:
+                return self._error(400, "'n' must be an int in [1, 4096]")
+            labels = req.get("labels")
+            if labels is not None:
+                if not svc.conditional:
+                    return self._error(
+                        400, "'labels' given but the checkpoint is "
+                             "unconditional (DCGAN)")
+                if (not isinstance(labels, list) or not labels or
+                        not all(isinstance(x, int) and
+                                0 <= x < svc.num_classes for x in labels)):
+                    return self._error(
+                        400, f"'labels' must be a non-empty list of ints in "
+                             f"[0, {svc.num_classes})")
+            fmt = req.get("format", "png")
+            if fmt not in ("png", "npy"):
+                return self._error(400, "'format' must be 'png' or 'npy'")
+            key = None
+            if "seed" in req:
+                if not isinstance(req["seed"], int):
+                    return self._error(400, "'seed' must be an int")
+                key = jax.random.PRNGKey(req["seed"])
+
+            with lock:
+                imgs = svc.sample(n, labels=labels, key=key)
+
+            buf = io.BytesIO()
+            if fmt == "npy":
+                np.save(buf, imgs)
+                return self._reply(200, "application/octet-stream",
+                                   buf.getvalue())
+            from PIL import Image
+
+            from jckx.logging.artifacts import make_grid
+
+            grid = make_grid(imgs, ncol=max(1, int(np.ceil(np.sqrt(n)))))
+            if grid.shape[-1] == 1:
+                grid = grid[..., 0]
+            Image.fromarray(grid).save(buf, format="PNG")
+            self._reply(200, "image/png", buf.getvalue())
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="jckx generator serving")
     p.add_argument("--ckpt", required=True,
@@ -285,6 +399,9 @@ def get_args(argv=None):
     p.add_argument("--mesh_shape", default="",
                    help="comma ints (e.g. '8') — shard the request batch over "
                         "a 'data' mesh of that shape; '' = single device")
+    p.add_argument("--listen", default="",
+                   help="run as an HTTP server instead of writing a grid: "
+                        "'8000' or 'host:8000' (GET /healthz, POST /generate)")
     return p.parse_args(argv)
 
 
@@ -306,6 +423,25 @@ def main(args):
         geo_overrides=overrides or None, batch_size=args.batch_size, seed=args.seed,
         mesh=mesh,
     )
+    if args.listen:
+        import signal
+        import threading
+
+        host, _, port = args.listen.rpartition(":")
+        srv = make_http_server(svc, host or "0.0.0.0", int(port))
+        # SIGTERM/SIGINT → clean shutdown (what schedulers send; mirrors the
+        # trainer's graceful preemption)
+        def _stop(signum, frame):
+            threading.Thread(target=srv.shutdown, daemon=True).start()
+
+        signal.signal(signal.SIGTERM, _stop)
+        signal.signal(signal.SIGINT, _stop)
+        print(f"serving step-{svc.step} checkpoint on "
+              f"http://{srv.server_address[0]}:{srv.server_address[1]} "
+              f"(GET /healthz, POST /generate)", flush=True)
+        srv.serve_forever()
+        srv.server_close()
+        return
     labels = [int(x) for x in args.labels.split(",") if x] or None
     imgs = svc.sample(args.num, labels=labels)
     from jckx.logging.artifacts import save_image_grid

@@ -196,3 +196,111 @@ def test_serve_cli_writes_grid(tmp_path):
         "--base_width", "8", "--batch_size", "4",
     ]))
     assert os.path.exists(out)
+
+
+# ----------------------------------------------------------------- HTTP mode
+
+class _HTTPFixture:
+    """Tiny DCGAN service behind the HTTP front on an ephemeral port."""
+
+    def __init__(self, tmp_path, conditional=False, num_classes=5):
+        import threading
+
+        from jckx.models.dcgan import GANGeometry
+        from jckx.serve import GeneratorService, make_http_server
+        from jckx.train.state import make_template_state
+        from jckx.checkpoint import save_checkpoint
+
+        geo = GANGeometry(z_dim=8, image_size=8, channels=3, base_width=8)
+        state = make_template_state(geo, conditional=conditional,
+                                    num_classes=num_classes)
+        path = str(tmp_path / "http.ckpt")
+        save_checkpoint(path, state, {"serve_config": {
+            "conditional": conditional, "num_classes": num_classes,
+            "z_dim": 8, "image_size": 8, "channels": 3, "base_width": 8}})
+        self.svc = GeneratorService(path, batch_size=4)
+        self.srv = make_http_server(self.svc, "127.0.0.1", 0)
+        self.port = self.srv.server_address[1]
+        self.thread = threading.Thread(target=self.srv.serve_forever,
+                                       daemon=True)
+        self.thread.start()
+
+    def request(self, path, body=None):
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        url = f"http://127.0.0.1:{self.port}{path}"
+        req = (urllib.request.Request(
+                   url, data=_json.dumps(body).encode(),
+                   headers={"Content-Type": "application/json"})
+               if body is not None else url)
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, r.headers.get("Content-Type"), r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.headers.get("Content-Type"), e.read()
+
+    def close(self):
+        self.srv.shutdown()
+        self.srv.server_close()
+        self.thread.join(timeout=10)
+
+
+def test_http_serving_end_to_end(tmp_path):
+    import io
+    import json as _json
+
+    f = _HTTPFixture(tmp_path)
+    try:
+        code, ctype, body = f.request("/healthz")
+        assert code == 200 and ctype == "application/json"
+        health = _json.loads(body)
+        assert health["status"] == "ok" and health["image_size"] == 8
+        assert health["conditional"] is False
+
+        # PNG grid (default format)
+        code, ctype, body = f.request("/generate", {"n": 6})
+        assert code == 200 and ctype == "image/png"
+        assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # npy payload: exact shape/dtype, seed determinism
+        code, ctype, b1 = f.request("/generate",
+                                    {"n": 6, "seed": 7, "format": "npy"})
+        assert code == 200 and ctype == "application/octet-stream"
+        arr = np.load(io.BytesIO(b1))
+        assert arr.shape == (6, 8, 8, 3) and arr.dtype == np.uint8
+        _, _, b2 = f.request("/generate",
+                             {"n": 6, "seed": 7, "format": "npy"})
+        assert b1 == b2  # same seed -> byte-identical
+        _, _, b3 = f.request("/generate",
+                             {"n": 6, "seed": 8, "format": "npy"})
+        assert b1 != b3
+
+        # validation errors are clear JSON 400s
+        for bad in ({"n": 0}, {"n": "x"}, {"labels": [1]},
+                    {"format": "jpeg"}, {"seed": "x"}):
+            code, _, body = f.request("/generate", bad)
+            assert code == 400, bad
+            assert "error" in _json.loads(body)
+        code, _, _ = f.request("/nope", {})
+        assert code == 404
+    finally:
+        f.close()
+
+
+def test_http_serving_cgan_labels(tmp_path):
+    import io
+    import json as _json
+
+    f = _HTTPFixture(tmp_path, conditional=True, num_classes=5)
+    try:
+        code, _, body = f.request("/generate",
+                                  {"n": 4, "labels": [0, 3], "format": "npy"})
+        assert code == 200
+        assert np.load(io.BytesIO(body)).shape == (4, 8, 8, 3)
+        # out-of-range label rejected
+        code, _, body = f.request("/generate", {"n": 2, "labels": [5]})
+        assert code == 400 and "labels" in _json.loads(body)["error"]
+    finally:
+        f.close()
