@@ -412,3 +412,49 @@ def test_trainer_init_from_torch(tmp_path):
                      dcgan.generator_init(jax.random.PRNGKey(0), g2),
                      dcgan.discriminator_init(jax.random.PRNGKey(1), g2),
                      data_pre2, metrics=StubMetrics())
+
+
+def test_convert_cli_both_directions(tmp_path):
+    """python -m jckx.convert: .pt -> .ckpt (serveable, sidecar written) and
+    .ckpt -> .pt (strictly reference-shaped), params bit-exact end to end."""
+    from jckx.convert import convert, get_args as conv_args
+    from jckx.serve import GeneratorService
+
+    geo = GANGeometry(z_dim=16, image_size=16, channels=3, base_width=8)
+    torch.manual_seed(9)
+    gen = _ref_generator(geo, geo.z_dim)
+    disc = _ref_dcgan_discriminator(geo)
+    _weights_init(gen)
+    _weights_init(disc)
+    z = torch.randn(2, geo.z_dim, 1, 1)
+    opt_g = _run_adam_steps(gen, lambda: _ref_gen_forward(gen, z, geo.n_up), 2)
+    opt_d = torch.optim.Adam(disc.parameters(), lr=2e-4, betas=(0.5, 0.999))
+    src_pt = str(tmp_path / "src.pt")
+    torch.save(_checkpoint_dict(gen, disc, opt_g, opt_d), src_pt)
+
+    # .pt -> .ckpt
+    ckpt = str(tmp_path / "run" / "latest.ckpt")
+    info = convert(conv_args(["--src", src_pt, "--dst", ckpt]))
+    assert info["step"] == 2 and info["image_size"] == 16
+    svc = GeneratorService(ckpt)  # sidecar self-configures
+    assert svc.geo == geo and svc.step == 2
+
+    # .ckpt -> .pt: strictly loadable, G params bit-exact vs the original
+    dst_pt = str(tmp_path / "back.pt")
+    info2 = convert(conv_args(["--src", ckpt, "--dst", dst_pt]))
+    assert info2["step"] == 2
+    back = torch.load(dst_pt)
+    gen2 = _ref_generator(geo, geo.z_dim)
+    gen2.load_state_dict(back["model_g"], strict=True)
+    for k, v in gen.state_dict().items():
+        if k.endswith(("running_mean", "running_var", "num_batches_tracked")):
+            continue
+        np.testing.assert_array_equal(back["model_g"][k].numpy(), v.numpy(),
+                                      err_msg=k)
+    # Adam moments survive the double conversion too
+    s0 = opt_g.state_dict()["state"][0]["exp_avg"].numpy()
+    s1 = back["optimizer_g"]["state"][0]["exp_avg"].numpy()
+    np.testing.assert_array_equal(s0, s1)
+
+    with pytest.raises(ValueError, match="one side"):
+        convert(conv_args(["--src", src_pt, "--dst", str(tmp_path / "x.pt")]))
