@@ -458,3 +458,57 @@ def test_convert_cli_both_directions(tmp_path):
 
     with pytest.raises(ValueError, match="one side"):
         convert(conv_args(["--src", src_pt, "--dst", str(tmp_path / "x.pt")]))
+
+
+def test_trainer_init_from_torch_cgan(tmp_path):
+    """Conditional warm-start: CGANTrainer accepts a matching CGAN .pt and
+    rejects one whose num_classes disagrees with the dataset."""
+    from tests.test_trainer import StubMetrics, tiny_cfg
+    from jckx.data.pipeline import CGANDataPreprocessor
+    from jckx.train.gan_trainer import CGANTrainer
+    from jckx.models.dcgan import GANGeometry as _G
+
+    def build_pt(ncls, steps=2):
+        geo = _G(z_dim=100, image_size=16, channels=3, base_width=8)
+        torch.manual_seed(13 + ncls)
+        gen = _ref_generator(geo, geo.z_dim + ncls)
+        disc = _ref_cgan_discriminator(geo, ncls)
+        _weights_init(gen)
+        _weights_init(disc)
+        z = torch.randn(2, geo.z_dim + ncls, 1, 1)
+        x = torch.rand(2, 3, 16, 16) * 2 - 1
+        lab = torch.eye(ncls)[torch.randint(0, ncls, (2,))]
+        og = _run_adam_steps(gen, lambda: _ref_gen_forward(gen, z, geo.n_up), steps)
+        od = _run_adam_steps(
+            disc, lambda: _ref_cgan_d_forward(disc, geo, x, lab), steps)
+        p = str(tmp_path / f"c{ncls}.pt")
+        torch.save(_checkpoint_dict(gen, disc, og, od), p)
+        return geo, p
+
+    geo, path = build_pt(10)  # tiny_cfg synthetic set has 10 classes
+    cfg = tiny_cfg(tmp_path, "CGAN")
+    cfg.init_from_torch = path
+    data_pre = CGANDataPreprocessor(cfg)
+    data_pre.transform_data()
+    cfg.num_classes = data_pre.num_classes
+    tr = CGANTrainer(cfg,
+                     cgan.cgenerator_init(jax.random.PRNGKey(0), geo, 10),
+                     cgan.cdiscriminator_init(jax.random.PRNGKey(1), geo, 10),
+                     data_pre, metrics=StubMetrics())
+    assert tr._host_step == 2
+    tr.train()
+    assert int(tr.state.step) > 2
+
+    # class-count mismatch vs the DATASET is a hard error
+    _, bad = build_pt(7)
+    cfg2 = tiny_cfg(tmp_path, "CGAN")
+    cfg2.save_path = str(tmp_path / "cgan" / "run2")
+    cfg2.init_from_torch = bad
+    data_pre2 = CGANDataPreprocessor(cfg2)
+    data_pre2.transform_data()
+    cfg2.num_classes = data_pre2.num_classes
+    with pytest.raises(ValueError, match="classes"):
+        CGANTrainer(cfg2,
+                    cgan.cgenerator_init(jax.random.PRNGKey(0), geo, 10),
+                    cgan.cdiscriminator_init(jax.random.PRNGKey(1), geo, 10),
+                    data_pre2, metrics=StubMetrics())
