@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(n_images: int = 50_000, batch: int = 2048):
+def main(n_images: int = 50_000, batch: int = 2048, fast_stem: bool = False):
     from jckx.metrics.metrics import Metrics
 
     rng = np.random.RandomState(0)
@@ -40,7 +40,8 @@ def main(n_images: int = 50_000, batch: int = 2048):
 
     with tempfile.TemporaryDirectory() as td:
         t0 = time.perf_counter()
-        m = Metrics((real_u8, labels), batch_size=batch, cache_dir=td)
+        m = Metrics((real_u8, labels), batch_size=batch, cache_dir=td,
+                    fast_stem=fast_stem)
         build_dt = time.perf_counter() - t0  # incl. 50k-feature extraction
 
         gen = (rng.rand(n_images, 32, 32, 3).astype(np.float32) * 2 - 1)
@@ -117,7 +118,13 @@ def main(n_images: int = 50_000, batch: int = 2048):
 
 
 if __name__ == "__main__":
+    import argparse
+
     from jckx.utils.device import honor_jax_platforms_env
 
     honor_jax_platforms_env()
-    main()
+    ap = argparse.ArgumentParser(description="eval-stack benchmark")
+    ap.add_argument("--fast_stem", type=int, default=0,
+                    help="1 = space-to-depth stem A/B (--eval_fast_stem)")
+    a = ap.parse_args()
+    main(fast_stem=bool(a.fast_stem))

@@ -137,6 +137,11 @@ class Config:
     # continues where the reference's optimizer left off. --resume, when a
     # jckx latest.ckpt exists in the run dir, takes precedence.
     init_from_torch: str = ""
+    # opt-in space-to-depth form of the InceptionV3 stem conv in the metric
+    # backbone's EVAL forward (inception_v3._bconv_1a_s2d): same function,
+    # rounding-level numeric drift, deeper MXU contraction. Default off —
+    # metric absolutes must never shift silently.
+    eval_fast_stem: int = 0
 
     # populated by main()/trainers, mirrors reference args.save_path
     save_path: str = ""
@@ -193,6 +198,9 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--resume", action="store_true", default=d.resume)
     parser.add_argument("--init_from_torch", type=str, default=d.init_from_torch,
                         help="warm-start from a reference torch .pt checkpoint")
+    parser.add_argument("--eval_fast_stem", type=int, default=d.eval_fast_stem,
+                        help="1 = space-to-depth InceptionV3 stem in the eval "
+                             "forward (same function, rounding-level drift)")
     parser.add_argument("--mesh_shape", type=str, default="", help="comma ints, e.g. '8' or '4,2'")
     parser.add_argument("--mesh_axes", type=str, default=",".join(d.mesh_axes))
     parser.add_argument("--model_axis_mode", type=str, default=d.model_axis_mode,

@@ -138,6 +138,46 @@ def _bconv_apply(p, x, stride=1, padding=0, eps=1e-3):
     return jnp.maximum(y, 0.0).astype(x.dtype)
 
 
+def _bconv_1a_s2d(p, x, eps=1e-3):
+    """Space-to-depth form of Conv2d_1a_3x3 (eval graph, ``fast_stem``).
+
+    The 299² stride-2 stem conv contracts only 3·3·3 = 27 terms per output
+    — far too shallow for the MXU's 128-deep reduction, so XLA lowers it
+    with its small-channel emitter and the stem costs ~24% of the eval
+    launch (tools/profiling/eval_forward_trace.py). Re-laying the input as
+    (H/2)² × 4C (2×2 pixel blocks → channels) and the kernel as a 2×2
+    stride-1 conv over 4C=12 input channels (phantom taps zero-filled)
+    computes the SAME function with a 48-deep contraction and no strided
+    access: out(i,j) reads input rows 2i..2i+2 = s2d rows i..i+1.
+
+    Exact in exact arithmetic (every original tap appears exactly once;
+    extra taps multiply zeros); bf16/f32 summation ORDER differs, so
+    outputs match to rounding, not bit-exactly — which is why this is a
+    flag (default OFF: metric absolutes must not drift silently).
+    """
+    n, h, w_, c = x.shape
+    pad = h % 2
+    xp = jnp.pad(x, ((0, 0), (0, pad), (0, pad), (0, 0))) if pad else x
+    hp = (h + pad) // 2
+    y = (xp.reshape(n, hp, 2, hp, 2, c)
+         .transpose(0, 1, 3, 2, 4, 5)
+         .reshape(n, hp, hp, 4 * c))
+    w = p["w"].astype(x.dtype)                      # (3, 3, C, O)
+    w4 = jnp.zeros((4, 4, c, w.shape[-1]), w.dtype).at[:3, :3].set(w)
+    # (di, dj, c, o) with di = 2u + bi → (u, v, (bi, bj, c), o), matching
+    # the (bi, bj, c) channel packing of the s2d input
+    w2 = (w4.reshape(2, 2, 2, 2, c, -1)
+          .transpose(0, 2, 1, 3, 4, 5)
+          .reshape(2, 2, 4 * c, -1))
+    out = conv2d(y, w2, stride=1, padding=0)
+    mean = p["bn_mean"].astype(jnp.float32)
+    var = p["bn_var"].astype(jnp.float32)
+    inv = jax.lax.rsqrt(var + eps) * p["bn_scale"].astype(jnp.float32)
+    shift = p["bn_bias"].astype(jnp.float32) - mean * inv
+    out = out.astype(jnp.float32) * inv + shift
+    return jnp.maximum(out, 0.0).astype(x.dtype)
+
+
 # ------------------------------------------------------------- block configs
 
 _INCEPTION_A = [("Mixed_5b", 192, 32), ("Mixed_5c", 256, 64), ("Mixed_5d", 288, 64)]
@@ -300,13 +340,19 @@ def _inception_e(p, x):
     return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
 
-def apply(params: Dict, x: jax.Array, compute_dtype=jnp.float32) -> jax.Array:
+def apply(params: Dict, x: jax.Array, compute_dtype=jnp.float32,
+          fast_stem: bool = False) -> jax.Array:
     """images (N, 299, 299, 3), ImageNet-normalized → logits (N, classes).
 
     Eval-mode inference graph of torchvision inception_v3 (fc replaced).
+    ``fast_stem`` swaps the first conv for its space-to-depth form (same
+    function, rounding-level numeric drift — see ``_bconv_1a_s2d``).
     """
     x = x.astype(compute_dtype)
-    x = _bconv_apply(params["Conv2d_1a_3x3"], x, stride=2)            # 149
+    if fast_stem:
+        x = _bconv_1a_s2d(params["Conv2d_1a_3x3"], x)                 # 149
+    else:
+        x = _bconv_apply(params["Conv2d_1a_3x3"], x, stride=2)        # 149
     x = _bconv_apply(params["Conv2d_2a_3x3"], x)                      # 147
     x = _bconv_apply(params["Conv2d_2b_3x3"], x, padding=1)           # 147
     x = _max_pool(x, 3, 2)                                            # 73

@@ -55,11 +55,17 @@ class Metrics:
         compute_dtype=jnp.bfloat16,
         cache_dir: str = "./data",
         num_classes: int = 100,
+        fast_stem: Optional[bool] = None,
     ):
         self._logger = MainLogger(config)
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
         self.num_classes = num_classes
+        # opt-in space-to-depth stem for the backbone forward (exact same
+        # function, rounding-level drift — inception_v3._bconv_1a_s2d);
+        # OFF by default so metric absolutes never shift silently
+        self.fast_stem = (bool(getattr(config, "eval_fast_stem", 0) or 0)
+                          if fast_stem is None else bool(fast_stem))
 
         real_images_u8, real_labels = metric_source
         real_labels = np.asarray(real_labels)
@@ -295,7 +301,8 @@ class Metrics:
         def fn(u8):
             x01 = u8.astype(self.compute_dtype) / 255.0
             x = self._normalize_299(x01)
-            return inception_v3.apply(self.params, x, self.compute_dtype)
+            return inception_v3.apply(self.params, x, self.compute_dtype,
+                                      fast_stem=self.fast_stem)
 
         return fn
 
@@ -303,7 +310,8 @@ class Metrics:
         def fn(img):
             x01 = 0.5 * img.astype(self.compute_dtype) + 0.5  # denormalize
             x = self._normalize_299(x01)
-            return inception_v3.apply(self.params, x, self.compute_dtype)
+            return inception_v3.apply(self.params, x, self.compute_dtype,
+                                      fast_stem=self.fast_stem)
 
         return fn
 

@@ -380,3 +380,51 @@ def test_content_sig_samples_span_whole_leaf():
     bumped = {"w": base["w"].copy()}
     bumped["w"][-1] = 1.0  # last element, outside the old prefix sample
     assert Metrics._content_sig(bumped) != s1
+
+
+def test_fast_stem_unit_equivalence():
+    """_bconv_1a_s2d computes the same function as the strided stem conv:
+    every original tap appears once, phantom taps multiply zeros (odd and
+    even input sizes both exercise the padding arm)."""
+    from jckx.metrics.inception_v3 import (_bconv_1a_s2d, _bconv_apply,
+                                           _bconv_init)
+
+    rng = np.random.RandomState(0)
+    p = {k: jnp.asarray(v) for k, v in _bconv_init(rng, 3, 3, 3, 8).items()}
+    for h in (9, 10, 21):
+        x = jnp.asarray(rng.standard_normal((2, h, h, 3)).astype(np.float32))
+        ref = _bconv_apply(p, x, stride=2)
+        fast = _bconv_1a_s2d(p, x)
+        assert fast.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fast_stem_full_graph_equivalence():
+    """apply(fast_stem=True) matches the default graph through all 94 convs
+    to accumulated-rounding tolerance, and Metrics honors the flag."""
+    from jckx.metrics import inception_v3
+    from jckx.metrics.metrics import Metrics
+
+    params = inception_v3.init(0, num_classes=10)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.standard_normal((2, 299, 299, 3)).astype(np.float32))
+    ref = np.asarray(inception_v3.apply(params, x))
+    fast = np.asarray(inception_v3.apply(params, x, fast_stem=True))
+    np.testing.assert_allclose(fast, ref, rtol=3e-3, atol=3e-3)
+
+    real_u8 = rng.randint(0, 255, size=(8, 32, 32, 3), dtype=np.uint8)
+    labels = rng.randint(0, 100, size=(8,))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        m = Metrics((real_u8, labels), batch_size=8,
+                    compute_dtype=jnp.float32, cache_dir=td, fast_stem=True)
+        assert m.fast_stem
+        gen = rng.uniform(-1, 1, size=(8, 32, 32, 3)).astype(np.float32)
+        with tempfile.TemporaryDirectory() as td2:
+            m0 = Metrics((real_u8, labels), batch_size=8,
+                         compute_dtype=jnp.float32, cache_dir=td2)
+        f1 = m.extract_features(gen)
+        f0 = m0.extract_features(gen)
+        np.testing.assert_allclose(f1, f0, rtol=5e-3, atol=5e-3)
