@@ -147,7 +147,7 @@ def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None,
     thread — the CALLER must guarantee the state's buffers are not donated
     to a later launch (the trainers pass an un-donated on-device snapshot).
     Implies async_write."""
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if async_fetch:
         _submit(lambda: _write_checkpoint(path, _host_of(state), extra))
         return

@@ -90,9 +90,14 @@ def convert(args) -> dict:
         f: (getattr(args, f) if getattr(args, f) is not None
             else sidecar.get(f, getattr(defaults, f)))
         for f in fields})
+    # the restore template must match the stored STRUCTURE; the sidecar
+    # normally says whether the run carried EMA, but --use_ema/--with_ema
+    # also force the EMA slot so a sidecar-less EMA checkpoint stays
+    # convertible (flax from_bytes hard-fails on a structure mismatch)
     template = make_template_state(
         geo, conditional=conditional, num_classes=num_classes,
-        with_ema=bool(sidecar.get("ema", False)), lr=args.lr)
+        with_ema=bool(sidecar.get("ema", False)) or args.use_ema
+        or args.with_ema, lr=args.lr)
     state, _ = restore_checkpoint(args.src, template)
     export_torch_gan_checkpoint(
         state, conditional=conditional, geo=geo, num_classes=num_classes,

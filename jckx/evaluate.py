@@ -11,11 +11,13 @@ torch ``.pt``:
 
 Protocol identical to the in-training eval (gan_trainer._fixed_eval_inputs
 / _evaluate): seeded z = fold_in(PRNGKey(seed), 999); ``--sample_count``
-unconditional samples, or the class-major 10×num_classes grid for
-conditional checkpoints (cgan_trainer.py:144-153); generation in ≤500-image
-device-resident chunks; ONE backbone pass feeds IS + FID (+ intra-FID).
-So a checkpoint scored here reproduces the numbers its training run logged
-at the same step (same backbone, same seed → bit-identical samples).
+unconditional samples rendered in ONE batch (DCGAN trainer protocol) or
+the class-major 10×num_classes grid in 500-image chunks (CGAN trainer
+protocol — batching is part of the function under batch-stat BN); jitted
+with the Pallas inference path the trainers' samplers trace; ONE backbone
+pass feeds IS + FID (+ intra-FID). So a checkpoint scored here reproduces
+the numbers its training run logged at the same step (same backbone, same
+seed, same batching → the same samples).
 
 Prints one JSON line: {"step", "n", "is", "fid"[, "intra_fid"]}.
 """
@@ -78,6 +80,7 @@ def evaluate(args, metrics=None):
     cd = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
 
     cfg = Config()
+    cfg.log_file = 0  # a scoring CLI must not strew .log files around CWD
     cfg.dataset = args.dataset
     cfg.data_dir = args.data_dir
     cfg.image_size = geo.image_size
@@ -111,15 +114,26 @@ def evaluate(args, metrics=None):
     onehot = (jax.nn.one_hot(jnp.repeat(jnp.arange(ncls), 10), ncls)
               if conditional else None)
 
-    chunks = []
-    for i in range(0, n_samples, 500):
-        if conditional:
-            chunks.append(cgan.cgenerator_apply(
-                svc.params_g, z[i:i + 500], onehot[i:i + 500], geo, cd))
-        else:
-            chunks.append(dcgan.generator_apply(
-                svc.params_g, z[i:i + 500], geo, cd))
-    fake = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+    # EXACT trainer generation protocol (batch-stat BN makes batching part
+    # of the function): DCGAN renders all samples in ONE batch
+    # (gan_trainer.py DCGANTrainer._evaluate), CGAN in 500-image chunks
+    # (CGANTrainer._evaluate); both jitted with the Pallas inference path —
+    # the same executable shape the trainers' samplers trace.
+    from jckx.kernels.fused_bn_act import pallas_inference
+
+    if conditional:
+        sample = jax.jit(lambda pg, zz, oh: cgan.cgenerator_apply(
+            pg, zz, oh, geo, cd))
+        chunks = []
+        with pallas_inference():
+            for i in range(0, n_samples, 500):
+                chunks.append(sample(svc.params_g, z[i:i + 500],
+                                     onehot[i:i + 500]))
+        fake = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
+    else:
+        sample = jax.jit(lambda pg, zz: dcgan.generator_apply(pg, zz, geo, cd))
+        with pallas_inference():
+            fake = sample(svc.params_g, z)
 
     feats = metrics.extract_features(fake)
     result = {

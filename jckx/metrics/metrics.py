@@ -128,6 +128,12 @@ class Metrics:
         # into a 10-class run) would crash or silently corrupt FID.
         os.makedirs(cache_dir, exist_ok=True)
         tag = self._cache_fingerprint(real_images_u8, real_labels)
+        if self.fast_stem:
+            # stem variant is part of the extraction pipeline's identity:
+            # features from the two stems differ at rounding level, and an
+            # A/B must never mix real features from one with fakes from the
+            # other under the same cache key
+            tag += "-s2d"
         cache = os.path.join(cache_dir, f"metric_data_jckx_{tag}.npz")
         if os.path.exists(cache):
             with np.load(cache) as z:

@@ -333,8 +333,11 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
             except ValueError as e:
                 return self._error(400, f"bad JSON body: {e}")
 
+            def is_int(v):  # JSON true/false are ints to isinstance
+                return isinstance(v, int) and not isinstance(v, bool)
+
             n = req.get("n", 1)
-            if not isinstance(n, int) or not 1 <= n <= 4096:
+            if not is_int(n) or not 1 <= n <= 4096:
                 return self._error(400, "'n' must be an int in [1, 4096]")
             labels = req.get("labels")
             if labels is not None:
@@ -343,7 +346,7 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                         400, "'labels' given but the checkpoint is "
                              "unconditional (DCGAN)")
                 if (not isinstance(labels, list) or not labels or
-                        not all(isinstance(x, int) and
+                        not all(is_int(x) and
                                 0 <= x < svc.num_classes for x in labels)):
                     return self._error(
                         400, f"'labels' must be a non-empty list of ints in "
@@ -353,27 +356,32 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                 return self._error(400, "'format' must be 'png' or 'npy'")
             key = None
             if "seed" in req:
-                if not isinstance(req["seed"], int):
+                if not is_int(req["seed"]):
                     return self._error(400, "'seed' must be an int")
                 key = jax.random.PRNGKey(req["seed"])
 
-            with lock:
-                imgs = svc.sample(n, labels=labels, key=key)
+            # a render/encode failure must come back as a JSON 500, not a
+            # dropped connection (BaseHTTPRequestHandler's default)
+            try:
+                with lock:
+                    imgs = svc.sample(n, labels=labels, key=key)
 
-            buf = io.BytesIO()
-            if fmt == "npy":
-                np.save(buf, imgs)
-                return self._reply(200, "application/octet-stream",
-                                   buf.getvalue())
-            from PIL import Image
+                buf = io.BytesIO()
+                if fmt == "npy":
+                    np.save(buf, imgs)
+                    return self._reply(200, "application/octet-stream",
+                                       buf.getvalue())
+                from PIL import Image
 
-            from jckx.logging.artifacts import make_grid
+                from jckx.logging.artifacts import make_grid
 
-            grid = make_grid(imgs, ncol=max(1, int(np.ceil(np.sqrt(n)))))
-            if grid.shape[-1] == 1:
-                grid = grid[..., 0]
-            Image.fromarray(grid).save(buf, format="PNG")
-            self._reply(200, "image/png", buf.getvalue())
+                grid = make_grid(imgs, ncol=max(1, int(np.ceil(np.sqrt(n)))))
+                if grid.shape[-1] == 1:
+                    grid = grid[..., 0]
+                Image.fromarray(grid).save(buf, format="PNG")
+                self._reply(200, "image/png", buf.getvalue())
+            except Exception as e:  # noqa: BLE001 — boundary: report, don't die
+                self._error(500, f"generation failed: {type(e).__name__}: {e}")
 
     return ThreadingHTTPServer((host, port), Handler)
 

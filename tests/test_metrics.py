@@ -428,3 +428,22 @@ def test_fast_stem_full_graph_equivalence():
         f1 = m.extract_features(gen)
         f0 = m0.extract_features(gen)
         np.testing.assert_allclose(f1, f0, rtol=5e-3, atol=5e-3)
+
+
+def test_fast_stem_rekeys_real_feature_cache(tmp_path):
+    """Toggling the stem variant must NOT reuse the other variant's cached
+    real features — the A/B would otherwise mix two numerically different
+    pipelines under one key."""
+    import os
+
+    from jckx.metrics.metrics import Metrics
+
+    rng = np.random.RandomState(3)
+    real_u8 = rng.randint(0, 255, size=(8, 32, 32, 3), dtype=np.uint8)
+    labels = rng.randint(0, 100, size=(8,))
+    Metrics((real_u8, labels), batch_size=8, compute_dtype=jnp.float32,
+            cache_dir=str(tmp_path))
+    Metrics((real_u8, labels), batch_size=8, compute_dtype=jnp.float32,
+            cache_dir=str(tmp_path), fast_stem=True)
+    files = sorted(os.listdir(tmp_path))
+    assert len(files) == 2 and any(f.endswith("-s2d.npz") for f in files)

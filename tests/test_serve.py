@@ -278,8 +278,8 @@ def test_http_serving_end_to_end(tmp_path):
         assert b1 != b3
 
         # validation errors are clear JSON 400s
-        for bad in ({"n": 0}, {"n": "x"}, {"labels": [1]},
-                    {"format": "jpeg"}, {"seed": "x"}):
+        for bad in ({"n": 0}, {"n": "x"}, {"n": True}, {"labels": [1]},
+                    {"format": "jpeg"}, {"seed": "x"}, {"seed": True}):
             code, _, body = f.request("/generate", bad)
             assert code == 400, bad
             assert "error" in _json.loads(body)

@@ -512,3 +512,22 @@ def test_trainer_init_from_torch_cgan(tmp_path):
                     cgan.cgenerator_init(jax.random.PRNGKey(0), geo, 10),
                     cgan.cdiscriminator_init(jax.random.PRNGKey(1), geo, 10),
                     data_pre2, metrics=StubMetrics())
+
+
+def test_convert_cli_bare_filename_dst(tmp_path, monkeypatch):
+    """A --dst with no directory component must not crash save_checkpoint
+    (os.makedirs('') regression)."""
+    from jckx.convert import convert, get_args as conv_args
+
+    geo = GANGeometry(z_dim=16, image_size=16, channels=3, base_width=8)
+    torch.manual_seed(15)
+    gen = _ref_generator(geo, geo.z_dim)
+    disc = _ref_dcgan_discriminator(geo)
+    src = str(tmp_path / "bare.pt")
+    torch.save(_checkpoint_dict(
+        gen, disc, torch.optim.Adam(gen.parameters()),
+        torch.optim.Adam(disc.parameters())), src)
+    monkeypatch.chdir(tmp_path)
+    info = convert(conv_args(["--src", src, "--dst", "latest.ckpt"]))
+    assert info["wrote"] == "latest.ckpt"
+    assert (tmp_path / "latest.ckpt").exists()
