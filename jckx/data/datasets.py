@@ -236,7 +236,10 @@ def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
         if name == "mnist":
             x, y = _with_cache(name, data_dir, train, load_mnist)
             return x, y, 10, [str(i) for i in range(10)], False
-    except FileNotFoundError:
+    except OSError:
+        # not just FileNotFoundError: a read-only data_dir makes the gz/tar
+        # extraction or cache write raise PermissionError, and a torn archive
+        # raises plain OSError — all mean "no usable archive", same fallback
         pass
     # synthetic fallback
     ch = 1 if name == "mnist" else 3

@@ -193,10 +193,14 @@ class DCGANDataPreprocessor:
         self.images_u8, self.labels_np = x, y
         self.num_classes, self.class_names = ncls, names
         # reference computes per-channel mean/std of the raw data and logs it
-        # (then normalizes with 0.5/0.5 anyway — preserved behavior)
-        xf = x.astype(np.float32) / 255.0
-        self.data_mean = xf.mean(axis=(0, 1, 2)).tolist()
-        self.data_std = xf.std(axis=(0, 1, 2)).tolist()
+        # (then normalizes with 0.5/0.5 anyway — preserved behavior); computed
+        # as f64 reductions straight off the uint8 slab: a float32 copy of a
+        # 50k 64² set would be 2.4 GB of pure scratch on this host
+        self.data_mean = (x.mean(axis=(0, 1, 2), dtype=np.float64) / 255.0).tolist()
+        ex2 = np.square(x, dtype=np.uint16).mean(  # 255² fits uint16: 2B temp
+            axis=(0, 1, 2), dtype=np.float64) / 255.0**2
+        var = ex2 - np.square(np.asarray(self.data_mean))
+        self.data_std = np.sqrt(np.maximum(var, 0.0)).tolist()
         self._logger.debug(f"data mean: {self.data_mean}\tdata std: {self.data_std}")
         self._transformed = False
         self._logger.debug("data preprocessor init")

@@ -49,6 +49,11 @@ class MainLogger:  # Singleton
 
     def __init__(self, config: Optional[Any] = None):
         if self._initialized:
+            # Late file attach: components constructed before the run dir
+            # exists (e.g. the data preprocessor, a trainer ctor argument)
+            # initialize the singleton with save_path="" — the trainer's own
+            # MainLogger(cfg) call then lands here with the real run dir.
+            self._maybe_attach_file(config)
             return
 
         self.logger_name = "main"
@@ -62,17 +67,30 @@ class MainLogger:  # Singleton
         self.logger.addHandler(console)
 
         self._jsonl_path = None
-        if config is not None and getattr(config, "log_file", 0) == 1:
-            run_dir = getattr(config, "save_path", "") or "."
-            os.makedirs(run_dir, exist_ok=True)
-            stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
-            to_file = logging.FileHandler(os.path.join(run_dir, f"{stamp}.log"))
-            to_file.setFormatter(formatter)
-            self.logger.addHandler(to_file)
-            self._jsonl_path = os.path.join(run_dir, "metrics.jsonl")
+        self._file_attached = False
+        self._maybe_attach_file(config)
 
         self._initialized = True
         sys.excepthook = _excepthook
+
+    def _maybe_attach_file(self, config: Optional[Any]) -> None:
+        """Attach the run-dir file handler + metrics.jsonl once a config with
+        log_file=1 AND a concrete save_path shows up. With save_path empty the
+        attach is deferred (not pointed at CWD) — the trainer sets the run dir
+        and re-calls MainLogger(cfg), reference order main.py:64-74."""
+        if (self._file_attached or config is None
+                or getattr(config, "log_file", 0) != 1):
+            return
+        run_dir = getattr(config, "save_path", "")
+        if not run_dir:
+            return
+        os.makedirs(run_dir, exist_ok=True)
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        to_file = logging.FileHandler(os.path.join(run_dir, f"{stamp}.log"))
+        to_file.setFormatter(logging.Formatter(_LOG_FORMAT))
+        self.logger.addHandler(to_file)
+        self._jsonl_path = os.path.join(run_dir, "metrics.jsonl")
+        self._file_attached = True
 
     # In a multi-host jax run only process 0 logs (unless rank explicitly
     # passed as >0 to force). Single-process: always logs.

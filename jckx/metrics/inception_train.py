@@ -24,6 +24,7 @@ Usage: python -m jckx.metrics.inception_train --dataset cifar100 -e 300
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import time
 from typing import Tuple
@@ -155,6 +156,19 @@ def make_eval_fn(compute_dtype=jnp.bfloat16, image_size: int = 299):
     return logits_fn
 
 
+@functools.lru_cache(maxsize=None)
+def _batched_logits_fn(logits_fn, bs: int):
+    """jit wrapper that fuses the batch slice into the forward dispatch.
+    Cached on (logits_fn, bs) so per-epoch evaluate() calls reuse one
+    compiled executable instead of re-tracing."""
+    @jax.jit
+    def at(params, dev, i):
+        batch = jax.lax.dynamic_slice_in_dim(dev, i * bs, bs, axis=0)
+        return logits_fn(params, batch)
+
+    return at
+
+
 def evaluate(params, logits_fn, images_u8, labels, batch_size=256, device_images=None):
     """top-1 / top-5 / superclass accuracy + mean CE (notebook get_eval).
 
@@ -167,7 +181,11 @@ def evaluate(params, logits_fn, images_u8, labels, batch_size=256, device_images
     if device_images is None:
         device_images = eval_device_set(images_u8, bs)
     dev = device_images
-    outs = [logits_fn(params, dev[i * bs:(i + 1) * bs]) for i in range(nb)]
+    # slice INSIDE the jit (index is a traced scalar): one dispatch per batch
+    # instead of two — an eager dev[i*bs:...] costs its own ~0.4 s dispatch
+    # on the tunnel, every batch, every epoch (same pattern as Metrics._fn_at)
+    at = _batched_logits_fn(logits_fn, bs)
+    outs = [at(params, dev, i) for i in range(nb)]
     logits = np.asarray(jnp.concatenate(outs), np.float32)[:n]
     top1 = (logits.argmax(-1) == labels).mean()
     top5_idx = np.argpartition(logits, -5, axis=1)[:, -5:]  # vectorized top-5
@@ -264,6 +282,10 @@ def _load_train_state(path, opt_state_template):
 
 
 def train(args):
+    if getattr(args, "log_file", 0) == 1 and not getattr(args, "save_path", ""):
+        # file logging with no explicit run dir → log next to the checkpoints
+        # (MainLogger defers attaching until save_path is non-empty)
+        args.save_path = args.save_dir
     logger = MainLogger(args)
     # synthetic_size: CIFAR proportions (train N, test N/5) so a 50k run
     # reproduces the reference data scale (inceptionnet.ipynb cell 14's

@@ -423,6 +423,30 @@ def apply_train(params: Dict, x: jax.Array, dropout_key=None,
 
 # ------------------------------------------------------- torch → jax weights
 
+# Static per-block branch tables (identical names in init() above and in
+# torchvision's InceptionA/B/C/D/E modules). The converter used to build a
+# full seeded init() just to enumerate these — ~24M host-RNG weights plus a
+# ~90 MB device upload for a throwaway template, paid on every backbone load.
+_A_BRANCHES = ("branch1x1", "branch5x5_1", "branch5x5_2", "branch3x3dbl_1",
+               "branch3x3dbl_2", "branch3x3dbl_3", "branch_pool")
+_C_BRANCHES = ("branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+               "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+               "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool")
+_E_BRANCHES = ("branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+               "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+               "branch3x3dbl_3b", "branch_pool")
+_BRANCH_NAMES = {
+    **{n: _A_BRANCHES for n, _, _ in _INCEPTION_A},
+    "Mixed_6a": ("branch3x3", "branch3x3dbl_1", "branch3x3dbl_2",
+                 "branch3x3dbl_3"),
+    **{n: _C_BRANCHES for n, _ in _INCEPTION_C},
+    "Mixed_7a": ("branch3x3_1", "branch3x3_2", "branch7x7x3_1",
+                 "branch7x7x3_2", "branch7x7x3_3", "branch7x7x3_4"),
+    "Mixed_7b": _E_BRANCHES,
+    "Mixed_7c": _E_BRANCHES,
+}
+
+
 def convert_torch_state_dict(state_dict) -> Dict:
     """Map a torchvision inception_v3 state_dict (fc replaced by
     ``Sequential(Linear(2048, K))`` as in reference metrics.py:48-50, or a
@@ -451,14 +475,8 @@ def convert_torch_state_dict(state_dict) -> Dict:
         if len(spec) > 1:
             out[spec[0]] = bconv(spec[0])
 
-    template = init(0, num_classes=1)  # names/branches only
-    for block in (
-        [n for n, _, _ in _INCEPTION_A]
-        + ["Mixed_6a"]
-        + [n for n, _ in _INCEPTION_C]
-        + ["Mixed_7a", "Mixed_7b", "Mixed_7c"]
-    ):
-        out[block] = {br: bconv(f"{block}.{br}") for br in template[block]}
+    for block, brs in _BRANCH_NAMES.items():
+        out[block] = {br: bconv(f"{block}.{br}") for br in brs}
 
     if "fc.0.weight" in sd:  # reference's Sequential-wrapped Linear
         w, b = sd["fc.0.weight"], sd["fc.0.bias"]

@@ -227,6 +227,15 @@ class Metrics:
 
     def _load_backbone(self, config):
         path = getattr(config, "metric_backbone", "") if config else ""
+        if path and not os.path.exists(path):
+            # An EXPLICIT backbone that is missing must be an error: silently
+            # falling through to a default (or seeded-random) backbone would
+            # make every FID/IS absolute and best-ckpt pick derive from the
+            # wrong network with nothing in the log but a DEBUG line.
+            raise FileNotFoundError(
+                f"--metric_backbone {path!r} does not exist; refusing to fall "
+                "back to a default backbone for explicitly-requested metrics"
+            )
         candidates = [path] if path else []
         # jckx-native fine-tune output first, then the reference's torch ckpt
         candidates += [

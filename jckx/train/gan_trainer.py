@@ -341,6 +341,30 @@ class _BaseGANTrainer(Trainer):
         self._host_step = int(self.state.step)
         self.logger.debug(f"resumed from {path} at step {self._host_step}")
 
+    def _rollback_after_divergence(self, step_hint: int) -> None:
+        """Restore the last checkpoint after a nan-guard abort so a caller
+        that catches FloatingPointError and calls train() again really does
+        continue from good state. The pre-launch state is unrecoverable (the
+        superstep donated it and returned non-finite params with step+=k), so
+        without this the retry contract would replay data at the old
+        _host_step against a diverged, k-steps-ahead state. No checkpoint →
+        the trainer is poisoned and train() refuses to run again."""
+        path = latest_checkpoint(self.save_path)
+        if path is None:
+            self._poisoned = (
+                f"training diverged by step {step_hint} with no latest.ckpt "
+                "to roll back to — rebuild the trainer (fresh params) instead "
+                "of calling train() again"
+            )
+            return
+        self.state, extra = restore_checkpoint(path, self.state)
+        self.bests.update(extra.get("bests", {}))
+        self._resumed_losses = extra.get("losses", [])
+        self._host_step = int(self.state.step)
+        self.logger.warning(
+            f"rolled back to {path} (step {self._host_step}) after divergence"
+        )
+
     def _serve_config(self) -> dict:
         """Geometry/conditioning sidecar so jckx.serve can self-configure."""
         return {
@@ -384,6 +408,9 @@ class _BaseGANTrainer(Trainer):
     # ---------------------------------------------------------------- train
 
     def train(self):
+        if getattr(self, "_poisoned", None):
+            raise RuntimeError(self._poisoned)
+        rolled_back = False  # set by the nan-guard abort path below
         cfg = self.cfg
         bs = cfg.batch_size
         steps_per_epoch = self.n_data // bs
@@ -506,6 +533,8 @@ class _BaseGANTrainer(Trainer):
                                 f"latest.ckpt; rerun with --sanitize to locate "
                                 f"the op; --nan_guard 0 to continue anyway)"
                             )
+                            rolled_back = True
+                            self._rollback_after_divergence(it + k)
                             raise FloatingPointError(
                                 f"training diverged: non-finite {bad} by step {it + k}"
                             )
@@ -573,10 +602,13 @@ class _BaseGANTrainer(Trainer):
                 uploader.shutdown(wait=True, cancel_futures=True)
                 self._stream.close()  # release gather threads (pool re-creates on reuse)
             # keep host-side step accounting correct for a caller that
-            # catches (e.g. the nan-guard abort) and calls train() again:
-            # resume fast-forward, eval cadence, and checkpoint labels all
-            # derive from _host_step
-            self._host_step = it
+            # catches a mid-epoch exception and calls train() again: resume
+            # fast-forward, eval cadence, and checkpoint labels all derive
+            # from _host_step. The nan-guard abort already restored a
+            # checkpoint-consistent _host_step (see _rollback_after_divergence)
+            # — don't clobber it with the pre-launch position.
+            if not rolled_back:
+                self._host_step = it
 
         flush_writes()  # surface async checkpoint-write failures before exit
         end = time.time()

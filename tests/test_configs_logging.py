@@ -82,6 +82,44 @@ def test_logger_singleton_and_streams(tmp_path):
     MainLogger.reset()
 
 
+def test_logger_defers_file_until_save_path(tmp_path, monkeypatch):
+    """A component constructed BEFORE the run dir exists (the preprocessor is
+    a trainer ctor argument) initializes the singleton with save_path="" —
+    the file handler must NOT land in CWD; it attaches when the trainer's
+    MainLogger(cfg) call arrives with the real run dir."""
+    MainLogger.reset()
+    monkeypatch.chdir(tmp_path)  # so a CWD regression would be visible here
+
+    class A:
+        log_file = 1
+        save_path = ""
+
+    early = MainLogger(A())
+    early.debug("too-early-for-file")
+    early.scalars({"step": 0})  # jsonl must be a no-op too
+    assert not any(f.endswith(".log") for f in os.listdir(tmp_path))
+    assert not os.path.exists(os.path.join(tmp_path, "metrics.jsonl"))
+
+    run_dir = os.path.join(str(tmp_path), "run")
+
+    class B:
+        log_file = 1
+        save_path = run_dir
+
+    late = MainLogger(B())  # same singleton; attaches the file handler now
+    assert late is early
+    late.debug("landed-in-run-dir")
+    late.scalars({"step": 1})
+    for h in late.logger.handlers:
+        h.flush()
+    logs = [f for f in os.listdir(run_dir) if f.endswith(".log")]
+    assert len(logs) == 1
+    assert "landed-in-run-dir" in open(os.path.join(run_dir, logs[0])).read()
+    assert os.path.exists(os.path.join(run_dir, "metrics.jsonl"))
+    assert not any(f.endswith(".log") for f in os.listdir(tmp_path))
+    MainLogger.reset()
+
+
 def test_time_to_str():
     assert time_to_str(3723.5) == "1h 2m 3.5s"
     assert time_to_str(59) == "0h 0m 59.0s"

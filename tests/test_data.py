@@ -106,3 +106,35 @@ def test_preprocessor_api_parity():
     assert cpre.idx_to_labels[0] == CIFAR100_CLASSES[0]
     oh = cpre.one_hot(np.array([1, 2]))
     assert oh.shape == (2, cpre.num_classes)
+
+
+def test_load_dataset_falls_back_on_unreadable_archive(tmp_path, monkeypatch):
+    """A read-only data_dir makes extraction raise PermissionError (an OSError
+    that is NOT FileNotFoundError) — the documented synthetic fallback must
+    still engage instead of crashing the run."""
+    from jckx.data import datasets as ds
+
+    (tmp_path / "train-images-idx3-ubyte.gz").write_bytes(b"x")
+    (tmp_path / "train-labels-idx1-ubyte.gz").write_bytes(b"x")
+
+    def deny(*a, **k):
+        raise PermissionError("read-only mount")
+
+    monkeypatch.setattr(ds.gzip, "open", deny)
+    x, y, ncls, names, synth = ds.load_dataset(
+        "mnist", str(tmp_path), synthetic_n=64)
+    assert synth and x.shape[0] == 64 and ncls == 10
+
+
+def test_preprocessor_stats_match_float_copy_formula():
+    """data_mean/std are computed by f64 reductions straight off the uint8
+    slab (no full-tensor float copy) — must equal the definitional
+    mean/std of x/255 computed in f64."""
+    cfg = Config()
+    cfg.dataset = "synthetic"
+    cfg.batch_size = 16
+    cfg.log_file = 0
+    pre = DCGANDataPreprocessor(cfg)
+    xf = pre.images_u8.astype(np.float64) / 255.0
+    np.testing.assert_allclose(pre.data_mean, xf.mean(axis=(0, 1, 2)), atol=1e-9)
+    np.testing.assert_allclose(pre.data_std, xf.std(axis=(0, 1, 2)), atol=1e-9)

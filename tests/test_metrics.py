@@ -447,3 +447,20 @@ def test_fast_stem_rekeys_real_feature_cache(tmp_path):
             cache_dir=str(tmp_path), fast_stem=True)
     files = sorted(os.listdir(tmp_path))
     assert len(files) == 2 and any(f.endswith("-s2d.npz") for f in files)
+
+
+def test_explicit_missing_backbone_raises(tmp_path):
+    """An explicitly-configured --metric_backbone that does not exist must be
+    a hard error — silently falling back to a default/seeded backbone would
+    derive every FID/IS absolute from the wrong network."""
+    from jckx.metrics.metrics import Metrics
+
+    real_u8 = (np.arange(8 * 16 * 16 * 3) % 255).astype(np.uint8).reshape(8, 16, 16, 3)
+    labels = np.zeros(8, np.int32)
+
+    class C:
+        metric_backbone = str(tmp_path / "does_not_exist.npz")
+
+    with pytest.raises(FileNotFoundError, match="metric_backbone"):
+        Metrics((real_u8, labels), config=C(), batch_size=4,
+                compute_dtype=jnp.float32, num_classes=10)

@@ -354,6 +354,73 @@ def test_nan_guard_aborts_on_divergence(tmp_path):
     MainLogger.reset()
 
 
+def _nan_telemetry(superstep):
+    """Wrap a superstep so its telemetry is all-NaN (state still advances —
+    exactly what a diverged run looks like from the launch boundary)."""
+    def poisoned(*args):
+        state, ms = superstep(*args)
+        return state, {k: np.full_like(np.asarray(v), np.nan) for k, v in ms.items()}
+
+    return poisoned
+
+
+def test_nan_guard_rollback_with_checkpoint_and_poison_without(tmp_path):
+    """The retry contract behind the nan-guard abort: with a latest.ckpt the
+    trainer rolls back to it (so catch-and-train()-again continues from good
+    state, not the diverged k-steps-ahead state); with no checkpoint the
+    trainer refuses a second train() instead of silently training on NaNs."""
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(11))
+
+    # --- no checkpoint ever written (eval_every=0) → poisoned on retry
+    cfg = tiny_cfg(tmp_path)
+    cfg.eval_every = 0
+    cfg.save_path = os.path.join(str(tmp_path), "dcgan", "poison")
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:32]
+    data_pre.labels_np = data_pre.labels_np[:32]
+    tr = DCGANTrainer(cfg, dcgan.generator_init(keys.next(), geo),
+                      dcgan.discriminator_init(keys.next(), geo), data_pre,
+                      metrics=StubMetrics())
+    tr._superstep = _nan_telemetry(tr._superstep)
+    with pytest.raises(FloatingPointError, match="diverged"):
+        tr.train()
+    with pytest.raises(RuntimeError, match="diverged"):
+        tr.train()
+    MainLogger.reset()
+
+    # --- checkpoint present → rollback, then a clean retrain completes
+    cfg2 = tiny_cfg(tmp_path)
+    cfg2.save_path = os.path.join(str(tmp_path), "dcgan", "rollback")
+    data2 = DCGANDataPreprocessor(cfg2)
+    data2.images_u8 = data2.images_u8[:64]  # 4 steps/epoch, K=4 → 1 launch
+    data2.labels_np = data2.labels_np[:64]
+    tr2 = DCGANTrainer(cfg2, dcgan.generator_init(keys.next(), geo),
+                       dcgan.discriminator_init(keys.next(), geo), data2,
+                       metrics=StubMetrics())
+    tr2.train()  # epoch 0 completes; final eval writes latest.ckpt at step 4
+    ckpt_step = tr2._host_step
+    assert ckpt_step == 4
+
+    tr2.cfg.epoch = 2  # continue into epoch 1, but diverge immediately
+    real2 = tr2._superstep
+    tr2._superstep = _nan_telemetry(real2)
+    with pytest.raises(FloatingPointError, match="diverged"):
+        tr2.train()
+    # rolled back: step counter AND device state match the checkpoint (the
+    # un-rolled-back state would be k=4 steps ahead of _host_step)
+    assert tr2._host_step == ckpt_step
+    assert int(tr2.state.step) == ckpt_step
+
+    tr2._superstep = real2  # "fix" the divergence; retry must run epoch 1
+    last = tr2.train()
+    assert last is not None and np.isfinite(last["loss_d"])
+    assert tr2._host_step == 8 and int(tr2.state.step) == 8
+    MainLogger.reset()
+
+
 def test_sigterm_preemption_checkpoints_and_resumes_bit_identical(tmp_path):
     """Graceful preemption: a real SIGTERM mid-run makes train() save
     latest.ckpt at the next launch boundary and return with .preempted set;
