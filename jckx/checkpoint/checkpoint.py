@@ -188,6 +188,18 @@ def latest_checkpoint(run_dir: str) -> Optional[str]:
     return p if os.path.exists(p) else None
 
 
+def load_serve_sidecar(ckpt_path: str) -> dict:
+    """Read the ``serve_config`` sidecar the trainers write next to every
+    ``.ckpt`` (geometry/conditioning so serving and conversion
+    self-configure). → {} when absent or unparseable. The single reader for
+    jckx.serve and jckx.convert — one consumer implementation per schema."""
+    try:
+        with open(ckpt_path + ".json") as f:
+            return json.load(f).get("serve_config", {})
+    except (OSError, ValueError):
+        return {}
+
+
 class BestMetricCheckpointer:
     """One retained checkpoint per metric subdir, reference retention policy
     (delete previous, filename encodes iters + metric values)."""

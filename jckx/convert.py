@@ -74,12 +74,9 @@ def convert(args) -> dict:
     from jckx.checkpoint import export_torch_gan_checkpoint, restore_checkpoint
     from jckx.train.state import make_template_state
 
-    sidecar = {}
-    try:
-        with open(args.src + ".json") as f:
-            sidecar = json.load(f).get("serve_config", {})
-    except (OSError, ValueError):
-        pass
+    from jckx.checkpoint import load_serve_sidecar
+
+    sidecar = load_serve_sidecar(args.src)
     conditional = (sidecar.get("conditional", False)
                    if args.conditional is None else args.conditional)
     num_classes = (sidecar.get("num_classes", 100)

@@ -124,16 +124,21 @@ def cache_open(path: str) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         return images, labels
     # fallback: parse the header with numpy and memmap
     with open(path, "rb") as f:
-        head = f.read(24)
+        head = f.read(28)
+    if len(head) < 28:
+        return None
     magic = np.frombuffer(head[:8], np.uint64)[0]
     if magic != np.uint64(0x4A434B58494F3031):
         return None
     n = int(np.frombuffer(head[8:16], np.int64)[0])
-    h, w = (int(x) for x in np.frombuffer(head[16:24], np.int32)[:2])
-    with open(path, "rb") as f:
-        f.seek(24)
-        c = int(np.frombuffer(f.read(8), np.int32)[0])
+    h, w, c = (int(x) for x in np.frombuffer(head[16:28], np.int32)[:3])
     off = 32
+    # same header validation as the native reader: a corrupted header must
+    # yield None (bad cache), not an exception or an out-of-bounds view
+    if n <= 0 or h <= 0 or w <= 0 or c <= 0:
+        return None
+    if os.path.getsize(path) < off + n * (h * w * c + 4):  # python ints: no overflow
+        return None
     images = np.memmap(path, np.uint8, "r", offset=off, shape=(n, h, w, c))
     labels = np.memmap(path, np.int32, "r",
                        offset=off + n * h * w * c, shape=(n,))

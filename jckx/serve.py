@@ -118,13 +118,9 @@ class GeneratorService:
                     f"{ckpt_path}: explicit args contradict the checkpoint's "
                     f"weights (given vs inferred): {clashes}")
         else:
-            try:
-                import json
+            from jckx.checkpoint import load_serve_sidecar
 
-                with open(ckpt_path + ".json") as f:
-                    sidecar = json.load(f).get("serve_config", {})
-            except (OSError, ValueError):
-                pass
+            sidecar = load_serve_sidecar(ckpt_path)
         if conditional is None:
             conditional = bool(sidecar.get("conditional", False))
         if geo is None:
@@ -224,11 +220,20 @@ class GeneratorService:
         key: Optional[jax.Array] = None,
     ) -> np.ndarray:
         """→ uint8 images (n, S, S, C). Requests pad to the compiled batch."""
+        if n < 1:
+            raise ValueError(f"sample(n={n}): n must be >= 1")
         key = key if key is not None else self._next_key()
         # empty selection → random classes (len(), not truthiness: a numpy
         # label array raises on bool())
         if labels is not None and len(labels) == 0:
             labels = None
+        if labels is not None and not self.conditional:
+            # same contract as the HTTP 400: silently returning random
+            # unconditional samples would let the caller believe class
+            # control worked
+            raise ValueError(
+                "labels were given but this checkpoint is unconditional "
+                "(DCGAN) — class-conditional sampling needs a CGAN checkpoint")
         bs = self.batch_size
         out = []
         made = 0
@@ -418,6 +423,17 @@ def main(args):
 
     honor_jax_platforms_env()  # JAX_PLATFORMS=cpu smokes: the axon plugin
     # pins jax_platforms at import, before the env var is consulted
+    # validate cheap inputs BEFORE the (slow) checkpoint load + jit setup
+    listen_host, listen_port = "", 0
+    if args.listen:
+        listen_host, _, port_s = args.listen.rpartition(":")
+        if not port_s.isdigit():
+            raise SystemExit(
+                f"--listen expects PORT or HOST:PORT with a numeric port, "
+                f"got {args.listen!r}")
+        listen_port = int(port_s)
+    if not args.listen and args.num < 1:
+        raise SystemExit(f"-n/--num must be >= 1, got {args.num}")
     overrides = {k: getattr(args, k)
                  for k in ("z_dim", "image_size", "channels", "base_width")
                  if getattr(args, k) is not None}
@@ -425,7 +441,15 @@ def main(args):
     if args.mesh_shape:
         from jckx.parallel import make_mesh, parse_mesh_shape
 
-        mesh = make_mesh(parse_mesh_shape(args.mesh_shape), ("data",))
+        shape = parse_mesh_shape(args.mesh_shape)
+        if len(shape) != 1:
+            # serving shards the request batch over ONE 'data' axis; a 2-D
+            # shape would crash opaquely inside the Mesh ctor
+            raise SystemExit(
+                f"--mesh_shape for serving is 1-D (the request batch shards "
+                f"over a single 'data' axis); got {args.mesh_shape!r} — pass "
+                f"the total chip count (e.g. '8')")
+        mesh = make_mesh(shape, ("data",))
     svc = GeneratorService(
         args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
         geo_overrides=overrides or None, batch_size=args.batch_size, seed=args.seed,
@@ -435,8 +459,7 @@ def main(args):
         import signal
         import threading
 
-        host, _, port = args.listen.rpartition(":")
-        srv = make_http_server(svc, host or "0.0.0.0", int(port))
+        srv = make_http_server(svc, listen_host or "0.0.0.0", listen_port)
         # SIGTERM/SIGINT → clean shutdown (what schedulers send; mirrors the
         # trainer's graceful preemption)
         def _stop(signum, frame):

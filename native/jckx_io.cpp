@@ -89,8 +89,31 @@ void* jckx_cache_open(const char* path, int64_t* n, int32_t* h, int32_t* w,
     delete hd;
     return nullptr;
   }
-  size_t img_bytes = static_cast<size_t>(hd->hdr.n) * hd->hdr.h * hd->hdr.w * hd->hdr.c;
-  if (hd->map_size < sizeof(Header) + img_bytes + hd->hdr.n * sizeof(int32_t)) {
+  // Validate header dims BEFORE sizing: a corrupted header (bit-flip, torn
+  // rewrite, foreign writer) with negative or huge n/h/w/c would overflow
+  // the size_t product, pass the bounds check, and hand out-of-mapping
+  // pointers to the numpy views upstairs.
+  const int64_t n64 = hd->hdr.n;
+  const int32_t h32 = hd->hdr.h, w32 = hd->hdr.w, c32 = hd->hdr.c;
+  constexpr int64_t kDimMax = 1 << 20;           // 1M px per axis: absurd cap
+  constexpr int64_t kNMax = int64_t{1} << 40;    // 1T rows: absurd cap
+  if (n64 <= 0 || n64 > kNMax || h32 <= 0 || h32 > kDimMax || w32 <= 0 ||
+      w32 > kDimMax || c32 <= 0 || c32 > kDimMax) {
+    munmap(map, st.st_size);
+    delete hd;
+    return nullptr;
+  }
+  const size_t row_bytes = static_cast<size_t>(h32) * w32 * c32;  // ≤2^63
+  if (row_bytes != 0 &&
+      static_cast<size_t>(n64) > (SIZE_MAX - sizeof(Header)) / row_bytes) {
+    munmap(map, st.st_size);
+    delete hd;
+    return nullptr;
+  }
+  size_t img_bytes = static_cast<size_t>(n64) * row_bytes;
+  size_t lab_bytes = static_cast<size_t>(n64) * sizeof(int32_t);
+  if (hd->map_size < sizeof(Header) + img_bytes ||
+      hd->map_size - sizeof(Header) - img_bytes < lab_bytes) {
     munmap(map, st.st_size);
     delete hd;
     return nullptr;

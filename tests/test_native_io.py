@@ -54,6 +54,48 @@ def test_cache_open_rejects_garbage(tmp_path):
     assert native_io.cache_open(str(tmp_path / "missing.bin")) is None
 
 
+def test_cache_open_rejects_corrupt_header_dims(tmp_path):
+    """Intact magic but insane header dims (bit-flip, torn rewrite, foreign
+    writer) must be rejected: a huge/negative n*h*w*c would overflow the
+    size_t bounds math and hand out-of-mapping pointers to the numpy views."""
+    import struct
+
+    rng = np.random.RandomState(5)
+    imgs = rng.randint(0, 255, size=(8, 4, 4, 3), dtype=np.uint8)
+    labels = np.arange(8, dtype=np.int32)
+    good = str(tmp_path / "good.bin")
+    native_io.cache_write(good, imgs, labels)
+    raw = bytearray(open(good, "rb").read())
+
+    def check_engine(engine):
+        # header: magic u64 | n i64 | h i32 | w i32 | c i32 | reserved i32
+        for n_bad in (-1, 0, 1 << 62, (1 << 64) - 8):  # negative, zero, overflow
+            bad = bytearray(raw)
+            bad[8:16] = struct.pack(
+                "<q", n_bad if n_bad < (1 << 63) else n_bad - (1 << 64))
+            p = str(tmp_path / "bad_n.bin")
+            open(p, "wb").write(bytes(bad))
+            assert native_io.cache_open(p) is None, f"{engine}: n={n_bad} accepted"
+        for off, dim_bad in ((16, -4), (20, 1 << 30), (24, 0)):  # h/w/c abuse
+            bad = bytearray(raw)
+            bad[off:off + 4] = struct.pack("<i", dim_bad)
+            p = str(tmp_path / "bad_dim.bin")
+            open(p, "wb").write(bytes(bad))
+            assert native_io.cache_open(p) is None, \
+                f"{engine}: dim@{off}={dim_bad} accepted"
+        # the untouched original still opens (the guards are not over-eager)
+        assert native_io.cache_open(good) is not None
+
+    check_engine("native")
+    # same contract from the pure-python fallback reader
+    lib, native_io._lib = native_io._lib, None
+    tried, native_io._tried = native_io._tried, True
+    try:
+        check_engine("fallback")
+    finally:
+        native_io._lib, native_io._tried = lib, tried
+
+
 def test_shuffle_deterministic_permutation():
     a = native_io.shuffle_indices(1000, seed=7)
     b = native_io.shuffle_indices(1000, seed=7)

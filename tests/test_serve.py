@@ -47,6 +47,22 @@ def test_service_generates_from_checkpoint(tmp_path):
     assert np.abs(a.astype(int) - c.astype(int)).max() > 0
 
 
+def test_sample_input_validation(tmp_path):
+    """n<1 and labels-on-unconditional are hard errors from the Python API —
+    the same contract the HTTP front answers with a 400 (silently returning
+    random samples would fake class control)."""
+    import pytest
+
+    path, geo = _save_ckpt(tmp_path)
+    svc = GeneratorService(path, geo=geo, batch_size=4, compute_dtype=jnp.float32)
+    with pytest.raises(ValueError, match="n must be"):
+        svc.sample(0)
+    with pytest.raises(ValueError, match="unconditional"):
+        svc.sample(4, labels=[3, 1, 4])
+    # empty labels still mean "random classes", not an error
+    assert svc.sample(2, labels=[]).shape == (2, 16, 16, 3)
+
+
 def test_service_conditional_labels(tmp_path):
     path, geo = _save_ckpt(tmp_path, conditional=True)
     svc = GeneratorService(path, conditional=True, num_classes=10, geo=geo,

@@ -69,13 +69,18 @@ def one_config(image_size, batch_size, remat, K, supersteps, trace,
     jax.block_until_ready(state)
     float(ms["loss_d"])
 
+    # launch args pre-materialized on device, OFF the clock (an in-region
+    # idx upload is a per-launch dispatch the 2S−S differential cannot
+    # cancel — same fix as bench.py)
+    idx_pool = iter(jax.block_until_ready(
+        [jax.device_put(idxs()) for _ in range(3 * supersteps)]))
     box = {"state": state}
 
     def run_region(n):
         t0 = time.perf_counter()
         s = box["state"]
         for _ in range(n):
-            s, ms = compiled(s, data, labels, idxs())
+            s, ms = compiled(s, data, labels, next(idx_pool))
         jax.block_until_ready(s)
         box["loss"] = float(ms["loss_d"])  # read closes the region
         box["state"] = s
@@ -151,4 +156,8 @@ def main():
 
 
 if __name__ == "__main__":
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must stick despite the
+    # axon plugin's import-time platform pin (CLAUDE.md landmine)
     main()

@@ -92,4 +92,8 @@ def main():
 
 
 if __name__ == "__main__":
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must stick despite the
+    # axon plugin's import-time platform pin (CLAUDE.md landmine)
     main()

@@ -151,6 +151,10 @@ def main(skip_xla: bool):
 
 
 if __name__ == "__main__":
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()  # JAX_PLATFORMS=cpu must stick despite the
+    # axon plugin's import-time platform pin (CLAUDE.md landmine)
     p = argparse.ArgumentParser()
     p.add_argument("--skip_xla", action="store_true")
     a = p.parse_args()
