@@ -1,0 +1,189 @@
+"""Portable generator export: a self-contained StableHLO artifact.
+
+The reference has no deployment story at all (generation exists only inside
+its training eval loop). jckx's serving daemon (jckx.serve) covers live
+serving; this module covers SHIPPING the model: ``jax.export`` serializes
+the jitted sampler — generator weights baked in as constants — to one
+versioned StableHLO blob that any process with jax installed can run with
+
+    from jckx.export import load_exported
+    sample = load_exported("gen.jaxexp")
+    imgs = sample(seed=0)                       # (bs, S, S, C) uint8
+
+no jckx, no model code, no checkpoint parsing. This is the TPU-ecosystem
+idiom for deployment artifacts (StableHLO is XLA's stable serialization
+boundary, with forward-compatibility guarantees), the analog of the
+torch.jit/ONNX export the reference stack would have used.
+
+Exported program = the production sampler's exact math: z drawn on device
+from a seed, generator forward, tanh→uint8 conversion (serve.tanh_to_u8).
+Conditional checkpoints export with a per-image int32 label input. The
+artifact uses the plain XLA lowering of the forward (not the Pallas fused
+kernel, which jckx.serve opts into per-process) so the blob stays portable
+across platform versions; the two paths are numerically interchangeable
+(tests/test_kernels.py pins the equivalence the service relies on).
+
+CLI:
+    python -m jckx.export --ckpt save/dcgan/<ts>/latest.ckpt --dst gen.jaxexp
+    python -m jckx.export --ckpt ref.pt --dst gen.jaxexp --batch_size 64
+
+Accepts jckx ``.ckpt`` (sidecar-self-configuring) or reference torch ``.pt``
+(geometry inferred from weights) — same loading surface as jckx.serve.
+A ``.json`` sidecar records geometry/conditioning/batch/platforms for
+inspection; the blob itself is self-describing to jax.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+DEFAULT_PLATFORMS = ("cpu", "tpu")
+
+
+def export_generator(
+    ckpt_path: str,
+    dst: str,
+    batch_size: int = 64,
+    conditional: Optional[bool] = None,
+    num_classes: Optional[int] = None,
+    use_ema: Optional[bool] = None,
+    geo_overrides: Optional[dict] = None,
+    compute_dtype=jnp.bfloat16,
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+) -> dict:
+    """Serialize the checkpoint's sampler to ``dst`` (+ ``dst.json``).
+
+    → info dict (what the CLI prints). ``platforms`` lowers the program for
+    each target up front (cross-lowering needs no device attached), so one
+    artifact serves CPU smoke tests and TPU production.
+    """
+    from jckx.models import cgan, dcgan
+    from jckx.serve import GeneratorService, tanh_to_u8
+
+    svc = GeneratorService(
+        ckpt_path, conditional=conditional, num_classes=num_classes,
+        batch_size=batch_size, compute_dtype=compute_dtype, use_ema=use_ema,
+        geo_overrides=geo_overrides,
+    )
+    params, geo, ncls = svc.params_g, svc.geo, svc.num_classes
+    cd = compute_dtype
+
+    if svc.conditional:
+        def render(seed, labels):
+            z = jax.random.normal(jax.random.PRNGKey(seed),
+                                  (batch_size, geo.z_dim))
+            onehot = jax.nn.one_hot(labels, ncls)
+            return tanh_to_u8(cgan.cgenerator_apply(params, z, onehot, geo, cd))
+
+        arg_shapes = (jax.ShapeDtypeStruct((), jnp.int32),
+                      jax.ShapeDtypeStruct((batch_size,), jnp.int32))
+    else:
+        def render(seed):
+            z = jax.random.normal(jax.random.PRNGKey(seed),
+                                  (batch_size, geo.z_dim))
+            return tanh_to_u8(dcgan.generator_apply(params, z, geo, cd))
+
+        arg_shapes = (jax.ShapeDtypeStruct((), jnp.int32),)
+
+    exp = jax.export.export(jax.jit(render), platforms=list(platforms))(*arg_shapes)
+    blob = exp.serialize()
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+    with open(dst, "wb") as f:
+        f.write(blob)
+
+    info = {
+        "wrote": dst, "bytes": len(blob), "step": svc.step,
+        "batch_size": batch_size, "conditional": svc.conditional,
+        "num_classes": ncls if svc.conditional else None,
+        "z_dim": geo.z_dim, "image_size": geo.image_size,
+        "channels": geo.channels, "base_width": geo.base_width,
+        "compute_dtype": str(jnp.dtype(cd)), "platforms": list(platforms),
+        "inputs": (["seed:i32[]", f"labels:i32[{batch_size}]"]
+                   if svc.conditional else ["seed:i32[]"]),
+        "output": f"u8[{batch_size},{geo.image_size},{geo.image_size},"
+                  f"{geo.channels}]",
+    }
+    with open(dst + ".json", "w") as f:
+        json.dump(info, f, indent=1)
+    return info
+
+
+def load_exported(path: str):
+    """→ ``sample(seed[, labels]) -> uint8 images`` from an exported blob.
+
+    Thin convenience over ``jax.export.deserialize``; works in a process
+    with only jax installed (the function body and weights are inside the
+    blob). Inputs are converted to the expected int32 shapes.
+    """
+    with open(path, "rb") as f:
+        exp = jax.export.deserialize(f.read())
+
+    n_in = len(exp.in_avals)
+
+    def sample(seed: int, labels=None):
+        args = [jnp.asarray(seed, jnp.int32)]
+        if n_in == 2:
+            if labels is None:
+                raise ValueError(
+                    "this artifact was exported from a conditional (CGAN) "
+                    "checkpoint — pass labels (one int per image)")
+            args.append(jnp.asarray(labels, jnp.int32))
+        elif labels is not None:
+            raise ValueError(
+                "this artifact was exported from an unconditional (DCGAN) "
+                "checkpoint — it takes no labels")
+        return exp.call(*args)
+
+    return sample
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser(description="jckx portable generator export")
+    p.add_argument("--ckpt", required=True,
+                   help="jckx .ckpt or reference torch .pt")
+    p.add_argument("--dst", required=True, help="output artifact path")
+    p.add_argument("-b", "--batch_size", type=int, default=64,
+                   help="compiled batch of the exported program")
+    p.add_argument("--platforms", default=",".join(DEFAULT_PLATFORMS),
+                   help="comma list of lowering targets (cpu,tpu,cuda)")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    p.add_argument("--use_ema", action="store_true",
+                   help="export the EMA generator instead of the live one")
+    p.add_argument("--conditional", action="store_true", default=None)
+    p.add_argument("--num_classes", type=int, default=None)
+    # geometry overrides for sidecar-less checkpoints (same surface as serve)
+    p.add_argument("--z_dim", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--channels", type=int, default=None)
+    p.add_argument("--base_width", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    a = get_args(argv)
+    overrides = {k: getattr(a, k)
+                 for k in ("z_dim", "image_size", "channels", "base_width")
+                 if getattr(a, k) is not None}
+    info = export_generator(
+        a.ckpt, a.dst, batch_size=a.batch_size, conditional=a.conditional,
+        num_classes=a.num_classes, use_ema=a.use_ema or None,
+        geo_overrides=overrides or None,
+        compute_dtype=jnp.bfloat16 if a.compute_dtype == "bfloat16" else jnp.float32,
+        platforms=[s for s in a.platforms.split(",") if s],
+    )
+    print(json.dumps(info))
+
+
+if __name__ == "__main__":
+    main()
