@@ -6,7 +6,6 @@ import logging
 import os
 
 import numpy as np
-import pytest
 
 from jckx.configs import Config, get_arg_parse
 from jckx.enums import ModelEnum

@@ -4,7 +4,6 @@ compatibility), shuffle determinism, gather correctness."""
 import os
 
 import numpy as np
-import pytest
 
 from jckx.data import native_io
 

@@ -5,7 +5,6 @@ replicated layout (GSPMD inserts the layer collectives)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from jckx.configs import Config
 from jckx.models import dcgan

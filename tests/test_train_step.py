@@ -9,7 +9,7 @@ import pytest
 from jckx.configs import Config
 from jckx.models.dcgan import GANGeometry
 from jckx.parallel import make_mesh
-from jckx.train.state import create_cgan_state, create_dcgan_state
+from jckx.train.state import create_dcgan_state
 from jckx.train.steps import jit_train_step, make_cgan_train_step, make_dcgan_train_step
 
 TINY = dict(image_size=16, compute_dtype="float32", batch_size=8,

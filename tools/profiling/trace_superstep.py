@@ -7,7 +7,6 @@ import sys
 from collections import defaultdict
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from jckx.metrics import inception_v3
