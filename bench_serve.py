@@ -84,8 +84,16 @@ def build_region(model: str = "DCGAN", image_size: int = 64,
 
 
 def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
-         scan_batches: int = 20, regions: int = 5):
+         scan_batches: int = 20, regions: int = 5, subpixel: bool = False):
+    import contextlib
+
     from jckx.kernels.fused_bn_act import pallas_inference
+    from jckx.ops.conv import subpixel_inference
+
+    # --subpixel 1: A/B the kernel-segregated ConvTranspose form (no
+    # lhs-dilation in the program; 4 dense phase convs per layer) against
+    # the default dilated form — ops/conv.py subpixel_inference
+    sp_scope = subpixel_inference if subpixel else contextlib.nullcontext
 
     region, params, geo, conditional = build_region(
         model, image_size, batch_size, scan_batches)
@@ -95,8 +103,8 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
         return jax.random.split(jax.random.fold_in(jax.random.PRNGKey(7), i),
                                 n * scan_batches)
 
-    # compile (Pallas inference path engages at trace time) + warm
-    with pallas_inference():
+    # compile (Pallas + subpixel paths engage at trace time) + warm
+    with pallas_inference(), sp_scope():
         acc = jitted(params, keys_for(0, 1))
     int(acc)
 
@@ -127,7 +135,7 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
     # in tools/profiling/gan_roofline.py), so a 20-trip region would report
     # per-image numbers 20x low, while a 1-trip region is correct on every
     # backend.
-    with pallas_inference():
+    with pallas_inference(), sp_scope():
         ca = (jitted.lower(params, keys_for(0, 1)[:1]).compile()
               .cost_analysis()) or {}
     n_img = batch_size
@@ -167,7 +175,8 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
     print(json.dumps({
         "metric": f"images/sec/chip served {model.upper()} generation "
                   f"({image_size}x{image_size}, bs{batch_size}, bf16, "
-                  f"incl. on-device uint8 conversion)",
+                  f"incl. on-device uint8 conversion"
+                  + (", subpixel convT" if subpixel else "") + ")",
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / REFERENCE_IMG_PER_SEC, 2),
@@ -191,5 +200,8 @@ if __name__ == "__main__":
     p.add_argument("--batch_size", type=int, default=512)
     p.add_argument("--scan_batches", type=int, default=20)
     p.add_argument("--regions", type=int, default=5)
+    p.add_argument("--subpixel", type=int, default=0,
+                   help="1 = kernel-segregated ConvTranspose A/B (ops/conv.py)")
     a = p.parse_args()
-    main(a.model, a.image_size, a.batch_size, a.scan_batches, a.regions)
+    main(a.model, a.image_size, a.batch_size, a.scan_batches, a.regions,
+         subpixel=bool(a.subpixel))

@@ -78,6 +78,7 @@ class GeneratorService:
         use_ema: Optional[bool] = None,
         geo_overrides: Optional[dict] = None,
         mesh=None,
+        subpixel: bool = False,
     ):
         # self-configure from the trainer's sidecar when present (explicit
         # args win — for a jckx checkpoint, whose sidecar is advisory). A
@@ -140,6 +141,14 @@ class GeneratorService:
         self.batch_size = batch_size
         self._key = jax.random.PRNGKey(seed)
         self._count = 0
+        # opt-in kernel-segregated ConvTranspose form for the sampler's
+        # trace (ops/conv.py subpixel_inference; bit-comparable output,
+        # perf A/B via bench_serve.py --subpixel 1)
+        import contextlib
+
+        from jckx.ops.conv import subpixel_inference
+
+        self._conv_scope = subpixel_inference if subpixel else contextlib.nullcontext
 
         if torch_state is not None:
             state = torch_state
@@ -252,7 +261,7 @@ class GeneratorService:
             out.append(np.asarray(imgs)[:take])  # uint8 payload fetch
 
         while made < n:
-            with pallas_inference():
+            with pallas_inference(), self._conv_scope():
                 if self.conditional and labels is not None:
                     lab = np.asarray(
                         [labels[(made + i) % len(labels)] for i in range(bs)],
@@ -415,6 +424,9 @@ def get_args(argv=None):
     p.add_argument("--listen", default="",
                    help="run as an HTTP server instead of writing a grid: "
                         "'8000' or 'host:8000' (GET /healthz, POST /generate)")
+    p.add_argument("--subpixel", type=int, default=0,
+                   help="1 = kernel-segregated ConvTranspose sampler trace "
+                        "(ops/conv.py; same math, A/B via bench_serve.py)")
     return p.parse_args(argv)
 
 
@@ -453,7 +465,7 @@ def main(args):
     svc = GeneratorService(
         args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
         geo_overrides=overrides or None, batch_size=args.batch_size, seed=args.seed,
-        mesh=mesh,
+        mesh=mesh, subpixel=bool(args.subpixel),
     )
     if args.listen:
         import signal

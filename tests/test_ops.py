@@ -50,6 +50,52 @@ def test_conv_transpose2d_matches_torch(stride, pad, hw):
     np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-10)
 
 
+@pytest.mark.parametrize("hw,cin,cout", [(1, 3, 5), (4, 6, 4), (32, 8, 3)])
+def test_conv_transpose2d_subpixel_equals_dilated(hw, cin, cout):
+    """The kernel-segregated (sub-pixel) k4/s2/p1 form computes the same
+    dot products as the input-dilated form, only regrouped — exact in f64,
+    including against torch."""
+    from jckx.ops.conv import subpixel_inference
+
+    x = _rand(2, hw, hw, cin, seed=11).astype(np.float64)
+    w = _rand(4, 4, cin, cout, seed=12).astype(np.float64)
+    with jax.enable_x64(True):
+        dilated = np.asarray(conv_transpose2d(jnp.asarray(x), jnp.asarray(w), 2, 1))
+        with subpixel_inference():
+            sub = np.asarray(conv_transpose2d(jnp.asarray(x), jnp.asarray(w), 2, 1))
+            # non-matching geometry (k4 s1 p0, the z-projection layer) must
+            # fall through to the dilated path unchanged
+            w1 = _rand(4, 4, cin, cout, seed=13).astype(np.float64)
+            z = _rand(2, 1, 1, cin, seed=14).astype(np.float64)
+            proj = np.asarray(conv_transpose2d(jnp.asarray(z), jnp.asarray(w1), 1, 0))
+    assert sub.shape == dilated.shape == (2, 2 * hw, 2 * hw, cout)
+    np.testing.assert_allclose(sub, dilated, rtol=1e-12, atol=1e-12)
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    wt = torch.from_numpy(w.transpose(2, 3, 0, 1))
+    ref = tf.conv_transpose2d(xt, wt, stride=2, padding=1).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(sub, ref, rtol=1e-10, atol=1e-10)
+    assert proj.shape == (2, 4, 4, cout)
+
+
+def test_subpixel_scope_generator_forward_identical(tmp_path):
+    """Full DCGAN generator forward under the sub-pixel scope ≡ the dilated
+    default (f32: same products, regrouped sums → tiny tolerance)."""
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.ops.conv import subpixel_inference
+
+    geo = GANGeometry(image_size=32, base_width=16)
+    params = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, geo.z_dim))
+    base = np.asarray(dcgan.generator_apply(params, z, geo, jnp.float32))
+    with subpixel_inference():
+        sub = np.asarray(jax.jit(
+            lambda p, zz: dcgan.generator_apply(p, zz, geo, jnp.float32)
+        )(params, z))
+    assert sub.shape == base.shape
+    np.testing.assert_allclose(sub, base, rtol=1e-5, atol=1e-5)
+
+
 def test_conv_transpose_output_size_law():
     # torch: out = (in-1)*s - 2p + k  — the DCGAN G geometry (1→4→8→...→64)
     w1 = jnp.zeros((4, 4, 100, 512))

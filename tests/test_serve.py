@@ -63,6 +63,20 @@ def test_sample_input_validation(tmp_path):
     assert svc.sample(2, labels=[]).shape == (2, 16, 16, 3)
 
 
+def test_service_subpixel_convt_matches_default(tmp_path):
+    """subpixel=True serves the kernel-segregated ConvTranspose trace —
+    same samples as the default dilated form to f32 fusion tolerance
+    (uint8 outputs: allow ±1 count from boundary rounding)."""
+    path, geo = _save_ckpt(tmp_path)
+    k = jax.random.PRNGKey(4)
+    base = GeneratorService(path, geo=geo, batch_size=4,
+                            compute_dtype=jnp.float32).sample(4, key=k)
+    sub = GeneratorService(path, geo=geo, batch_size=4,
+                           compute_dtype=jnp.float32,
+                           subpixel=True).sample(4, key=k)
+    assert np.abs(base.astype(int) - sub.astype(int)).max() <= 1
+
+
 def test_service_conditional_labels(tmp_path):
     path, geo = _save_ckpt(tmp_path, conditional=True)
     svc = GeneratorService(path, conditional=True, num_classes=10, geo=geo,
