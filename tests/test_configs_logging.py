@@ -142,3 +142,31 @@ def test_artifact_writers(tmp_path):
     save_loss_curve(p3, [1.0, 0.5, 0.4], [2.0, 1.5, 1.2])
     for p in (p1, p2, p3):
         assert os.path.getsize(p) > 0
+
+
+def test_plot_metrics_tool(tmp_path):
+    """tools/plot_metrics.py renders a run's metrics.jsonl into panels
+    (losses/throughput/eval), tolerating a torn tail line from a live run."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    try:
+        import plot_metrics
+    finally:
+        sys.path.pop(0)
+
+    p = os.path.join(tmp_path, "metrics.jsonl")
+    with open(p, "w") as f:
+        for s in range(1, 6):
+            f.write(json.dumps({"step": s * 50, "epoch": 0, "loss_d": 1.0 / s,
+                                "loss_g": 2.0 / s, "d_x": 0.5, "d_gz1": 0.4,
+                                "d_gz2": 0.45, "images_per_sec": 30000.0 + s,
+                                "step_ms": 3.7}) + "\n")
+        f.write(json.dumps({"step": 250, "fid": 120.0, "is": 2.5}) + "\n")
+        f.write('{"step": 300, "loss_d": 0.')  # torn tail (live run)
+    written = plot_metrics.plot_run(p, str(tmp_path))
+    names = {os.path.basename(w) for w in written}
+    assert {"metrics_losses.png", "metrics_throughput.png",
+            "metrics_metrics.png"} <= names
+    for w in written:
+        assert os.path.getsize(w) > 0
