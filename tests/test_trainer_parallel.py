@@ -120,6 +120,21 @@ def test_spatial_trainer_matches_replicated(tmp_path):
     _assert_close(ref, sp)
 
 
+def test_spatial_trainer_matches_replicated_cgan(tmp_path):
+    """The conditional family under --model_axis_mode spatial (activation
+    height sharded on the model axis) trains ≡ the unsharded layout — the
+    one family×mode combination the DCGAN spatial test left uncovered."""
+    _, ref, ref_last = _train(_cfg(tmp_path, model="CGAN", run="repl3"),
+                              model="CGAN")
+
+    cfg = _cfg(tmp_path, model="CGAN", run="sp2")
+    cfg.mesh_shape, cfg.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    cfg.model_axis_mode = "spatial"
+    _, sp, sp_last = _train(cfg, model="CGAN")
+    assert abs(ref_last["loss_d"] - sp_last["loss_d"]) < 1e-3
+    _assert_close(ref, sp)
+
+
 def test_tp_trainer_matches_replicated_cgan(tmp_path):
     _, ref, ref_last = _train(_cfg(tmp_path, model="CGAN", run="repl"), model="CGAN")
 
