@@ -144,6 +144,92 @@ def load_exported(path: str):
     return sample
 
 
+class ArtifactService:
+    """Serve FROM an exported artifact — the deployment end of the loop.
+
+    Implements the same surface the HTTP daemon consumes from
+    ``GeneratorService`` (``step``/``conditional``/``num_classes``/``geo``/
+    ``batch_size``/``sample``), but backed purely by the ``.jaxexp`` blob +
+    its ``.json`` sidecar: a replica needs the artifact pair and jax, no
+    jckx model code versioned against the checkpoint. Selected by the CLI
+    on extension: ``python -m jckx.serve --ckpt gen.jaxexp --listen 8000``.
+
+    Seeding: the artifact draws z from an int32 seed (PRNGKey(seed) inside
+    the exported program), so per-batch seeds advance arithmetically from a
+    base — same determinism contract (same seed → same images), a different
+    stream than the checkpoint-backed service's fold_in chain.
+    """
+
+    def __init__(self, artifact_path: str, seed: int = 0):
+        from jckx.models.dcgan import GANGeometry
+
+        with open(artifact_path, "rb") as f:
+            self._exp = jax.export.deserialize(f.read())
+        try:
+            with open(artifact_path + ".json") as f:
+                side = json.load(f)
+        except (OSError, ValueError) as e:
+            raise ValueError(
+                f"{artifact_path}: missing/unreadable .json sidecar "
+                f"(written by jckx.export next to the blob): {e}") from e
+        self.conditional = len(self._exp.in_avals) == 2
+        self.batch_size = int(side["batch_size"])
+        self.num_classes = side.get("num_classes") or 100
+        self.step = side.get("step", 0)
+        self.geo = GANGeometry(
+            z_dim=side["z_dim"], image_size=side["image_size"],
+            channels=side["channels"], base_width=side["base_width"])
+        self._base_seed = seed
+        self._count = 0
+
+    def sample(self, n: int, labels=None, key=None) -> "np.ndarray":
+        import numpy as np
+
+        if n < 1:
+            raise ValueError(f"sample(n={n}): n must be >= 1")
+        if labels is not None and len(labels) == 0:
+            labels = None
+        if labels is not None and not self.conditional:
+            raise ValueError(
+                "labels were given but this artifact is unconditional "
+                "(DCGAN) — class-conditional sampling needs a CGAN artifact")
+        if key is not None:
+            # the HTTP front passes PRNGKey(seed); recover an int base from
+            # the key data (one host read per REQUEST, not per batch)
+            base = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+        else:
+            self._count += 1
+            base = self._base_seed * 1_000_003 + self._count * 65_537
+        bs = self.batch_size
+        out, made, batch_i = [], 0, 0
+        window = 8
+        inflight = []  # async dispatch / ordered drain, like the service
+
+        def drain_one():
+            imgs, take = inflight.pop(0)
+            out.append(np.asarray(imgs)[:take])
+
+        while made < n:
+            seed = jnp.asarray((base + batch_i) % (2**31 - 1), jnp.int32)
+            if self.conditional:
+                lab = (np.asarray([labels[(made + i) % len(labels)]
+                                   for i in range(bs)], np.int32)
+                       if labels is not None else
+                       np.asarray([(base + batch_i + i) % self.num_classes
+                                   for i in range(bs)], np.int32))
+                imgs = self._exp.call(seed, jnp.asarray(lab))
+            else:
+                imgs = self._exp.call(seed)
+            inflight.append((imgs, min(bs, n - made)))
+            made += inflight[-1][1]
+            batch_i += 1
+            if len(inflight) >= window:
+                drain_one()
+        while inflight:
+            drain_one()
+        return np.concatenate(out)
+
+
 def get_args(argv=None):
     p = argparse.ArgumentParser(description="jckx portable generator export")
     p.add_argument("--ckpt", required=True,

@@ -462,11 +462,24 @@ def main(args):
                 f"over a single 'data' axis); got {args.mesh_shape!r} — pass "
                 f"the total chip count (e.g. '8')")
         mesh = make_mesh(shape, ("data",))
-    svc = GeneratorService(
-        args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
-        geo_overrides=overrides or None, batch_size=args.batch_size, seed=args.seed,
-        mesh=mesh, subpixel=bool(args.subpixel),
-    )
+    if args.ckpt.endswith(".jaxexp"):
+        # exported StableHLO artifact (jckx.export): self-contained sampler,
+        # geometry/batch fixed at export time — reject contradicting flags
+        from jckx.export import ArtifactService
+
+        if overrides or args.conditional is not None or mesh is not None \
+                or args.subpixel:
+            raise SystemExit(
+                "--ckpt *.jaxexp is a sealed artifact: geometry/conditioning/"
+                "mesh/subpixel were fixed at export time — re-export instead "
+                "of overriding")
+        svc = ArtifactService(args.ckpt, seed=args.seed)
+    else:
+        svc = GeneratorService(
+            args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
+            geo_overrides=overrides or None, batch_size=args.batch_size,
+            seed=args.seed, mesh=mesh, subpixel=bool(args.subpixel),
+        )
     if args.listen:
         import signal
         import threading

@@ -74,3 +74,74 @@ def test_export_cli(tmp_path):
           "--platforms", "cpu"])
     imgs = np.asarray(load_exported(dst)(0))
     assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8
+
+
+def test_artifact_service_sample_and_http(tmp_path):
+    """ArtifactService serves the same surface the HTTP daemon needs —
+    straight from the .jaxexp blob + sidecar, no checkpoint, no model code."""
+    import io
+    import json as _json
+    import threading
+    import urllib.request
+
+    from jckx.export import ArtifactService, export_generator
+    from jckx.serve import make_http_server
+
+    path, geo = _save_ckpt(tmp_path)
+    dst = str(tmp_path / "svc.jaxexp")
+    export_generator(path, dst, batch_size=4,
+                     geo_overrides={"image_size": 16, "base_width": 8},
+                     compute_dtype=jnp.float32, platforms=["cpu"])
+
+    svc = ArtifactService(dst)
+    assert svc.step == 42 and not svc.conditional and svc.batch_size == 4
+    a = svc.sample(6)
+    assert a.shape == (6, 16, 16, 3) and a.dtype == np.uint8
+    k = jax.random.PRNGKey(3)
+    np.testing.assert_array_equal(svc.sample(6, key=k), svc.sample(6, key=k))
+    with pytest.raises(ValueError, match="unconditional"):
+        svc.sample(2, labels=[1])
+    with pytest.raises(ValueError, match="n must be"):
+        svc.sample(0)
+
+    srv = make_http_server(svc, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=120) as r:
+            health = _json.loads(r.read())
+        assert health["status"] == "ok" and health["image_size"] == 16
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=_json.dumps({"n": 5, "seed": 11, "format": "npy"}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            b1 = r.read()
+        with urllib.request.urlopen(req, timeout=120) as r:
+            b2 = r.read()
+        assert b1 == b2  # same seed → byte-identical
+        assert np.load(io.BytesIO(b1)).shape == (5, 16, 16, 3)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
+
+
+def test_serve_cli_rejects_overrides_on_artifact(tmp_path):
+    from jckx.export import export_generator
+    from jckx.serve import get_args, main
+
+    path, _ = _save_ckpt(tmp_path)
+    dst = str(tmp_path / "sealed.jaxexp")
+    export_generator(path, dst, batch_size=4,
+                     geo_overrides={"image_size": 16, "base_width": 8},
+                     compute_dtype=jnp.float32, platforms=["cpu"])
+    with pytest.raises(SystemExit, match="sealed artifact"):
+        main(get_args(["--ckpt", dst, "--image_size", "32", "-n", "2",
+                       "-o", str(tmp_path / "x.png")]))
+    # and the clean path works
+    out = str(tmp_path / "ok.png")
+    main(get_args(["--ckpt", dst, "-n", "4", "-o", out]))
+    assert os.path.getsize(out) > 0
