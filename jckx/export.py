@@ -67,6 +67,9 @@ def export_generator(
     from jckx.models import cgan, dcgan
     from jckx.serve import GeneratorService, tanh_to_u8
 
+    if batch_size < 1:
+        raise ValueError(f"export batch_size {batch_size} must be >= 1 (a "
+                         f"zero-batch artifact would serve nothing, forever)")
     svc = GeneratorService(
         ckpt_path, conditional=conditional, num_classes=num_classes,
         batch_size=batch_size, compute_dtype=compute_dtype, use_ema=use_ema,
@@ -100,6 +103,7 @@ def export_generator(
 
     info = {
         "wrote": dst, "bytes": len(blob), "step": svc.step,
+        "ema_weights": svc.used_ema,  # which generator was actually baked in
         "batch_size": batch_size, "conditional": svc.conditional,
         "num_classes": ncls if svc.conditional else None,
         "z_dim": geo.z_dim, "image_size": geo.image_size,
@@ -126,6 +130,7 @@ def load_exported(path: str):
         exp = jax.export.deserialize(f.read())
 
     n_in = len(exp.in_avals)
+    call = jax.jit(exp.call)  # cache the dispatch path across invocations
 
     def sample(seed: int, labels=None):
         args = [jnp.asarray(seed, jnp.int32)]
@@ -139,7 +144,7 @@ def load_exported(path: str):
             raise ValueError(
                 "this artifact was exported from an unconditional (DCGAN) "
                 "checkpoint — it takes no labels")
-        return exp.call(*args)
+        return call(*args)
 
     return sample
 
@@ -164,7 +169,11 @@ class ArtifactService:
         from jckx.models.dcgan import GANGeometry
 
         with open(artifact_path, "rb") as f:
-            self._exp = jax.export.deserialize(f.read())
+            exp = jax.export.deserialize(f.read())
+        # jit once: Exported.call rebuilds its custom_vjp wrapper and
+        # tree-flattens per invocation — jitting caches the dispatch path
+        # across the per-batch calls of every request
+        self._call = jax.jit(exp.call)
         try:
             with open(artifact_path + ".json") as f:
                 side = json.load(f)
@@ -172,9 +181,23 @@ class ArtifactService:
             raise ValueError(
                 f"{artifact_path}: missing/unreadable .json sidecar "
                 f"(written by jckx.export next to the blob): {e}") from e
-        self.conditional = len(self._exp.in_avals) == 2
+        self.conditional = len(exp.in_avals) == 2
         self.batch_size = int(side["batch_size"])
-        self.num_classes = side.get("num_classes") or 100
+        if self.batch_size < 1:
+            raise ValueError(f"{artifact_path}: sidecar batch_size "
+                             f"{self.batch_size} must be >= 1")
+        if self.conditional:
+            # fabricating a class count would make the HTTP validation
+            # accept labels the generator one-hots to zero (off-manifold
+            # images instead of a clear error)
+            try:
+                self.num_classes = int(side["num_classes"])
+            except (KeyError, TypeError) as e:
+                raise ValueError(
+                    f"{artifact_path}: conditional artifact but the sidecar "
+                    f"has no usable num_classes") from e
+        else:
+            self.num_classes = 0  # no label surface
         self.step = side.get("step", 0)
         self.geo = GANGeometry(
             z_dim=side["z_dim"], image_size=side["image_size"],
@@ -183,33 +206,24 @@ class ArtifactService:
         self._count = 0
 
     def sample(self, n: int, labels=None, key=None) -> "np.ndarray":
+        """``key``: a plain int seed (preferred — no device work before the
+        first render dispatch) or a PRNGKey (its data is host-read once per
+        request; avoid on cold tunnel channels, CLAUDE.md)."""
         import numpy as np
 
-        if n < 1:
-            raise ValueError(f"sample(n={n}): n must be >= 1")
-        if labels is not None and len(labels) == 0:
-            labels = None
-        if labels is not None and not self.conditional:
-            raise ValueError(
-                "labels were given but this artifact is unconditional "
-                "(DCGAN) — class-conditional sampling needs a CGAN artifact")
-        if key is not None:
-            # the HTTP front passes PRNGKey(seed); recover an int base from
-            # the key data (one host read per REQUEST, not per batch)
-            base = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
-        else:
+        from jckx.serve import pipelined_sample, validate_sample_args
+
+        labels = validate_sample_args(n, labels, self.conditional)
+        if key is None:
             self._count += 1
             base = self._base_seed * 1_000_003 + self._count * 65_537
+        elif isinstance(key, int):
+            base = key
+        else:
+            base = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
         bs = self.batch_size
-        out, made, batch_i = [], 0, 0
-        window = 8
-        inflight = []  # async dispatch / ordered drain, like the service
 
-        def drain_one():
-            imgs, take = inflight.pop(0)
-            out.append(np.asarray(imgs)[:take])
-
-        while made < n:
+        def render(batch_i, made):
             seed = jnp.asarray((base + batch_i) % (2**31 - 1), jnp.int32)
             if self.conditional:
                 lab = (np.asarray([labels[(made + i) % len(labels)]
@@ -217,17 +231,10 @@ class ArtifactService:
                        if labels is not None else
                        np.asarray([(base + batch_i + i) % self.num_classes
                                    for i in range(bs)], np.int32))
-                imgs = self._exp.call(seed, jnp.asarray(lab))
-            else:
-                imgs = self._exp.call(seed)
-            inflight.append((imgs, min(bs, n - made)))
-            made += inflight[-1][1]
-            batch_i += 1
-            if len(inflight) >= window:
-                drain_one()
-        while inflight:
-            drain_one()
-        return np.concatenate(out)
+                return self._call(seed, jnp.asarray(lab))
+            return self._call(seed)
+
+        return pipelined_sample(n, bs, render)
 
 
 def get_args(argv=None):
@@ -241,8 +248,12 @@ def get_args(argv=None):
                    help="comma list of lowering targets (cpu,tpu,cuda)")
     p.add_argument("--compute_dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--use_ema", action="store_true",
-                   help="export the EMA generator instead of the live one")
+    p.add_argument("--weights", default="auto",
+                   choices=["auto", "live", "ema"],
+                   help="which generator to bake in: 'auto' follows the "
+                        "checkpoint's sidecar (EMA when the run tracked "
+                        "one), 'live'/'ema' force; the info line's "
+                        "ema_weights field records what actually shipped")
     p.add_argument("--conditional", action="store_true", default=None)
     p.add_argument("--num_classes", type=int, default=None)
     # geometry overrides for sidecar-less checkpoints (same surface as serve)
@@ -263,7 +274,8 @@ def main(argv=None):
                  if getattr(a, k) is not None}
     info = export_generator(
         a.ckpt, a.dst, batch_size=a.batch_size, conditional=a.conditional,
-        num_classes=a.num_classes, use_ema=a.use_ema or None,
+        num_classes=a.num_classes,
+        use_ema={"auto": None, "live": False, "ema": True}[a.weights],
         geo_overrides=overrides or None,
         compute_dtype=jnp.bfloat16 if a.compute_dtype == "bfloat16" else jnp.float32,
         platforms=[s for s in a.platforms.split(",") if s],

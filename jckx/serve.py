@@ -47,6 +47,49 @@ from jckx.models.dcgan import GANGeometry
 from jckx.train.state import make_template_state
 
 
+def validate_sample_args(n: int, labels, conditional: bool):
+    """Shared request validation for GeneratorService / ArtifactService:
+    → normalized labels (empty selection means random classes)."""
+    if n < 1:
+        raise ValueError(f"sample(n={n}): n must be >= 1")
+    # len(), not truthiness: a numpy label array raises on bool()
+    if labels is not None and len(labels) == 0:
+        labels = None
+    if labels is not None and not conditional:
+        # same contract as the HTTP 400: silently returning random
+        # unconditional samples would let the caller believe class control
+        # worked
+        raise ValueError(
+            "labels were given but this checkpoint is unconditional "
+            "(DCGAN) — class-conditional sampling needs a CGAN checkpoint")
+    return labels
+
+
+def pipelined_sample(n: int, bs: int, render, window: int = 8) -> np.ndarray:
+    """Async-dispatch / ordered-drain request loop shared by both serving
+    backends: ``render(batch_i, made)`` returns one device batch; the device
+    renders batch N+1 while the host receives batch N (a serial
+    dispatch→fetch loop would pay compute+transfer per batch). The window
+    bounds HBM held by undrained payloads."""
+    out, made, batch_i = [], 0, 0
+    inflight = []  # (device_imgs, take)
+
+    def drain_one():
+        imgs, take = inflight.pop(0)
+        out.append(np.asarray(imgs)[:take])  # uint8 payload fetch
+
+    while made < n:
+        imgs = render(batch_i, made)
+        inflight.append((imgs, min(bs, n - made)))
+        made += inflight[-1][1]
+        batch_i += 1
+        if len(inflight) >= window:
+            drain_one()
+    while inflight:
+        drain_one()
+    return np.concatenate(out)
+
+
 def tanh_to_u8(imgs):
     """Device-side pixel conversion for serving: tanh output in [-1, 1] →
     uint8. floor (not round) keeps this bit-identical to numpy's
@@ -132,8 +175,13 @@ class GeneratorService:
             geo = GANGeometry(**merged)
         if num_classes is None:
             num_classes = sidecar.get("num_classes", 100)
+        # structure truth vs serving choice: the restore TEMPLATE must match
+        # what the run stored (sidecar 'ema'); use_ema only selects which
+        # generator serves — use_ema=False on an EMA checkpoint must not
+        # produce a template-structure mismatch
+        stored_ema = bool(sidecar.get("ema", False))
         if use_ema is None:
-            use_ema = bool(sidecar.get("ema", False))
+            use_ema = stored_ema
 
         self.geo = geo or GANGeometry()
         self.conditional = conditional
@@ -157,12 +205,17 @@ class GeneratorService:
         else:
             template = make_template_state(
                 self.geo, conditional=conditional, num_classes=num_classes,
-                with_ema=use_ema,
+                with_ema=stored_ema or use_ema,
             )
             state, _ = restore_checkpoint(ckpt_path, template)
             self.step = int(state.step)  # flax from_bytes leaves are host numpy
-        self.params_g = state.ema_g if (use_ema and state.ema_g is not None) else state.params_g
+        self.used_ema = bool(use_ema and state.ema_g is not None)
+        self.params_g = state.ema_g if self.used_ema else state.params_g
 
+        if batch_size < 1:
+            raise ValueError(
+                f"batch_size {batch_size} must be >= 1 (a zero batch would "
+                f"make sample() spin forever)")
         cd = compute_dtype
         bs = batch_size
         ncls = num_classes
@@ -228,54 +281,29 @@ class GeneratorService:
         labels: Optional[Sequence[int]] = None,
         key: Optional[jax.Array] = None,
     ) -> np.ndarray:
-        """→ uint8 images (n, S, S, C). Requests pad to the compiled batch."""
-        if n < 1:
-            raise ValueError(f"sample(n={n}): n must be >= 1")
+        """→ uint8 images (n, S, S, C). Requests pad to the compiled batch.
+
+        ``key``: a PRNGKey, or a plain int seed (used as PRNGKey(seed) —
+        the HTTP front passes the request's int so no device work happens
+        before the first render dispatch)."""
+        labels = validate_sample_args(n, labels, self.conditional)
+        if isinstance(key, int):
+            key = jax.random.PRNGKey(key)
         key = key if key is not None else self._next_key()
-        # empty selection → random classes (len(), not truthiness: a numpy
-        # label array raises on bool())
-        if labels is not None and len(labels) == 0:
-            labels = None
-        if labels is not None and not self.conditional:
-            # same contract as the HTTP 400: silently returning random
-            # unconditional samples would let the caller believe class
-            # control worked
-            raise ValueError(
-                "labels were given but this checkpoint is unconditional "
-                "(DCGAN) — class-conditional sampling needs a CGAN checkpoint")
         bs = self.batch_size
-        out = []
-        made = 0
-        # dispatch async, drain in order: jit calls return futures, so keep a
-        # small window of request batches in flight and fetch the oldest —
-        # the device renders batch N+1 while the host receives batch N
-        # (the serial dispatch→fetch loop paid compute+transfer per batch).
-        # The window bounds HBM held by undrained uint8 payloads. Each batch
-        # is exactly ONE dispatch (the compiled render draws z/labels from
-        # key+offset on device).
-        window = 8
-        inflight = []  # (device_imgs, take)
 
-        def drain_one():
-            imgs, take = inflight.pop(0)
-            out.append(np.asarray(imgs)[:take])  # uint8 payload fetch
-
-        while made < n:
+        # each batch is exactly ONE dispatch (the compiled render draws
+        # z/labels from key+offset on device); pipelined_sample drains async
+        def render(batch_i, made):
             with pallas_inference(), self._conv_scope():
                 if self.conditional and labels is not None:
                     lab = np.asarray(
                         [labels[(made + i) % len(labels)] for i in range(bs)],
                         np.int32)
-                    imgs = self._jit_labeled(self.params_g, key, made, lab)
-                else:
-                    imgs = self._jit_rand(self.params_g, key, made)
-            inflight.append((imgs, min(bs, n - made)))
-            made += inflight[-1][1]
-            if len(inflight) >= window:
-                drain_one()
-        while inflight:
-            drain_one()
-        return np.concatenate(out)
+                    return self._jit_labeled(self.params_g, key, made, lab)
+                return self._jit_rand(self.params_g, key, made)
+
+        return pipelined_sample(n, bs, render)
 
 
 # ----------------------------------------------------------------- HTTP mode
@@ -372,7 +400,10 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
             if "seed" in req:
                 if not is_int(req["seed"]):
                     return self._error(400, "'seed' must be an int")
-                key = jax.random.PRNGKey(req["seed"])
+                # pass the raw int: both services seed from it at dispatch
+                # time, so no device work happens before the first render
+                # (the cold-channel first-read landmine, CLAUDE.md)
+                key = req["seed"]
 
             # a render/encode failure must come back as a JSON 500, not a
             # dropped connection (BaseHTTPRequestHandler's default)
@@ -416,7 +447,9 @@ def get_args(argv=None):
     p.add_argument("--channels", type=int, default=None)
     p.add_argument("--base_width", type=int, default=None)
     p.add_argument("--z_dim", type=int, default=None)
-    p.add_argument("--batch_size", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="compiled request batch (default 512; fixed at "
+                        "export time for *.jaxexp artifacts)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--mesh_shape", default="",
                    help="comma ints (e.g. '8') — shard the request batch over "
@@ -439,10 +472,11 @@ def main(args):
     listen_host, listen_port = "", 0
     if args.listen:
         listen_host, _, port_s = args.listen.rpartition(":")
-        if not port_s.isdigit():
+        if not (port_s.isascii() and port_s.isdigit()
+                and 1 <= int(port_s) <= 65535):
             raise SystemExit(
-                f"--listen expects PORT or HOST:PORT with a numeric port, "
-                f"got {args.listen!r}")
+                f"--listen expects PORT or HOST:PORT with a port in "
+                f"[1, 65535], got {args.listen!r}")
         listen_port = int(port_s)
     if not args.listen and args.num < 1:
         raise SystemExit(f"-n/--num must be >= 1, got {args.num}")
@@ -467,17 +501,19 @@ def main(args):
         # geometry/batch fixed at export time — reject contradicting flags
         from jckx.export import ArtifactService
 
-        if overrides or args.conditional is not None or mesh is not None \
-                or args.subpixel:
+        if (overrides or args.conditional is not None or mesh is not None
+                or args.subpixel or args.num_classes is not None
+                or args.batch_size is not None):
             raise SystemExit(
                 "--ckpt *.jaxexp is a sealed artifact: geometry/conditioning/"
-                "mesh/subpixel were fixed at export time — re-export instead "
-                "of overriding")
+                "batch/mesh/subpixel were fixed at export time — re-export "
+                "instead of overriding")
         svc = ArtifactService(args.ckpt, seed=args.seed)
     else:
         svc = GeneratorService(
             args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
-            geo_overrides=overrides or None, batch_size=args.batch_size,
+            geo_overrides=overrides or None,
+            batch_size=512 if args.batch_size is None else args.batch_size,
             seed=args.seed, mesh=mesh, subpixel=bool(args.subpixel),
         )
     if args.listen:

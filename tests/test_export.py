@@ -145,3 +145,51 @@ def test_serve_cli_rejects_overrides_on_artifact(tmp_path):
     out = str(tmp_path / "ok.png")
     main(get_args(["--ckpt", dst, "-n", "4", "-o", out]))
     assert os.path.getsize(out) > 0
+
+
+def test_export_guards_and_ema_tristate(tmp_path):
+    """Zero-batch exports are rejected; sealed artifacts reject --batch_size;
+    --weights live on an EMA checkpoint forces the live generator without a
+    restore-template mismatch."""
+    from jckx.checkpoint import save_checkpoint
+    from jckx.export import export_generator
+    from jckx.models.dcgan import GANGeometry
+    from jckx.serve import GeneratorService, get_args, main
+    from jckx.train.state import make_template_state
+
+    path, _ = _save_ckpt(tmp_path)
+    with pytest.raises(ValueError, match="batch_size"):
+        export_generator(path, str(tmp_path / "z.jaxexp"), batch_size=0,
+                         geo_overrides={"image_size": 16, "base_width": 8},
+                         platforms=["cpu"])
+
+    dst = str(tmp_path / "sealed2.jaxexp")
+    export_generator(path, dst, batch_size=2,
+                     geo_overrides={"image_size": 16, "base_width": 8},
+                     compute_dtype=jnp.float32, platforms=["cpu"])
+    with pytest.raises(SystemExit, match="sealed artifact"):
+        main(get_args(["--ckpt", dst, "--batch_size", "8", "-n", "2",
+                       "-o", str(tmp_path / "x.png")]))
+
+    # EMA checkpoint (sidecar ema:true, distinct EMA weights)
+    geo = GANGeometry(image_size=16, base_width=8)
+    st = make_template_state(geo, conditional=False, num_classes=10,
+                             with_ema=True)
+    st = st.replace(ema_g=jax.tree_util.tree_map(lambda a: a + 1.0,
+                                                 st.params_g))
+    ck = str(tmp_path / "ema.ckpt")
+    save_checkpoint(ck, st, {"serve_config": {
+        "conditional": False, "num_classes": 10, "z_dim": geo.z_dim,
+        "image_size": 16, "channels": 3, "base_width": 8, "ema": True}})
+    auto = GeneratorService(ck, batch_size=2, compute_dtype=jnp.float32)
+    live = GeneratorService(ck, batch_size=2, compute_dtype=jnp.float32,
+                            use_ema=False)
+    assert auto.used_ema and not live.used_ema
+    la = jax.tree_util.tree_leaves(auto.params_g)[0]
+    ll = jax.tree_util.tree_leaves(live.params_g)[0]
+    assert np.abs(np.asarray(la) - np.asarray(ll)).max() > 0.5
+
+    info = export_generator(ck, str(tmp_path / "ema.jaxexp"), batch_size=2,
+                            use_ema=False, compute_dtype=jnp.float32,
+                            platforms=["cpu"])
+    assert info["ema_weights"] is False
