@@ -50,10 +50,10 @@ def _load_bn(bn, scale, bias):
     bn.train()  # reference never calls .eval(): BN always uses batch stats
 
 
-def _torch_generator(params, in_ch):
+def _torch_generator(params, in_ch, geo=GEO):
     """Reference G (model/DCGAN.py:38-67): 5x bias-free ConvTranspose2d(k4),
     BN+ReLU between, tanh out; spatial 1->4 via s1 p0, then s2 p1."""
-    widths = GEO.stage_widths()  # 512,256,128,64
+    widths = geo.stage_widths()  # 512,256,128,64 at the reference geometry
     layers = []
     prev = in_ch
     for i, w in enumerate(widths):
@@ -65,20 +65,20 @@ def _torch_generator(params, in_ch):
         _load_bn(bn, params[f"bn{i}_scale"], params[f"bn{i}_bias"])
         layers += [ct, bn, nn.ReLU()]
         prev = w
-    ct = nn.ConvTranspose2d(prev, GEO.channels, 4, 2, 1, bias=False)
+    ct = nn.ConvTranspose2d(prev, geo.channels, 4, 2, 1, bias=False)
     with torch.no_grad():
         ct.weight.copy_(_convt_w(params["convt_out"]))
     layers += [ct, nn.Tanh()]
     return nn.Sequential(*layers).train()
 
 
-def _torch_discriminator_convs(params):
+def _torch_discriminator_convs(params, geo=GEO):
     """Reference D conv trunk (model/DCGAN.py:6-27 / CGAN.py:85-110):
     4x bias-free Conv2d(k4 s2 p1) + BN (incl. the nonstandard BN on block
     1) + LeakyReLU(0.2)."""
-    widths = list(reversed(GEO.stage_widths()))  # 64,128,256,512
+    widths = list(reversed(geo.stage_widths()))  # 64,128,256,512
     layers = []
-    prev = GEO.channels
+    prev = geo.channels
     for i, w in enumerate(widths):
         cv = nn.Conv2d(prev, w, 4, 2, 1, bias=False)
         with torch.no_grad():
