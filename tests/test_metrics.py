@@ -464,3 +464,27 @@ def test_explicit_missing_backbone_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="metric_backbone"):
         Metrics((real_u8, labels), config=C(), batch_size=4,
                 compute_dtype=jnp.float32, num_classes=10)
+
+
+def test_eval_resize_matches_torch_bilinear_upscale():
+    """The eval pipeline's bilinear upscale to 299² (metrics.py
+    ``_normalize_299``) must equal torch's
+    ``F.interpolate(align_corners=False)`` — the tensor-mode Resize the
+    reference's eval transform performs (dcgan_trainer.py:203-208;
+    antialiasing is a no-op when upscaling). FID/IS absolutes are only
+    comparable across the two stacks if the resampling grids agree.
+    Verified to float ulp for the CIFAR (64→299, RGB) and MNIST-style
+    (28→299, grayscale) geometries."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.RandomState(0)
+    for n, s, c in ((2, 64, 3), (2, 28, 1)):
+        x = rng.rand(n, s, s, c).astype(np.float32)
+        ours = np.asarray(jax.image.resize(
+            jnp.asarray(x), (n, 299, 299, c), method="bilinear"))
+        ref = F.interpolate(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), size=(299, 299),
+            mode="bilinear", align_corners=False, antialias=False,
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-5)
