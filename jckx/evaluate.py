@@ -103,10 +103,14 @@ def evaluate(args, metrics=None):
             raise ValueError(
                 f"checkpoint has {ncls} classes, dataset {args.dataset} has "
                 f"{pre.num_classes}")
+        from jckx.parallel import make_mesh
+
         metrics = Metrics(
             (pre.images_u8, pre.labels_np), cfg,
             batch_size=args.eval_batch_size or cfg.eval_batch_size,
-            compute_dtype=cd, cache_dir=cfg.data_dir, num_classes=ncls)
+            compute_dtype=cd, cache_dir=cfg.data_dir, num_classes=ncls,
+            # extraction sharded over all attached chips (no-op on one)
+            mesh=make_mesh(cfg.mesh_shape, cfg.mesh_axes))
 
     # the trainers' fixed eval inputs (gan_trainer._fixed_eval_inputs)
     key = jax.random.fold_in(jax.random.PRNGKey(seed), 999)

@@ -56,11 +56,26 @@ class Metrics:
         cache_dir: str = "./data",
         num_classes: int = 100,
         fast_stem: Optional[bool] = None,
+        mesh=None,
     ):
         self._logger = MainLogger(config)
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
         self.num_classes = num_classes
+        # multi-chip eval: with a mesh whose 'data' axis is >1, every
+        # extraction batch is sharded over that axis (P(None, 'data') on a
+        # (k, bs, ...) slab) so the backbone forward runs data-parallel over
+        # the same devices that train. The forward is per-sample (inference-
+        # mode BN, no cross-batch ops), so batch parallelism is exact; the
+        # (bs, num_classes) logits gather on the host read as before.
+        n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        self._eval_data_shards = max(1, n_data)
+        if mesh is not None and n_data > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._batch_sharding = NamedSharding(mesh, P(None, "data"))
+        else:
+            self._batch_sharding = None
         # opt-in space-to-depth stem for the backbone forward (exact same
         # function, rounding-level drift — inception_v3._bconv_1a_s2d);
         # OFF by default so metric absolutes never shift silently
@@ -351,7 +366,7 @@ class Metrics:
         n = images.shape[0]
         if n == 0:
             return np.zeros((0, self.num_classes), np.float32)
-        bs = min(self.batch_size, n)
+        bs = self._round_bs(min(self.batch_size, n))
         nb = (n + bs - 1) // bs
         pad = nb * bs - n
         if pad:
@@ -372,7 +387,11 @@ class Metrics:
         outs = []
         for s in range(0, nb_padded, batches_per_slab):
             k = min(batches_per_slab, nb_padded - s)
-            slab = jax.device_put(images[s * bs : (s + k) * bs])  # one transfer
+            chunk = images[s * bs : (s + k) * bs].reshape(k, bs, *images.shape[1:])
+            # one transfer (per device when sharded: each chip receives only
+            # its bs/n_data rows of every batch)
+            slab = (jax.device_put(chunk, self._batch_sharding)
+                    if self._batch_sharding is not None else jax.device_put(chunk))
             slab_outs = [fn_at(slab, i) for i in range(k)]
             # bound device memory: async dispatch would otherwise enqueue
             # every slab's upload before the first frees — block on the
@@ -391,28 +410,44 @@ class Metrics:
         n = int(images_dev.shape[0])
         if n == 0:
             return np.zeros((0, self.num_classes), np.float32)
-        bs = min(self.batch_size, n)
+        bs = self._round_bs(min(self.batch_size, n))
         nb = (n + bs - 1) // bs
         pad = nb * bs - n
         if pad:
             images_dev = jnp.concatenate(
                 [images_dev, jnp.repeat(images_dev[-1:], pad, axis=0)]
             )
+        images_dev = images_dev.reshape(nb, bs, *images_dev.shape[1:])
+        if self._batch_sharding is not None:
+            # on-device reshard (the trainer's sampler output arrives in the
+            # train step's layout) — ICI collective, no host round-trip
+            images_dev = jax.device_put(images_dev, self._batch_sharding)
         fn_at = self._fn_at(fn, bs)
         outs = [fn_at(images_dev, i) for i in range(nb)]
         return np.asarray(jnp.concatenate(outs), np.float32)[:n]
 
+    def _round_bs(self, bs: int) -> int:
+        """Extraction batch rounded up to a multiple of the mesh's data
+        shards (batches shard evenly; the row padding that already exists
+        for the tail covers the extra)."""
+        nd = self._eval_data_shards
+        return ((bs + nd - 1) // nd) * nd
+
     def _fn_at(self, fn, bs: int):
         """Jitted batch-i-of-slab executable, cached per (pipeline, batch).
 
-        Slice-on-device fused into the feature call: an eager device-array
-        slice is its own ~0.4 s dispatch on the remote runtime, doubling the
-        launch count; dynamic_slice inside the jit keeps it at one."""
+        Slabs are laid out (k, bs, ...) so batch i is a leading-axis index;
+        under a mesh the bs axis carries the 'data' sharding and the index
+        never crosses it. Slice-on-device fused into the feature call: an
+        eager device-array slice is its own ~0.4 s dispatch on the remote
+        runtime, doubling the launch count; dynamic indexing inside the jit
+        keeps it at one."""
         cache_key = (id(fn), bs)
         fn_at = self._fn_at_cache.get(cache_key)
         if fn_at is None:
             fn_at = jax.jit(
-                lambda slab, i: fn(jax.lax.dynamic_slice_in_dim(slab, i * bs, bs, axis=0))
+                lambda slab, i: fn(
+                    jax.lax.dynamic_index_in_dim(slab, i, axis=0, keepdims=False))
             )
             self._fn_at_cache[cache_key] = fn_at
         return fn_at

@@ -133,6 +133,9 @@ class _BaseGANTrainer(Trainer):
                 compute_dtype=self.cd,
                 cache_dir=cfg.data_dir,
                 num_classes=self.num_classes,
+                # eval extraction runs data-parallel over the same mesh that
+                # trains (single-device meshes: no-op)
+                mesh=self.mesh,
             )
 
         tx = make_optimizer(cfg)

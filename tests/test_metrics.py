@@ -488,3 +488,37 @@ def test_eval_resize_matches_torch_bilinear_upscale():
             mode="bilinear", align_corners=False, antialias=False,
         ).numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-5)
+
+
+def test_extract_features_mesh_sharded_matches_single_device():
+    """Multi-chip eval: extraction batches sharded over an 8-way 'data'
+    axis (host-array AND device-array inputs, incl. the bs<shards rounding
+    path) produce the same features as the single-device path — the
+    backbone forward is per-sample, so batch parallelism must not change
+    values beyond conv ulps."""
+    import tempfile
+
+    from jckx.metrics.metrics import Metrics
+    from jckx.parallel import make_mesh
+
+    rng = np.random.RandomState(6)
+    real_u8 = rng.randint(0, 255, size=(8, 16, 16, 3), dtype=np.uint8)
+    labels = rng.randint(0, 100, size=(8,))
+    fake = rng.uniform(-1, 1, size=(10, 32, 32, 3)).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as td:
+        m1 = Metrics((real_u8, labels), batch_size=4, compute_dtype=jnp.float32,
+                     cache_dir=td, num_classes=100)
+        f1 = m1.extract_features(fake)
+        real1 = m1.real_features
+    with tempfile.TemporaryDirectory() as td:
+        m8 = Metrics((real_u8, labels), batch_size=4, compute_dtype=jnp.float32,
+                     cache_dir=td, num_classes=100, mesh=make_mesh())
+        assert m8._batch_sharding is not None and m8._round_bs(4) == 8
+        f8 = m8.extract_features(fake)
+        f8_dev = m8.extract_features(jnp.asarray(fake))
+        real8 = m8.real_features
+
+    np.testing.assert_allclose(f1, f8, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(f8, f8_dev, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(real1, real8, rtol=1e-5, atol=1e-6)
