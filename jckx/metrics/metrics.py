@@ -417,12 +417,17 @@ class Metrics:
             images_dev = jnp.concatenate(
                 [images_dev, jnp.repeat(images_dev[-1:], pad, axis=0)]
             )
-        images_dev = images_dev.reshape(nb, bs, *images_dev.shape[1:])
         if self._batch_sharding is not None:
             # on-device reshard (the trainer's sampler output arrives in the
-            # train step's layout) — ICI collective, no host round-trip
-            images_dev = jax.device_put(images_dev, self._batch_sharding)
-        fn_at = self._fn_at(fn, bs)
+            # train step's layout) — ICI collective, no host round-trip. Only
+            # the sharded path pays the eager reshape dispatch; unsharded
+            # slabs stay flat so the whole extraction stays at nb launches.
+            images_dev = jax.device_put(
+                images_dev.reshape(nb, bs, *images_dev.shape[1:]),
+                self._batch_sharding)
+            fn_at = self._fn_at(fn, bs)
+        else:
+            fn_at = self._fn_at(fn, bs, flat=True)
         outs = [fn_at(images_dev, i) for i in range(nb)]
         return np.asarray(jnp.concatenate(outs), np.float32)[:n]
 
@@ -433,22 +438,32 @@ class Metrics:
         nd = self._eval_data_shards
         return ((bs + nd - 1) // nd) * nd
 
-    def _fn_at(self, fn, bs: int):
-        """Jitted batch-i-of-slab executable, cached per (pipeline, batch).
+    def _fn_at(self, fn, bs: int, flat: bool = False):
+        """Jitted batch-i-of-slab executable, cached per (pipeline, batch,
+        layout).
 
         Slabs are laid out (k, bs, ...) so batch i is a leading-axis index;
         under a mesh the bs axis carries the 'data' sharding and the index
-        never crosses it. Slice-on-device fused into the feature call: an
-        eager device-array slice is its own ~0.4 s dispatch on the remote
-        runtime, doubling the launch count; dynamic indexing inside the jit
-        keeps it at one."""
-        cache_key = (id(fn), bs)
+        never crosses it. ``flat=True`` is the unsharded device-resident
+        form: the slab stays (k·bs, ...) as the caller handed it over and
+        batch i is a dynamic_slice — no eager reshape dispatch. Slice-on-
+        device fused into the feature call either way: an eager device-array
+        slice is its own ~0.4 s dispatch on the remote runtime, doubling the
+        launch count; dynamic indexing inside the jit keeps it at one."""
+        cache_key = (id(fn), bs, flat)
         fn_at = self._fn_at_cache.get(cache_key)
         if fn_at is None:
-            fn_at = jax.jit(
-                lambda slab, i: fn(
-                    jax.lax.dynamic_index_in_dim(slab, i, axis=0, keepdims=False))
-            )
+            if flat:
+                fn_at = jax.jit(
+                    lambda slab, i: fn(
+                        jax.lax.dynamic_slice_in_dim(slab, i * bs, bs, axis=0))
+                )
+            else:
+                fn_at = jax.jit(
+                    lambda slab, i: fn(
+                        jax.lax.dynamic_index_in_dim(
+                            slab, i, axis=0, keepdims=False))
+                )
             self._fn_at_cache[cache_key] = fn_at
         return fn_at
 
