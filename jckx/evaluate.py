@@ -19,7 +19,10 @@ pass feeds IS + FID (+ intra-FID). So a checkpoint scored here reproduces
 the numbers its training run logged at the same step (same backbone, same
 seed, same batching → the same samples).
 
-Prints one JSON line: {"step", "n", "is", "fid"[, "intra_fid"]}.
+Prints one JSON line: {"step", "n", "is", "fid"[, "intra_fid"]}; ``--kid 1``
+/ ``--prdc 1`` append the beyond-reference metrics (kid, kid_std /
+precision, recall, density, coverage — metrics/extra.py) computed from the
+same single extraction.
 """
 
 from __future__ import annotations
@@ -58,6 +61,12 @@ def get_args(argv=None):
     p.add_argument("--channels", type=int, default=None)
     p.add_argument("--base_width", type=int, default=None)
     p.add_argument("--z_dim", type=int, default=None)
+    p.add_argument("--kid", type=int, default=0,
+                   help="1 = also report Kernel Inception Distance "
+                        "(kid, kid_std — metrics/extra.py)")
+    p.add_argument("--prdc", type=int, default=0,
+                   help="1 = also report precision/recall/density/coverage "
+                        "(k-NN manifolds — metrics/extra.py)")
     return p.parse_args(argv)
 
 
@@ -148,6 +157,12 @@ def evaluate(args, metrics=None):
     }
     if conditional:
         result["intra_fid"] = float(metrics.intra_fid(features=feats))
+    # beyond-reference metrics, same extraction (opt-in: they are not part
+    # of the reference eval protocol, so default output stays drop-in)
+    if getattr(args, "kid", 0):
+        result["kid"], result["kid_std"] = metrics.kid(features=feats)
+    if getattr(args, "prdc", 0):
+        result.update(metrics.prdc(features=feats))
     return result
 
 

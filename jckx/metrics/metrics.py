@@ -539,6 +539,31 @@ class Metrics:
                 total += self.fid(features=feats[idx], intra_fid=True, label=s)
         return total / self.intra_fid_divisor
 
+    def kid(self, images_tanh=None, features: Optional[np.ndarray] = None,
+            subsets: int = 100, subset_size: int = 1000,
+            seed: int = 0) -> tuple:
+        """Kernel Inception Distance (real set ‖ generated) → (mean, std).
+
+        Beyond-reference metric (metrics/extra.py): unbiased at the small
+        sample counts where FID's covariance estimate biases high. Same
+        feature space and extraction as fid(); ``features`` reuses a shared
+        extraction like fid()/intra_fid() do."""
+        from jckx.metrics.extra import kid as _kid
+
+        gen = features if features is not None else self.extract_features(images_tanh)
+        return _kid(self.real_features, gen,
+                    subsets=subsets, subset_size=subset_size, seed=seed)
+
+    def prdc(self, images_tanh=None, features: Optional[np.ndarray] = None,
+             k: int = 3) -> dict:
+        """Precision / recall / density / coverage of generated vs real
+        (metrics/extra.py k-NN manifolds) — separates fidelity from mode
+        coverage, the axes FID conflates. Same feature space as fid()."""
+        from jckx.metrics.extra import manifold_metrics
+
+        gen = features if features is not None else self.extract_features(images_tanh)
+        return manifold_metrics(self.real_features, gen, k=k)
+
     def _real_superclass_stats(self):
         """(S, d) means + (S, d, d) covariances of the real features per
         ACTIVE superclass — computed once, reused by every intra-FID eval."""
