@@ -142,6 +142,13 @@ class Config:
     # rounding-level numeric drift, deeper MXU contraction. Default off —
     # metric absolutes must never shift silently.
     eval_fast_stem: int = 0
+    # opt-in beyond-reference eval metrics at every eval boundary: KID
+    # (mean+std) and precision/recall/density/coverage (metrics/extra.py),
+    # computed from the SAME extraction as FID/IS and logged to
+    # metrics.jsonl. They never drive best-metric checkpointing (that set
+    # stays the reference's fid/is/intra_fid). Default off — the reference
+    # protocol's scalar stream stays drop-in.
+    extra_metrics: int = 0
 
     # populated by main()/trainers, mirrors reference args.save_path
     save_path: str = ""
@@ -201,6 +208,10 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--eval_fast_stem", type=int, default=d.eval_fast_stem,
                         help="1 = space-to-depth InceptionV3 stem in the eval "
                              "forward (same function, rounding-level drift)")
+    parser.add_argument("--extra_metrics", type=int, default=d.extra_metrics,
+                        help="1 = also log KID + precision/recall/density/"
+                             "coverage at every eval boundary (metrics.jsonl; "
+                             "never drives best-metric checkpoints)")
     parser.add_argument("--mesh_shape", type=str, default="", help="comma ints, e.g. '8' or '4,2'")
     parser.add_argument("--mesh_axes", type=str, default=",".join(d.mesh_axes))
     parser.add_argument("--model_axis_mode", type=str, default=d.model_axis_mode,

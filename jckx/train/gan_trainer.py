@@ -408,6 +408,19 @@ class _BaseGANTrainer(Trainer):
     def _evaluate(self, iters: int, losses_d, losses_g):
         raise NotImplementedError
 
+    def _extra_metrics(self, feats) -> dict:
+        """Opt-in KID + precision/recall/density/coverage at the eval
+        boundary (``--extra_metrics 1``; metrics/extra.py), computed from
+        the SAME extraction FID/IS just used. Logged scalars only — the
+        best-metric checkpoint set stays the reference's fid/is/intra_fid.
+        Default off so the reference protocol's scalar stream is drop-in."""
+        if not getattr(self.cfg, "extra_metrics", 0):
+            return {}
+        kid_mean, kid_std = self.metric.kid(features=feats)
+        out = {"kid": kid_mean, "kid_std": kid_std}
+        out.update(self.metric.prdc(features=feats))
+        return out
+
     # ---------------------------------------------------------------- train
 
     def train(self):
@@ -652,7 +665,8 @@ class DCGANTrainer(_BaseGANTrainer):
         is_score = self.metric.inception_score(logits=feats)
         fid = self.metric.fid(features=feats)
         self.logger.debug(f"inception score: {is_score}\tfid: {fid}")
-        self.logger.scalars({"step": iters, "fid": fid, "is": is_score})
+        self.logger.scalars({"step": iters, "fid": fid, "is": is_score,
+                             **self._extra_metrics(feats)})
 
         denorm = np.asarray(0.5 * fake.astype(jnp.float32) + 0.5, np.float32)
         # ONE un-donated snapshot per eval; the writer fetches it to host
@@ -698,7 +712,9 @@ class CGANTrainer(_BaseGANTrainer):
         self.logger.debug(
             f"inception score: {is_score}\tfid: {fid}\tintra fid: {intra}"
         )
-        self.logger.scalars({"step": iters, "fid": fid, "is": is_score, "intra_fid": intra})
+        self.logger.scalars({"step": iters, "fid": fid, "is": is_score,
+                             "intra_fid": intra,
+                             **self._extra_metrics(feats)})
 
         # one sample per class (cgan_trainer.py:243); single small host read
         per_class = np.asarray(0.5 * fake[::10].astype(jnp.float32) + 0.5, np.float32)

@@ -125,6 +125,60 @@ def test_metrics_class_kid_prdc_share_extraction(tmp_path):
     np.testing.assert_allclose(mean, mean2, rtol=1e-5, atol=1e-8)
 
 
+def test_trainer_logs_extra_metrics_opt_in(tmp_path):
+    """--extra_metrics 1: every eval boundary's metrics.jsonl row carries
+    kid/kid_std/precision/recall/density/coverage next to fid/is, computed
+    from the shared extraction; best-metric checkpointing is untouched
+    (still only fid/ and is/ dirs for DCGAN)."""
+    import json
+    import os
+
+    from jckx.data.pipeline import DCGANDataPreprocessor
+    from jckx.logging.main_logger import MainLogger
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.rng import KeyChain, seed_everything
+    from jckx.train.gan_trainer import DCGANTrainer
+    from tests.test_trainer import StubMetrics, tiny_cfg
+
+    class StubWithExtra(StubMetrics):
+        def kid(self, images_tanh=None, features=None, **kw):
+            assert features is not None
+            return 0.25, 0.03
+
+        def prdc(self, images_tanh=None, features=None, k=3):
+            assert features is not None
+            return {"precision": 0.9, "recall": 0.8,
+                    "density": 1.1, "coverage": 0.7}
+
+    cfg = tiny_cfg(tmp_path)
+    cfg.extra_metrics = 1
+    cfg.log_file = 1  # metrics.jsonl only attaches with the file logger
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps -> 1 eval + final
+    data_pre.labels_np = data_pre.labels_np[:64]
+    data_pre.transform_data()
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(1))
+    tr = DCGANTrainer(cfg, dcgan.generator_init(keys.next(), geo),
+                      dcgan.discriminator_init(keys.next(), geo),
+                      data_pre, metrics=StubWithExtra())
+    tr.train()
+    MainLogger.reset()
+
+    with open(os.path.join(cfg.save_path, "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    eval_rows = [r for r in rows if "fid" in r]
+    assert eval_rows, "no eval boundary logged"
+    for r in eval_rows:
+        assert r["kid"] == 0.25 and r["kid_std"] == 0.03
+        assert r["precision"] == 0.9 and r["coverage"] == 0.7
+    assert sorted(
+        d for d in os.listdir(cfg.save_path)
+        if os.path.isdir(os.path.join(cfg.save_path, d)) and d != "img"
+    ) == ["fid", "is"]
+
+
 def test_evaluate_cli_flags_append_extra_metrics(tmp_path):
     """--kid 1 --prdc 1 extend the evaluate JSON from the same extraction;
     default output is unchanged (drop-in parity)."""
