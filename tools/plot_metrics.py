@@ -30,6 +30,11 @@ PANELS = [
     ("throughput", "Training throughput", "images/sec", ["images_per_sec"]),
     ("step_time", "Step time", "ms/step", ["step_ms"]),
     ("metrics", "Eval metrics", "value", ["fid", "is", "intra_fid"]),
+    # opt-in beyond-reference metrics (--extra_metrics 1); panels are
+    # skipped when the keys never appear
+    ("kid", "Kernel Inception Distance", "unbiased MMD²", ["kid"]),
+    ("manifold", "Manifold metrics", "fraction",
+     ["precision", "recall", "density", "coverage"]),
 ]
 
 
