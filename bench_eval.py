@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 
 
-def main(n_images: int = 50_000, batch: int = 2048, fast_stem: bool = False):
+def main(n_images: int = 50_000, batch: int = 2048, fast_stem: bool = False,
+         extra: bool = False):
     from jckx.metrics.metrics import Metrics
 
     rng = np.random.RandomState(0)
@@ -98,6 +99,28 @@ def main(n_images: int = 50_000, batch: int = 2048, fast_stem: bool = False):
                         if np.isfinite(floor_us) else None),
         }
 
+        # --extra 1: wall cost of the beyond-reference metrics at FID-50k
+        # scale, on the metric compute alone (features given — the shared-
+        # extraction path trainers/evaluate use). Timed post-compile; the
+        # scalar host reads close each region like every bench here.
+        extra_detail = None
+        if extra:
+            fake_feats = rng.randn(n_images, m.num_classes).astype(np.float32)
+            m.kid(features=fake_feats, seed=1)  # compile
+            t0 = time.perf_counter()
+            kid_mean, kid_std = m.kid(features=fake_feats, seed=2)
+            kid_dt = time.perf_counter() - t0
+            m.prdc(features=fake_feats)  # compile
+            t0 = time.perf_counter()
+            prdc_vals = m.prdc(features=fake_feats)
+            prdc_dt = time.perf_counter() - t0
+            extra_detail = {
+                "kid_wall_s": round(kid_dt, 3),
+                "prdc_wall_s": round(prdc_dt, 3),
+                "kid": round(kid_mean, 4), "kid_std": round(kid_std, 4),
+                **{k: round(v, 4) for k, v in prdc_vals.items()},
+            }
+
     ref_eval_img_s = 10.0 * 128
     print(json.dumps({
         "metric": "FID-50k eval wall-clock (features+frechet, one v5e chip); "
@@ -113,6 +136,7 @@ def main(n_images: int = 50_000, batch: int = 2048, fast_stem: bool = False):
             "fid_value": round(float(fid), 3),
             "images": n_images,
             "eval_forward_roofline": roofline,
+            **({"extra_metrics": extra_detail} if extra_detail else {}),
         },
     }))
 
@@ -126,5 +150,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser(description="eval-stack benchmark")
     ap.add_argument("--fast_stem", type=int, default=0,
                     help="1 = space-to-depth stem A/B (--eval_fast_stem)")
+    ap.add_argument("--extra", type=int, default=0,
+                    help="1 = also time KID + PRDC on the 50k feature set")
+    ap.add_argument("--n", type=int, default=50_000,
+                    help="image count (reduce for CPU smokes)")
     a = ap.parse_args()
-    main(fast_stem=bool(a.fast_stem))
+    main(n_images=a.n, fast_stem=bool(a.fast_stem), extra=bool(a.extra))
