@@ -43,10 +43,12 @@ from jckx.configs import (REFERENCE_IMG_PER_SEC, V5E_BF16_PEAK_FLOPS,
 
 def build_region(model: str = "DCGAN", image_size: int = 64,
                  batch_size: int = 512, scan_batches: int = 20,
-                 compute_dtype=jnp.bfloat16):
+                 compute_dtype=jnp.bfloat16, quant: bool = False):
     """→ ``(region, params, geo, conditional)`` where ``region(params, keys)``
     renders ``keys.shape[0]`` uint8 request batches in one launch and
-    returns their checksum (forces materialization)."""
+    returns their checksum (forces materialization). ``quant`` swaps in the
+    int8 W8A8 serving forward (ops/quant.py) on calibrated-and-quantized
+    params — the same trace GeneratorService(quant='int8') serves."""
     from jckx.models import cgan, dcgan
     from jckx.models.dcgan import GANGeometry
 
@@ -61,11 +63,28 @@ def build_region(model: str = "DCGAN", image_size: int = 64,
     # the exact pixel conversion GeneratorService ships (single definition)
     from jckx.serve import tanh_to_u8 as to_u8
 
+    if quant:
+        from jckx.ops.quant import (calibrate_generator, quantize_generator,
+                                    quantized_generator_apply)
+
+        in_dim = geo.z_dim + (ncls if conditional else 0)
+        scales = calibrate_generator(params, geo, jax.random.PRNGKey(5),
+                                     in_dim=in_dim, batches=2,
+                                     batch_size=min(batch_size, 64),
+                                     compute_dtype=compute_dtype)
+        params = quantize_generator(params, scales, geo)
+
     def render(params, key):
         z = jax.random.normal(key, (batch_size, geo.z_dim))
-        if conditional:
-            lab = jax.random.randint(jax.random.fold_in(key, 1),
-                                     (batch_size,), 0, ncls)
+        lab = (jax.random.randint(jax.random.fold_in(key, 1),
+                                  (batch_size,), 0, ncls)
+               if conditional else None)
+        if quant:
+            if lab is not None:
+                z = jnp.concatenate(
+                    [z, jax.nn.one_hot(lab, ncls, dtype=z.dtype)], axis=-1)
+            out = quantized_generator_apply(params, z, geo)
+        elif conditional:
             out = cgan.cgenerator_apply(params, z, jax.nn.one_hot(lab, ncls),
                                         geo, compute_dtype)
         else:
@@ -84,7 +103,8 @@ def build_region(model: str = "DCGAN", image_size: int = 64,
 
 
 def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
-         scan_batches: int = 20, regions: int = 5, subpixel: bool = False):
+         scan_batches: int = 20, regions: int = 5, subpixel: bool = False,
+         quant: bool = False):
     import contextlib
 
     from jckx.kernels.fused_bn_act import pallas_inference
@@ -96,7 +116,7 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
     sp_scope = subpixel_inference if subpixel else contextlib.nullcontext
 
     region, params, geo, conditional = build_region(
-        model, image_size, batch_size, scan_batches)
+        model, image_size, batch_size, scan_batches, quant=quant)
     jitted = jax.jit(region)
 
     def keys_for(i, n):
@@ -141,7 +161,13 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
     n_img = batch_size
     flops_img = float(ca.get("flops", 0.0)) / n_img
     bytes_img = float(ca.get("bytes accessed", 0.0)) / n_img
-    comp_us = 1e6 * flops_img / V5E_BF16_PEAK_FLOPS
+    # --quant: the conv contractions run on the int8 MXU path (2x bf16
+    # peak); XLA's cost model counts them as generic flops, so divide by
+    # the int8 ceiling for the compute floor
+    from jckx.configs import V5E_INT8_PEAK_OPS
+
+    peak = V5E_INT8_PEAK_OPS if quant else V5E_BF16_PEAK_FLOPS
+    comp_us = 1e6 * flops_img / peak
     byte_us = 1e6 * bytes_img / V5E_HBM_BYTES_PER_S
     meas_us = 1e6 / img_s_chip
     floor = max(comp_us, byte_us)
@@ -166,7 +192,8 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
         save_checkpoint(ck, make_template_state(
             geo, conditional=conditional, num_classes=100))
         svc = GeneratorService(ck, conditional=conditional, geo=geo,
-                               batch_size=batch_size)
+                               batch_size=batch_size,
+                               quant="int8" if quant else None)
         svc.sample(batch_size)  # warm the service executable
         t0 = time.perf_counter()
         svc.sample(4 * batch_size)
@@ -174,8 +201,9 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
 
     print(json.dumps({
         "metric": f"images/sec/chip served {model.upper()} generation "
-                  f"({image_size}x{image_size}, bs{batch_size}, bf16, "
-                  f"incl. on-device uint8 conversion"
+                  f"({image_size}x{image_size}, bs{batch_size}, "
+                  + ("int8 W8A8" if quant else "bf16")
+                  + ", incl. on-device uint8 conversion"
                   + (", subpixel convT" if subpixel else "") + ")",
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
@@ -202,6 +230,8 @@ if __name__ == "__main__":
     p.add_argument("--regions", type=int, default=5)
     p.add_argument("--subpixel", type=int, default=0,
                    help="1 = kernel-segregated ConvTranspose A/B (ops/conv.py)")
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="int8 = bench the W8A8 quantized sampler (ops/quant.py)")
     a = p.parse_args()
     main(a.model, a.image_size, a.batch_size, a.scan_batches, a.regions,
-         subpixel=bool(a.subpixel))
+         subpixel=bool(a.subpixel), quant=a.quant == "int8")

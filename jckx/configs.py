@@ -35,6 +35,7 @@ REFERENCE_IMG_PER_SEC = 374.0
 # TPU v5e single-chip peaks used by every roofline computation (bench_eval,
 # tools/profiling/*) — one source so the floors can't silently diverge.
 V5E_BF16_PEAK_FLOPS = 197e12   # bf16 MXU
+V5E_INT8_PEAK_OPS = 394e12     # int8 MXU (2x bf16 — the --quant int8 ceiling)
 V5E_HBM_BYTES_PER_S = 819e9    # HBM bandwidth
 
 

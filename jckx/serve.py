@@ -122,6 +122,8 @@ class GeneratorService:
         geo_overrides: Optional[dict] = None,
         mesh=None,
         subpixel: bool = False,
+        quant: Optional[str] = None,
+        quant_calib_batches: int = 4,
     ):
         # self-configure from the trainer's sidecar when present (explicit
         # args win — for a jckx checkpoint, whose sidecar is advisory). A
@@ -220,30 +222,60 @@ class GeneratorService:
         bs = batch_size
         ncls = num_classes
 
+        # --quant int8: W8A8 post-training quantization of the sampler
+        # (ops/quant.py) — int8×int8→int32 ConvTranspose contractions (2×
+        # MXU peak + half the HBM bytes of bf16 on v5e), BN/tanh in f32.
+        # Calibration runs a few FLOAT probe batches of the same z (and
+        # label) distribution the render draws, then the float generator
+        # params are replaced by the int8 pytree for the service lifetime.
+        if quant not in (None, "int8"):
+            raise ValueError(
+                f"quant={quant!r}: supported modes are None (float) and 'int8'")
+        self.quant = quant
+        if quant == "int8":
+            from jckx.ops.quant import calibrate_generator, quantize_generator
+
+            scales = calibrate_generator(
+                self.params_g, self.geo, jax.random.PRNGKey(seed + 0x5ca1e),
+                in_dim=self.geo.z_dim + (ncls if conditional else 0),
+                batches=quant_calib_batches, batch_size=min(bs, 64),
+                compute_dtype=cd)
+            self.params_g = quantize_generator(self.params_g, scales, self.geo)
+
         # The whole request batch is ONE compiled program: fold the batch
         # offset into the key, draw z (and random labels for conditional
         # serving) on device, render, convert to uint8. Host-side eager
         # per-batch device ops (fold_in/normal/one_hot) would each cost a
         # dispatch (~0.4 s through this machine's tunnel) that the async
         # drain in sample() cannot hide.
+        def apply_g(params, z, lab):
+            """One generator forward — float (the default trace) or the int8
+            serving replica. ``lab`` None ⇒ unconditional; else class ids.
+            The float conditional call goes through cgan.cgenerator_apply
+            (the same one-hot concat the quant path does inline)."""
+            if quant == "int8":
+                from jckx.ops.quant import quantized_generator_apply
+
+                if lab is not None:
+                    z = jnp.concatenate(
+                        [z, jax.nn.one_hot(lab, ncls, dtype=z.dtype)], axis=-1)
+                return quantized_generator_apply(params, z, self.geo)
+            if lab is not None:
+                return cgan.cgenerator_apply(
+                    params, z, jax.nn.one_hot(lab, ncls), self.geo, cd)
+            return dcgan.generator_apply(params, z, self.geo, cd)
+
         def render_rand(params, key, offset):
             k = jax.random.fold_in(key, offset)
             z = jax.random.normal(k, (bs, self.geo.z_dim))
-            if conditional:
-                lab = jax.random.randint(
-                    jax.random.fold_in(k, 1), (bs,), 0, ncls)
-                imgs = cgan.cgenerator_apply(
-                    params, z, jax.nn.one_hot(lab, ncls), self.geo, cd)
-            else:
-                imgs = dcgan.generator_apply(params, z, self.geo, cd)
-            return tanh_to_u8(imgs)
+            lab = (jax.random.randint(jax.random.fold_in(k, 1), (bs,), 0, ncls)
+                   if conditional else None)
+            return tanh_to_u8(apply_g(params, z, lab))
 
         def render_labeled(params, key, offset, lab):
             k = jax.random.fold_in(key, offset)
             z = jax.random.normal(k, (bs, self.geo.z_dim))
-            imgs = cgan.cgenerator_apply(
-                params, z, jax.nn.one_hot(lab, ncls), self.geo, cd)
-            return tanh_to_u8(imgs)
+            return tanh_to_u8(apply_g(params, z, lab))
 
         self.mesh = mesh
         if mesh is not None:
@@ -460,6 +492,10 @@ def get_args(argv=None):
     p.add_argument("--subpixel", type=int, default=0,
                    help="1 = kernel-segregated ConvTranspose sampler trace "
                         "(ops/conv.py; same math, A/B via bench_serve.py)")
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="int8 = W8A8 post-training-quantized sampler "
+                        "(ops/quant.py; calibrated at load, A/B via "
+                        "bench_serve.py --quant int8)")
     return p.parse_args(argv)
 
 
@@ -502,12 +538,12 @@ def main(args):
         from jckx.export import ArtifactService
 
         if (overrides or args.conditional is not None or mesh is not None
-                or args.subpixel or args.num_classes is not None
+                or args.subpixel or args.quant or args.num_classes is not None
                 or args.batch_size is not None):
             raise SystemExit(
                 "--ckpt *.jaxexp is a sealed artifact: geometry/conditioning/"
-                "batch/mesh/subpixel were fixed at export time — re-export "
-                "instead of overriding")
+                "batch/mesh/subpixel/quant were fixed at export time — "
+                "re-export instead of overriding")
         svc = ArtifactService(args.ckpt, seed=args.seed)
     else:
         svc = GeneratorService(
@@ -515,6 +551,7 @@ def main(args):
             geo_overrides=overrides or None,
             batch_size=512 if args.batch_size is None else args.batch_size,
             seed=args.seed, mesh=mesh, subpixel=bool(args.subpixel),
+            quant=args.quant or None,
         )
     if args.listen:
         import signal

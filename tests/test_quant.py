@@ -1,0 +1,144 @@
+"""Int8 (W8A8) serving quantization: ops/quant.py + GeneratorService --quant.
+
+Beyond-reference capability (the reference has no inference path); the
+contracts pinned here are the ones the TPU A/B (bench_serve.py --quant int8)
+relies on: integer-exact convs, BN absorbing per-channel scale error, and
+quantized samples staying close to the float sampler's pixels.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jckx.models import cgan, dcgan
+from jckx.models.dcgan import GANGeometry
+from jckx.ops.conv import conv_transpose2d
+from jckx.ops.quant import (
+    calibrate_generator,
+    conv_transpose2d_int8,
+    quantize_act,
+    quantize_generator,
+    quantize_weight_per_channel,
+    quantized_generator_apply,
+)
+
+from tests.test_serve import _save_ckpt
+
+
+def test_weight_quant_per_channel_roundtrip():
+    """|w - dequant(q)| <= scale/2 per output channel (symmetric rounding),
+    and a dead channel quantizes to zeros with a finite scale."""
+    w = np.random.RandomState(0).randn(4, 4, 8, 16).astype(np.float32) * 0.02
+    w[..., 3] = 0.0  # dead channel
+    q, s = quantize_weight_per_channel(w)
+    assert q.dtype == jnp.int8 and s.shape == (16,)
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    err = np.abs(deq - w)
+    assert np.all(err <= np.asarray(s)[None, None, None, :] * 0.5 + 1e-9)
+    assert np.isfinite(np.asarray(s)).all()
+    assert np.all(np.asarray(q)[..., 3] == 0)
+
+
+def test_int8_convt_integer_exact():
+    """int8 ConvTranspose (both the dilated s1 form and the dense-phase
+    s2 form) == the float conv_transpose2d on the same integer values —
+    int32 accumulation is exact, so equality is bitwise after cast."""
+    rng = np.random.RandomState(1)
+    for stride, pad, hw in ((1, 0, 1), (2, 1, 8)):
+        x = rng.randint(-127, 128, (2, hw, hw, 12)).astype(np.int8)
+        w = rng.randint(-127, 128, (4, 4, 12, 10)).astype(np.int8)
+        got = conv_transpose2d_int8(jnp.asarray(x), jnp.asarray(w), stride, pad)
+        assert got.dtype == jnp.int32
+        want = conv_transpose2d(
+            jnp.asarray(x, jnp.float32), jnp.asarray(w, jnp.float32),
+            stride=stride, padding=pad)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want, np.int64))
+
+
+def test_act_quant_representable_values_exact():
+    s = jnp.float32(0.5)
+    x = jnp.asarray([-63.5, -0.5, 0.0, 0.5, 63.5, 1000.0, -1000.0])
+    q = quantize_act(x, s)
+    np.testing.assert_array_equal(
+        np.asarray(q), np.asarray([-127, -1, 0, 1, 127, 127, -127], np.int8))
+
+
+def test_quantized_generator_matches_float_pixels():
+    """End-to-end int8 forward vs the f32 forward on the same z: uint8
+    pixels stay close (the BN-absorbs-per-channel-scale argument in the
+    module docstring is what keeps hidden-layer error from compounding)."""
+    from jckx.serve import tanh_to_u8
+
+    geo = GANGeometry(image_size=32, base_width=16)
+    params = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+    z = jax.random.normal(jax.random.PRNGKey(1), (64, geo.z_dim))
+    scales = calibrate_generator(params, geo, jax.random.PRNGKey(2),
+                                 in_dim=geo.z_dim, batches=2, batch_size=64)
+    qp = quantize_generator(params, scales, geo)
+    # every conv weight is int8, every BN vector f32
+    assert qp["convt0_q"].dtype == jnp.int8
+    assert qp["bn0_scale"].dtype == jnp.float32
+
+    ref = np.asarray(tanh_to_u8(dcgan.generator_apply(params, z, geo)), np.int32)
+    got = np.asarray(tanh_to_u8(quantized_generator_apply(qp, z, geo)), np.int32)
+    diff = np.abs(ref - got)
+    assert diff.mean() < 2.0, f"mean |Δpixel| {diff.mean():.2f}"
+    assert np.mean(diff <= 8) > 0.99, f"p99 pixel error too large: {diff.max()}"
+
+
+def test_quantize_generator_rejects_bad_scales():
+    import pytest
+
+    geo = GANGeometry(image_size=16, base_width=8)
+    params = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+    with pytest.raises(ValueError, match="act_scales"):
+        quantize_generator(params, jnp.ones((geo.n_up + 3,)), geo)
+
+
+def test_service_quant_int8(tmp_path):
+    """GeneratorService(quant='int8') serves uint8 samples deterministically
+    per key and close to the float service's pixels on the same key."""
+    from jckx.serve import GeneratorService
+
+    path, geo = _save_ckpt(tmp_path)
+    k = jax.random.PRNGKey(7)
+    f32 = GeneratorService(path, geo=geo, batch_size=8,
+                           compute_dtype=jnp.float32)
+    q = GeneratorService(path, geo=geo, batch_size=8,
+                         compute_dtype=jnp.float32, quant="int8")
+    a = q.sample(8, key=k)
+    assert a.shape == (8, 16, 16, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, q.sample(8, key=k))  # deterministic
+    b = f32.sample(8, key=k)
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert diff.mean() < 3.0, f"quant vs float mean |Δpixel| {diff.mean():.2f}"
+
+
+def test_service_quant_int8_conditional(tmp_path):
+    """CGAN quant serving: labels control classes through the quantized
+    concat input; per-key determinism holds."""
+    from jckx.serve import GeneratorService
+
+    path, geo = _save_ckpt(tmp_path, conditional=True)
+    svc = GeneratorService(path, geo=geo, batch_size=4, num_classes=10,
+                           conditional=True, compute_dtype=jnp.float32,
+                           quant="int8")
+    k = jax.random.PRNGKey(3)
+    a = svc.sample(4, labels=[1, 2, 3], key=k)
+    assert a.shape == (4, 16, 16, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, svc.sample(4, labels=[1, 2, 3], key=k))
+    # a different label set must change the pixels (class input is live)
+    c = svc.sample(4, labels=[7], key=k)
+    assert np.abs(a.astype(int) - c.astype(int)).max() > 0
+
+
+def test_service_quant_rejects_unknown_mode(tmp_path):
+    import pytest
+
+    from jckx.serve import GeneratorService
+
+    path, geo = _save_ckpt(tmp_path)
+    with pytest.raises(ValueError, match="quant="):
+        GeneratorService(path, geo=geo, batch_size=4, quant="int4")
