@@ -57,6 +57,7 @@ def export_generator(
     geo_overrides: Optional[dict] = None,
     compute_dtype=jnp.bfloat16,
     platforms: Sequence[str] = DEFAULT_PLATFORMS,
+    quant: Optional[str] = None,
 ) -> dict:
     """Serialize the checkpoint's sampler to ``dst`` (+ ``dst.json``).
 
@@ -70,20 +71,34 @@ def export_generator(
     if batch_size < 1:
         raise ValueError(f"export batch_size {batch_size} must be >= 1 (a "
                          f"zero-batch artifact would serve nothing, forever)")
+    # quant='int8': the service calibrates + quantizes at load, so the
+    # artifact bakes in INT8 weights and the int8x int8->int32 forward
+    # (ops/quant.py) — the blob itself shrinks ~4x and every deployment
+    # platform gets the integer MXU path with no calibration at serve time
     svc = GeneratorService(
         ckpt_path, conditional=conditional, num_classes=num_classes,
         batch_size=batch_size, compute_dtype=compute_dtype, use_ema=use_ema,
-        geo_overrides=geo_overrides,
+        geo_overrides=geo_overrides, quant=quant,
     )
     params, geo, ncls = svc.params_g, svc.geo, svc.num_classes
     cd = compute_dtype
+
+    def fwd(z, onehot):
+        if svc.quant == "int8":
+            from jckx.ops.quant import quantized_generator_apply
+
+            if onehot is not None:
+                z = jnp.concatenate([z, onehot.astype(z.dtype)], axis=-1)
+            return quantized_generator_apply(params, z, geo)
+        if onehot is not None:
+            return cgan.cgenerator_apply(params, z, onehot, geo, cd)
+        return dcgan.generator_apply(params, z, geo, cd)
 
     if svc.conditional:
         def render(seed, labels):
             z = jax.random.normal(jax.random.PRNGKey(seed),
                                   (batch_size, geo.z_dim))
-            onehot = jax.nn.one_hot(labels, ncls)
-            return tanh_to_u8(cgan.cgenerator_apply(params, z, onehot, geo, cd))
+            return tanh_to_u8(fwd(z, jax.nn.one_hot(labels, ncls)))
 
         arg_shapes = (jax.ShapeDtypeStruct((), jnp.int32),
                       jax.ShapeDtypeStruct((batch_size,), jnp.int32))
@@ -91,7 +106,7 @@ def export_generator(
         def render(seed):
             z = jax.random.normal(jax.random.PRNGKey(seed),
                                   (batch_size, geo.z_dim))
-            return tanh_to_u8(dcgan.generator_apply(params, z, geo, cd))
+            return tanh_to_u8(fwd(z, None))
 
         arg_shapes = (jax.ShapeDtypeStruct((), jnp.int32),)
 
@@ -109,6 +124,7 @@ def export_generator(
         "z_dim": geo.z_dim, "image_size": geo.image_size,
         "channels": geo.channels, "base_width": geo.base_width,
         "compute_dtype": str(jnp.dtype(cd)), "platforms": list(platforms),
+        "quant": svc.quant,
         "inputs": (["seed:i32[]", f"labels:i32[{batch_size}]"]
                    if svc.conditional else ["seed:i32[]"]),
         "output": f"u8[{batch_size},{geo.image_size},{geo.image_size},"
@@ -254,6 +270,9 @@ def get_args(argv=None):
                         "checkpoint's sidecar (EMA when the run tracked "
                         "one), 'live'/'ema' force; the info line's "
                         "ema_weights field records what actually shipped")
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="int8 = bake the W8A8 quantized sampler into the "
+                        "artifact (ops/quant.py; calibrated here, at export)")
     p.add_argument("--conditional", action="store_true", default=None)
     p.add_argument("--num_classes", type=int, default=None)
     # geometry overrides for sidecar-less checkpoints (same surface as serve)
@@ -279,6 +298,7 @@ def main(argv=None):
         geo_overrides=overrides or None,
         compute_dtype=jnp.bfloat16 if a.compute_dtype == "bfloat16" else jnp.float32,
         platforms=[s for s in a.platforms.split(",") if s],
+        quant=a.quant or None,
     )
     print(json.dumps(info))
 

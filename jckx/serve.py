@@ -24,6 +24,9 @@ deployment-ready API:
   possible on this 1-chip machine.
 - CLI: ``python -m jckx.serve --ckpt save/dcgan/<ts>/latest.ckpt -n 64
   -o samples.png`` (add ``--labels 3,17,42`` for CGAN class control).
+- ``--quant int8``: W8A8 post-training-quantized sampler (ops/quant.py) —
+  int8×int8→int32 convs on the integer MXU path (2× bf16 peak, half the
+  HBM bytes on v5e), calibrated from a few float probe batches at load.
 
 Throughput: ``bench_serve.py`` measures the production sampler (generator
 forward + on-device uint8 conversion) with the tunnel-safe differential

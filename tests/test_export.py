@@ -193,3 +193,34 @@ def test_export_guards_and_ema_tristate(tmp_path):
                             use_ema=False, compute_dtype=jnp.float32,
                             platforms=["cpu"])
     assert info["ema_weights"] is False
+
+
+def test_export_quant_int8_artifact(tmp_path):
+    """--quant int8 bakes the W8A8 sampler into the blob: int8 weights as
+    constants, no calibration at load; same seed-derived z stream as the
+    float artifact, so pixels must stay close and the blob must shrink."""
+    from jckx.export import export_generator, load_exported
+
+    path, geo = _save_ckpt(tmp_path)
+    dst_f = str(tmp_path / "gen_f32.jaxexp")
+    dst_q = str(tmp_path / "gen_int8.jaxexp")
+    info_f = export_generator(path, dst_f, batch_size=4,
+                              geo_overrides={"image_size": 16, "base_width": 8},
+                              compute_dtype=jnp.float32, platforms=["cpu"])
+    info_q = export_generator(path, dst_q, batch_size=4,
+                              geo_overrides={"image_size": 16, "base_width": 8},
+                              compute_dtype=jnp.float32, platforms=["cpu"],
+                              quant="int8")
+    assert info_q["quant"] == "int8" and info_f["quant"] is None
+    assert json.load(open(dst_q + ".json"))["quant"] == "int8"
+    # int8 constants: the quant blob must be materially smaller
+    assert info_q["bytes"] < 0.7 * info_f["bytes"], (info_q["bytes"],
+                                                     info_f["bytes"])
+
+    sample_q = load_exported(dst_q)
+    a = np.asarray(sample_q(3))
+    assert a.shape == (4, 16, 16, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, np.asarray(sample_q(3)))  # deterministic
+    b = np.asarray(load_exported(dst_f)(3))  # same PRNGKey(3) z inside both
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert diff.mean() < 3.0, f"quant vs float artifact mean pixel delta {diff.mean():.2f}"
