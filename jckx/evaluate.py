@@ -67,6 +67,10 @@ def get_args(argv=None):
     p.add_argument("--prdc", type=int, default=0,
                    help="1 = also report precision/recall/density/coverage "
                         "(k-NN manifolds — metrics/extra.py)")
+    p.add_argument("--quant", default="", choices=["", "int8"],
+                   help="int8 = score the W8A8 quantized sampler instead of "
+                        "the float one (ops/quant.py) — measures the serving "
+                        "quantization's metric impact in FID/IS terms")
     return p.parse_args(argv)
 
 
@@ -134,24 +138,54 @@ def evaluate(args, metrics=None):
     # the same executable shape the trainers' samplers trace.
     from jckx.kernels.fused_bn_act import pallas_inference
 
+    # --quant int8: score the SERVING sampler's quantized forward instead
+    # of the float one — same z protocol/batching, so (score_float −
+    # score_int8) isolates the quantization's metric impact. Calibration
+    # mirrors GeneratorService's (seeded probe batches of the serving z
+    # distribution) at a real batch size.
+    params_for_eval = svc.params_g
+    if getattr(args, "quant", "") == "int8":
+        from jckx.ops.quant import (calibrate_generator, quantize_generator,
+                                    quantized_generator_apply)
+
+        scales = calibrate_generator(
+            svc.params_g, geo, jax.random.fold_in(jax.random.PRNGKey(seed),
+                                                  0x5ca1e),
+            in_dim=geo.z_dim + (ncls if conditional else 0),
+            batches=4, batch_size=64, compute_dtype=cd)
+        params_for_eval = quantize_generator(svc.params_g, scales, geo)
+
+        def apply_unc(pg, zz):
+            return quantized_generator_apply(pg, zz, geo)
+
+        def apply_cond(pg, zz, oh):
+            zin = jnp.concatenate([zz, oh.astype(zz.dtype)], axis=-1)
+            return quantized_generator_apply(pg, zin, geo)
+    else:
+        def apply_unc(pg, zz):
+            return dcgan.generator_apply(pg, zz, geo, cd)
+
+        def apply_cond(pg, zz, oh):
+            return cgan.cgenerator_apply(pg, zz, oh, geo, cd)
+
     if conditional:
-        sample = jax.jit(lambda pg, zz, oh: cgan.cgenerator_apply(
-            pg, zz, oh, geo, cd))
+        sample = jax.jit(apply_cond)
         chunks = []
         with pallas_inference():
             for i in range(0, n_samples, 500):
-                chunks.append(sample(svc.params_g, z[i:i + 500],
+                chunks.append(sample(params_for_eval, z[i:i + 500],
                                      onehot[i:i + 500]))
         fake = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
     else:
-        sample = jax.jit(lambda pg, zz: dcgan.generator_apply(pg, zz, geo, cd))
+        sample = jax.jit(apply_unc)
         with pallas_inference():
-            fake = sample(svc.params_g, z)
+            fake = sample(params_for_eval, z)
 
     feats = metrics.extract_features(fake)
     result = {
         "step": svc.step,
         "n": n_samples,
+        **({"quant": "int8"} if getattr(args, "quant", "") == "int8" else {}),
         "is": float(metrics.inception_score(logits=feats)),
         "fid": float(metrics.fid(features=feats)),
     }

@@ -139,3 +139,27 @@ def test_evaluate_cli_end_to_end_real_backbone(tmp_path, capsys):
     res = json.loads(line)
     assert np.isfinite(res["fid"]) and res["is"] >= 1.0 - 1e-3
     assert res["n"] == 16
+
+
+def test_evaluate_quant_int8_scores_quantized_sampler(tmp_path):
+    """--quant int8 scores the W8A8 serving sampler: result is tagged, stays
+    finite, and the images actually fed to the metric engine differ from the
+    float run's (the quantized forward is live) while staying close."""
+    geo = GANGeometry(z_dim=16, image_size=16, channels=3, base_width=8)
+    path = _dcgan_pt(tmp_path, geo)
+
+    class CaptureStub(StubMetrics):
+        def extract_features(self, images):
+            self.images = np.asarray(images, np.float32)
+            return super().extract_features(images)
+
+    base = ["--ckpt", path, "--dataset", "synthetic",
+            "--sample_count", "24", "--compute_dtype", "float32"]
+    s_f, s_q = CaptureStub(), CaptureStub()
+    res_f = evaluate(get_args(base), metrics=s_f)
+    res_q = evaluate(get_args(base + ["--quant", "int8"]), metrics=s_q)
+    assert "quant" not in res_f and res_q["quant"] == "int8"
+    assert np.isfinite(res_q["is"]) and np.isfinite(res_q["fid"])
+    d = np.abs(s_f.images - s_q.images)
+    assert d.max() > 0, "quantized sampler produced bit-identical images"
+    assert d.mean() < 0.05, f"quant images drifted too far: mean |Δ| {d.mean():.3f}"
