@@ -142,3 +142,25 @@ def test_service_quant_rejects_unknown_mode(tmp_path):
     path, geo = _save_ckpt(tmp_path)
     with pytest.raises(ValueError, match="quant="):
         GeneratorService(path, geo=geo, batch_size=4, quant="int4")
+
+
+def test_service_quant_int8_mesh_sharded(tmp_path):
+    """quant='int8' composes with mesh serving: the int8 pytree replicates,
+    the request batch shards on 'data', and the sharded samples equal the
+    single-device quant service's on the same key."""
+    from jax.sharding import Mesh
+
+    from jckx.serve import GeneratorService
+
+    path, geo = _save_ckpt(tmp_path)
+    k = jax.random.PRNGKey(11)
+    single = GeneratorService(path, geo=geo, batch_size=8,
+                              compute_dtype=jnp.float32, quant="int8")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded = GeneratorService(path, geo=geo, batch_size=8,
+                               compute_dtype=jnp.float32, quant="int8",
+                               mesh=mesh)
+    a, b = single.sample(8, key=k), sharded.sample(8, key=k)
+    # integer conv math is exact; BN stats are f32 reductions whose grouping
+    # may differ across shardings -> allow +-1 uint8 count
+    assert np.abs(a.astype(int) - b.astype(int)).max() <= 1

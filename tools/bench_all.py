@@ -22,6 +22,10 @@ BENCHES = {
     "gan_step_cgan": [sys.executable, "bench.py", "-m", "CGAN"],
     "serve": [sys.executable, "bench_serve.py"],
     "serve_cgan": [sys.executable, "bench_serve.py", "-m", "CGAN"],
+    # serving A/Bs against the "serve" row: kernel-segregated ConvTranspose
+    # trace and the int8 W8A8 quantized sampler (ops/quant.py)
+    "serve_subpixel": [sys.executable, "bench_serve.py", "--subpixel", "1"],
+    "serve_int8": [sys.executable, "bench_serve.py", "--quant", "int8"],
     "eval_fid50k": [sys.executable, "bench_eval.py"],
     "finetune": [sys.executable, "bench_finetune.py"],
 }
