@@ -96,7 +96,7 @@ def build_superstep(image_size: int = 64, batch_size: int = 128,
     return jax.jit(superstep, donate_argnums=(0,)), state, cfg
 
 
-def differential_time(run_region, supersteps: int) -> float:
+def differential_time(run_region, supersteps: int, repeats: int = 1) -> float:
     """Tunnel-safe elapsed time for ``supersteps`` region launches.
 
     ``run_region(n)`` must launch n supersteps from a blocked start, close
@@ -109,19 +109,36 @@ def differential_time(run_region, supersteps: int) -> float:
     link the differential is precisely the case that still works, so it
     must not be second-guessed by a relative-size heuristic).
 
-    Single source of the methodology for bench.py and
+    ``repeats`` > 1 measures each region size ``repeats`` times and
+    differences the PER-SIZE MINIMA: min(2S runs) − min(S runs). Tunnel
+    jitter is strictly additive (a slow dispatch can only lengthen a
+    region, never shorten it), so the minimum of each size converges to
+    that region's true constant+chip time and the difference of minima is
+    the clean chip differential. Taking min over whole differentials
+    instead would be biased OPTIMISTIC — the repeat whose S region was
+    most jitter-inflated wins. Short regions — bench_serve's ~80 ms vs
+    bench.py's ~1 s — need this: one ~50 ms dispatch hiccup inside either
+    region otherwise lands in the difference at full weight (observed: the
+    same serving program measuring 14.3 then 1.5 µs/img across
+    back-to-back single-shot runs).
+
+    Single source of the methodology for bench.py, bench_serve.py and
     tools/profiling/gan_roofline.py (same programs, same clock).
     """
-    dt_a = run_region(supersteps)
-    dt_b = run_region(2 * supersteps)
-    dt = dt_b - dt_a
+    r = max(1, repeats)
+    dts_a, dts_b = [], []
+    for _ in range(r):
+        dts_a.append(run_region(supersteps))
+        dts_b.append(run_region(2 * supersteps))
+    dt = min(dts_b) - min(dts_a)
     if dt <= 0.0:
-        dt = dt_b / 2.0
+        dt = min(dts_b) / 2.0
     return dt
 
 
 def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
-         K: int = 50, supersteps: int = 5, model: str = "DCGAN"):
+         K: int = 50, supersteps: int = 5, model: str = "DCGAN",
+         repeats: int = 2):
     from jckx.data.datasets import synthetic_dataset
 
     sstep, state, cfg = build_superstep(image_size, batch_size, remat, model)
@@ -134,7 +151,7 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
     # host→device upload inside the timed region is a per-launch dispatch
     # that scales with region size, so the 2S−S differential cannot cancel
     # it (the same artifact class bench_serve.py's probe pinned at ~3 µs/img).
-    n_launches = 3 * supersteps + 2  # regions S + 2S, plus 2 warmups
+    n_launches = repeats * 3 * supersteps + 2  # regions (S + 2S) × repeats, plus 2 warmups
     idx_pool = iter(jax.block_until_ready([
         jax.device_put(jnp.asarray(
             rng.randint(0, data.shape[0], size=(K, cfg.batch_size)), jnp.int32))
@@ -162,7 +179,7 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
         box["state"] = s
         return time.perf_counter() - t0
 
-    dt = differential_time(run_region, supersteps)
+    dt = differential_time(run_region, supersteps, repeats=repeats)
     loss_d = box["loss"]
 
     n_chips = jax.device_count()
@@ -190,8 +207,11 @@ if __name__ == "__main__":
     p.add_argument("--remat", default="none", choices=["none", "g", "d", "both"])
     p.add_argument("--scan_steps", type=int, default=50)
     p.add_argument("--supersteps", type=int, default=5)
+    p.add_argument("--repeats", type=int, default=2,
+                   help="min over this many 2S-S differentials (jitter armor)")
     a = p.parse_args()
     from jckx.utils.device import honor_jax_platforms_env
 
     honor_jax_platforms_env()
-    main(a.image_size, a.batch_size, a.remat, a.scan_steps, a.supersteps, a.model)
+    main(a.image_size, a.batch_size, a.remat, a.scan_steps, a.supersteps,
+         a.model, a.repeats)

@@ -10,7 +10,9 @@ family with on-device one-hot label draw).
 Methodology matches bench.py: a ``lax.scan`` over S request batches per
 device launch (so host dispatch / tunnel latency is off the hot path, the
 same way a serving replica pipelines requests), timed DIFFERENTIALLY
-(2S−S regions from a blocked start, closed with a scalar read) so the
+(2S−S regions from a blocked start, closed with a scalar read; minimum
+over ``--repeats`` independent differentials, since the regions here are
+short next to tunnel dispatch jitter) so the
 number stays a property of the chip when the TPU tunnel degrades. Each
 batch is reduced to a checksum carried through the scan, forcing every
 pixel to be materialized.
@@ -104,7 +106,7 @@ def build_region(model: str = "DCGAN", image_size: int = 64,
 
 def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
          scan_batches: int = 20, regions: int = 5, subpixel: bool = False,
-         quant: bool = False):
+         quant: bool = False, repeats: int = 3):
     import contextlib
 
     from jckx.kernels.fused_bn_act import pallas_inference
@@ -146,7 +148,11 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
         int(accs[-1])  # scalar read closes the region
         return time.perf_counter() - t0
 
-    dt = differential_time(run_region, regions)
+    # Serving regions are short (~80 ms) next to tunnel dispatch jitter
+    # (observed ~50 ms hiccups), so a single 2S−S differential can land
+    # 10x off in either direction; min over repeats restores the chip
+    # number (jitter is strictly additive — see differential_time).
+    dt = differential_time(run_region, regions, repeats=repeats)
     n_chips = jax.device_count()
     img_s_chip = batch_size * scan_batches * regions / dt / n_chips
 
@@ -232,6 +238,8 @@ if __name__ == "__main__":
                    help="1 = kernel-segregated ConvTranspose A/B (ops/conv.py)")
     p.add_argument("--quant", default="", choices=["", "int8"],
                    help="int8 = bench the W8A8 quantized sampler (ops/quant.py)")
+    p.add_argument("--repeats", type=int, default=3,
+                   help="min over this many 2S-S differentials (jitter armor)")
     a = p.parse_args()
     main(a.model, a.image_size, a.batch_size, a.scan_batches, a.regions,
-         subpixel=bool(a.subpixel), quant=a.quant == "int8")
+         subpixel=bool(a.subpixel), quant=a.quant == "int8", repeats=a.repeats)

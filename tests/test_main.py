@@ -43,3 +43,36 @@ def test_bench_cgan_smoke(capsys):
     rec = json.loads(line)
     assert rec["unit"] == "images/sec/chip" and rec["value"] > 0
     assert "CGAN" in rec["metric"]
+
+
+def test_differential_time_jitter_armor():
+    """differential_time(repeats=R) must difference PER-SIZE minima, so a
+    one-off additive jitter spike in either region cannot move the result
+    in either direction (min-over-whole-differentials would be biased
+    optimistic when the S region takes the hit)."""
+    from bench import differential_time
+
+    TRUE = 0.010  # chip seconds per superstep
+    CONST = 0.050  # constant read/dispatch overhead per region
+
+    def make_region(spikes):
+        calls = {"i": 0}
+
+        def run_region(n):
+            jitter = spikes.get(calls["i"], 0.0)
+            calls["i"] += 1
+            return CONST + n * TRUE + jitter
+
+        return run_region
+
+    # spike on the FIRST S region (call 0): single-shot would return
+    # dt_b - dt_a = 2S*TRUE - S*TRUE - 1.0 < 0 → fall back; with repeats,
+    # the clean second S run restores the exact differential.
+    dt = differential_time(make_region({0: 1.0}), 5, repeats=2)
+    assert abs(dt - 5 * TRUE) < 1e-12
+    # spike on a 2S region (call 1) likewise cancels
+    dt = differential_time(make_region({1: 1.0}), 5, repeats=2)
+    assert abs(dt - 5 * TRUE) < 1e-12
+    # repeats=1 keeps the legacy single-shot behavior (fallback on <=0)
+    dt = differential_time(make_region({0: 1.0}), 5, repeats=1)
+    assert dt > 5 * TRUE  # degraded estimate, but never negative
