@@ -9,9 +9,10 @@ nesterov momentum + weight decay, RandomResizedCrop(299)+HFlip
 augmentation on device, batch 128, bf16 compute, batch-stat BN with
 running-stat updates.
 
-Methodology (TPU tunnel): K steps per device launch via lax.scan; several
-launches timed back-to-back from a blocked start, first post-compile launch
-excluded; a device→host scalar read closes the region.
+Methodology (TPU tunnel): K steps per device launch via lax.scan; regions
+of S and 2S launches timed DIFFERENTIALLY from a blocked start (per-size
+minima over ``repeats`` runs — bench.py::differential_time), so the
+closing scalar read and any dispatch jitter cancel out of the number.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is jckx img/s ÷ 374.
@@ -26,7 +27,9 @@ import numpy as np
 from jckx.configs import REFERENCE_IMG_PER_SEC  # single-source anchor
 
 
-def main(batch_size: int = 128, K: int = 8, supersteps: int = 4):
+def main(batch_size: int = 128, K: int = 8, supersteps: int = 4,
+         repeats: int = 2):
+    from bench import differential_time
     from jckx.metrics import inception_v3
     from jckx.metrics.inception_train import make_superstep, make_train_step
 
@@ -48,8 +51,8 @@ def main(batch_size: int = 128, K: int = 8, supersteps: int = 4):
         return idx, jax.random.fold_in(key, i)
 
     warm_args = [make_args(i) for i in range(2)]
-    timed_args = jax.block_until_ready(
-        [make_args(100 + i) for i in range(supersteps)])
+    args_pool = iter(jax.block_until_ready(
+        [make_args(100 + i) for i in range(repeats * 3 * supersteps)]))
 
     def launch(params, opt_state, args):
         idx, k = args
@@ -61,12 +64,21 @@ def main(batch_size: int = 128, K: int = 8, supersteps: int = 4):
     jax.block_until_ready(params)
     float(losses[-1])
 
-    t0 = time.perf_counter()
-    for a in timed_args:
-        params, opt_state, losses, accs = launch(params, opt_state, a)
-    jax.block_until_ready(params)
-    last_loss = float(losses[-1])  # host read closes the timing region
-    dt = time.perf_counter() - t0
+    box = {"params": params, "opt": opt_state}
+
+    def run_region(n):
+        p, o = box["params"], box["opt"]
+        t0 = time.perf_counter()
+        for _ in range(n):
+            p, o, losses, accs = launch(p, o, next(args_pool))
+        jax.block_until_ready(p)
+        box["loss"] = float(losses[-1])  # host read closes the region
+        dt = time.perf_counter() - t0
+        box["params"], box["opt"] = p, o
+        return dt
+
+    dt = differential_time(run_region, supersteps, repeats=repeats)
+    last_loss = box["loss"]
 
     assert np.isfinite(last_loss), "non-finite fine-tune loss"
     img_per_sec = batch_size * K * supersteps / dt / jax.device_count()
