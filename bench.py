@@ -151,7 +151,9 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
     # host→device upload inside the timed region is a per-launch dispatch
     # that scales with region size, so the 2S−S differential cannot cancel
     # it (the same artifact class bench_serve.py's probe pinned at ~3 µs/img).
-    n_launches = repeats * 3 * supersteps + 2  # regions (S + 2S) × repeats, plus 2 warmups
+    # differential_time clamps repeats to >=1, so the pool must too —
+    # --repeats 0 would otherwise exhaust it mid-measurement
+    n_launches = max(1, repeats) * 3 * supersteps + 2  # regions (S + 2S) × repeats, plus 2 warmups
     idx_pool = iter(jax.block_until_ready([
         jax.device_put(jnp.asarray(
             rng.randint(0, data.shape[0], size=(K, cfg.batch_size)), jnp.int32))

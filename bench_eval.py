@@ -61,7 +61,10 @@ def main(n_images: int = 50_000, batch: int = 2048, fast_stem: bool = False,
         # detail for transparency.
         import jax.numpy as jnp
 
-        n_steady = 16384
+        # clamp to the available set: with --n below 16384 a fixed n_steady
+        # would divide by images never processed and inflate every
+        # steady-state/roofline number by 16384/n
+        n_steady = min(16384, n_images)
         gen_dev = jnp.asarray(gen[:n_steady])
         m.extract_features(gen_dev)  # warm the device-path executable
 

@@ -52,7 +52,7 @@ def main(batch_size: int = 128, K: int = 8, supersteps: int = 4,
 
     warm_args = [make_args(i) for i in range(2)]
     args_pool = iter(jax.block_until_ready(
-        [make_args(100 + i) for i in range(repeats * 3 * supersteps)]))
+        [make_args(100 + i) for i in range(max(1, repeats) * 3 * supersteps)]))
 
     def launch(params, opt_state, args):
         idx, k = args

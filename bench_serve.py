@@ -63,35 +63,23 @@ def build_region(model: str = "DCGAN", image_size: int = 64,
         params = dcgan.generator_init(jax.random.PRNGKey(0), geo)
 
     # the exact pixel conversion GeneratorService ships (single definition)
+    from jckx.ops.quant import make_sampler
     from jckx.serve import tanh_to_u8 as to_u8
 
-    if quant:
-        from jckx.ops.quant import (calibrate_generator, quantize_generator,
-                                    quantized_generator_apply)
-
-        in_dim = geo.z_dim + (ncls if conditional else 0)
-        scales = calibrate_generator(params, geo, jax.random.PRNGKey(5),
-                                     in_dim=in_dim, batches=2,
-                                     batch_size=min(batch_size, 64),
-                                     compute_dtype=compute_dtype)
-        params = quantize_generator(params, scales, geo)
+    # make_sampler is the service's own quant-vs-float dispatch (and, for
+    # int8, its calibration protocol) — the bench times the production trace
+    params, sampler_apply = make_sampler(
+        params, geo, quant="int8" if quant else None, conditional=conditional,
+        num_classes=ncls, compute_dtype=compute_dtype, seed=5,
+        calib_batches=2, calib_batch_size=min(batch_size, 64))
 
     def render(params, key):
         z = jax.random.normal(key, (batch_size, geo.z_dim))
-        lab = (jax.random.randint(jax.random.fold_in(key, 1),
-                                  (batch_size,), 0, ncls)
-               if conditional else None)
-        if quant:
-            if lab is not None:
-                z = jnp.concatenate(
-                    [z, jax.nn.one_hot(lab, ncls, dtype=z.dtype)], axis=-1)
-            out = quantized_generator_apply(params, z, geo)
-        elif conditional:
-            out = cgan.cgenerator_apply(params, z, jax.nn.one_hot(lab, ncls),
-                                        geo, compute_dtype)
-        else:
-            out = dcgan.generator_apply(params, z, geo, compute_dtype)
-        return to_u8(out)
+        onehot = (jax.nn.one_hot(
+            jax.random.randint(jax.random.fold_in(key, 1),
+                               (batch_size,), 0, ncls), ncls, dtype=z.dtype)
+            if conditional else None)
+        return to_u8(sampler_apply(params, z, onehot))
 
     def region(params, keys):
         def body(acc, key):

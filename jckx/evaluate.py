@@ -78,7 +78,6 @@ def evaluate(args, metrics=None):
     """→ result dict (the printed JSON line). ``metrics`` injects a
     prebuilt/stub engine (tests); default builds Metrics on the dataset."""
     from jckx.configs import Config
-    from jckx.models import cgan, dcgan
     from jckx.serve import GeneratorService
 
     overrides = {k: getattr(args, k)
@@ -140,33 +139,23 @@ def evaluate(args, metrics=None):
 
     # --quant int8: score the SERVING sampler's quantized forward instead
     # of the float one — same z protocol/batching, so (score_float −
-    # score_int8) isolates the quantization's metric impact. Calibration
-    # mirrors GeneratorService's (seeded probe batches of the serving z
-    # distribution) at a real batch size.
-    params_for_eval = svc.params_g
-    if getattr(args, "quant", "") == "int8":
-        from jckx.ops.quant import (calibrate_generator, quantize_generator,
-                                    quantized_generator_apply)
+    # score_int8) isolates the quantization's metric impact. make_sampler
+    # (ops/quant.py) is GeneratorService's own calibrate+quantize+dispatch
+    # path — same key derivation, same probe distribution — so the pytree
+    # scored here is bit-for-bit the one `jckx.serve --quant int8` serves
+    # for this seed.
+    from jckx.ops.quant import make_sampler
 
-        scales = calibrate_generator(
-            svc.params_g, geo, jax.random.fold_in(jax.random.PRNGKey(seed),
-                                                  0x5ca1e),
-            in_dim=geo.z_dim + (ncls if conditional else 0),
-            batches=4, batch_size=64, compute_dtype=cd)
-        params_for_eval = quantize_generator(svc.params_g, scales, geo)
+    params_for_eval, sampler_apply = make_sampler(
+        svc.params_g, geo, quant=getattr(args, "quant", "") or None,
+        conditional=conditional, num_classes=ncls, compute_dtype=cd,
+        seed=seed)
 
-        def apply_unc(pg, zz):
-            return quantized_generator_apply(pg, zz, geo)
+    def apply_unc(pg, zz):
+        return sampler_apply(pg, zz, None)
 
-        def apply_cond(pg, zz, oh):
-            zin = jnp.concatenate([zz, oh.astype(zz.dtype)], axis=-1)
-            return quantized_generator_apply(pg, zin, geo)
-    else:
-        def apply_unc(pg, zz):
-            return dcgan.generator_apply(pg, zz, geo, cd)
-
-        def apply_cond(pg, zz, oh):
-            return cgan.cgenerator_apply(pg, zz, oh, geo, cd)
+    def apply_cond(pg, zz, oh):
+        return sampler_apply(pg, zz, oh)
 
     if conditional:
         sample = jax.jit(apply_cond)

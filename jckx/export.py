@@ -65,7 +65,6 @@ def export_generator(
     each target up front (cross-lowering needs no device attached), so one
     artifact serves CPU smoke tests and TPU production.
     """
-    from jckx.models import cgan, dcgan
     from jckx.serve import GeneratorService, tanh_to_u8
 
     if batch_size < 1:
@@ -83,16 +82,11 @@ def export_generator(
     params, geo, ncls = svc.params_g, svc.geo, svc.num_classes
     cd = compute_dtype
 
+    # the service already built the quant-or-float forward over its
+    # (possibly quantized) params via ops/quant.py::make_sampler — bake
+    # exactly that into the artifact
     def fwd(z, onehot):
-        if svc.quant == "int8":
-            from jckx.ops.quant import quantized_generator_apply
-
-            if onehot is not None:
-                z = jnp.concatenate([z, onehot.astype(z.dtype)], axis=-1)
-            return quantized_generator_apply(params, z, geo)
-        if onehot is not None:
-            return cgan.cgenerator_apply(params, z, onehot, geo, cd)
-        return dcgan.generator_apply(params, z, geo, cd)
+        return svc.sampler_apply(params, z, onehot)
 
     if svc.conditional:
         def render(seed, labels):

@@ -122,6 +122,13 @@ def _dists(q: jax.Array, a: jax.Array, a_sq: jax.Array) -> jax.Array:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def real_knn_radii(x, k: int = 3, chunk: int = 2048) -> jax.Array:
+    """Public wrapper for precomputing a fixed set's k-NN radii once (the
+    ``real_radii`` input of manifold_metrics)."""
+    x = jnp.asarray(x)
+    return _knn_radii(x, k, min(int(chunk), x.shape[0]))
+
+
 def _knn_radii(x: jax.Array, k: int, chunk: int) -> jax.Array:
     """Per-row distance to the k-th nearest OTHER row of ``x`` (n,).
 
@@ -164,7 +171,8 @@ def _manifold_sweep(q: jax.Array, a: jax.Array, radii_a: jax.Array,
 
 
 def manifold_metrics(real_features, fake_features, *, k: int = 3,
-                     row_chunk: int = 2048) -> Dict[str, float]:
+                     row_chunk: int = 2048,
+                     real_radii=None) -> Dict[str, float]:
     """Improved precision/recall + density/coverage of fake vs real.
 
     - precision: fraction of fakes inside ≥1 real k-NN ball (fidelity)
@@ -176,6 +184,11 @@ def manifold_metrics(real_features, fake_features, *, k: int = 3,
 
     ``row_chunk`` bounds HBM at chunk×n per tile; results are chunk-size
     invariant (pinned in tests).
+
+    ``real_radii``: precomputed k-NN radii of the real set (n_real,) — the
+    real manifold never changes across a run's evals, so callers scoring
+    many fake sets against one real set (Metrics.prdc) compute the
+    n_real×n_real sweep once and pass it in; must correspond to this k.
     """
     real = jnp.asarray(real_features)
     fake = jnp.asarray(fake_features)
@@ -190,7 +203,8 @@ def manifold_metrics(real_features, fake_features, *, k: int = 3,
     chunk = int(row_chunk)
     c_r = min(chunk, real.shape[0])
     c_f = min(chunk, fake.shape[0])
-    radii_r = _knn_radii(real, k, c_r)
+    radii_r = (jnp.asarray(real_radii) if real_radii is not None
+               else real_knn_radii(real, k, c_r))
     radii_f = _knn_radii(fake, k, c_f)
     f_cnt, f_any, _ = _manifold_sweep(fake, real, radii_r, c_f)
     _, r_any, r_dmin = _manifold_sweep(real, fake, radii_f, c_r)

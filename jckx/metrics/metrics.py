@@ -160,6 +160,7 @@ class Metrics:
             np.savez_compressed(cache, features=self.real_features)
         self._real_mu_sigma = None
         self._real_super_stats = None
+        self._real_knn_radii = {}  # k → radii of the (fixed) real set
         self.intra_fid_divisor = 100.0  # reference quirk (metrics.py:141)
 
     def _cache_fingerprint(self, images_u8, labels) -> str:
@@ -558,11 +559,18 @@ class Metrics:
              k: int = 3) -> dict:
         """Precision / recall / density / coverage of generated vs real
         (metrics/extra.py k-NN manifolds) — separates fidelity from mode
-        coverage, the axes FID conflates. Same feature space as fid()."""
-        from jckx.metrics.extra import manifold_metrics
+        coverage, the axes FID conflates. Same feature space as fid().
+
+        The real set's k-NN radii (an n_real×n_real sweep — half the
+        metric's device work at 50k reals) are computed once per k and
+        reused by every eval, like _real_superclass_stats for intra-FID."""
+        from jckx.metrics.extra import manifold_metrics, real_knn_radii
 
         gen = features if features is not None else self.extract_features(images_tanh)
-        return manifold_metrics(self.real_features, gen, k=k)
+        if k not in self._real_knn_radii:
+            self._real_knn_radii[k] = real_knn_radii(self.real_features, k)
+        return manifold_metrics(self.real_features, gen, k=k,
+                                real_radii=self._real_knn_radii[k])
 
     def _real_superclass_stats(self):
         """(S, d) means + (S, d, d) covariances of the real features per

@@ -2,7 +2,8 @@
 
 Beyond-reference, TPU-first: the reference (`model/DCGAN.py`, `model/CGAN.py`)
 has no inference path at all, let alone a quantized one. On TPU v5e the int8
-MXU path has 2× the bf16 peak (394 bf16 TFLOP/s vs 790 int8 TOP/s) and int8
+MXU path has 2× the bf16 peak (197 bf16 TFLOP/s vs 394 int8 TOP/s — the
+single-source constants in `jckx/configs.py`) and int8
 operands halve HBM traffic, so a quantized sampler can beat the bf16 one on
 BOTH rooflines. This module builds an int8×int8→int32 replica of the
 generator forward (`jckx/models/dcgan.py:79-95` — the CGAN generator is the
@@ -219,3 +220,63 @@ def quantized_generator_apply(qp: QuantParams, z: jax.Array,
     y = conv_transpose2d_int8(xq, qp["convt_out_q"], stride=2, padding=1)
     x = y.astype(jnp.float32) * (qp[f"a{geo.n_up}_scale"] * qp["convt_out_wscale"])
     return jnp.tanh(x)
+
+
+# ----------------------------------------------- serving single-source API
+
+_CALIB_SALT = 0x5ca1e
+
+
+def serving_calibration_key(seed: int) -> jax.Array:
+    """The calibration PRNG key GeneratorService derives from its seed.
+
+    Single source: jckx.serve, jckx.export, jckx.evaluate --quant and
+    bench_serve.py all quantize through this derivation, so the pytree
+    scored by `evaluate --quant int8` IS (bit-for-bit) the one
+    `serve --quant int8` serves for the same seed. (A drift here once made
+    evaluate calibrate with fold_in(key, salt) while serve used
+    PRNGKey(seed + salt) — near-identical scales, but the metric-isolation
+    claim was false in the clipping tail.)"""
+    return jax.random.PRNGKey(seed + _CALIB_SALT)
+
+
+def make_sampler(params: Params, geo: GANGeometry, *, quant: str = None,
+                 conditional: bool = False, num_classes: int = 100,
+                 compute_dtype=jnp.bfloat16, seed: int = 0,
+                 calib_batches: int = 4, calib_batch_size: int = 64):
+    """→ ``(params_out, apply)`` where ``apply(params, z, onehot_or_None)``
+    renders tanh images — the ONE home of the quant-vs-float forward
+    dispatch and of the quant path's input convention (one-hot labels
+    concatenated onto z along the feature axis, CGAN.py:154-155 semantics).
+
+    ``quant`` None/'' → float forward over the given params (DCGAN or CGAN
+    apply per ``conditional``). ``quant='int8'`` → calibrate with
+    `serving_calibration_key(seed)` over the serving z(+label) probe
+    distribution, quantize, and return the int8 W8A8 forward over the
+    quantized pytree. Callers that already hold prepared params (e.g.
+    export reusing a service's) pass them back through ``apply`` unchanged.
+    """
+    if quant not in (None, "", "int8"):
+        raise ValueError(
+            f"quant={quant!r}: supported modes are None (float) and 'int8'")
+    if quant == "int8":
+        scales = calibrate_generator(
+            params, geo, serving_calibration_key(seed),
+            in_dim=geo.z_dim + (num_classes if conditional else 0),
+            batches=calib_batches, batch_size=calib_batch_size,
+            compute_dtype=compute_dtype)
+        params = quantize_generator(params, scales, geo)
+
+        def apply(p, z, onehot=None):
+            if onehot is not None:
+                z = jnp.concatenate([z, onehot.astype(z.dtype)], axis=-1)
+            return quantized_generator_apply(p, z, geo)
+    else:
+        from jckx.models import cgan, dcgan
+
+        def apply(p, z, onehot=None):
+            if onehot is not None:
+                return cgan.cgenerator_apply(p, z, onehot, geo, compute_dtype)
+            return dcgan.generator_apply(p, z, geo, compute_dtype)
+
+    return params, apply

@@ -45,7 +45,6 @@ import numpy as np
 
 from jckx.checkpoint import restore_checkpoint
 from jckx.kernels.fused_bn_act import pallas_inference
-from jckx.models import cgan, dcgan
 from jckx.models.dcgan import GANGeometry
 from jckx.train.state import make_template_state
 
@@ -231,19 +230,17 @@ class GeneratorService:
         # Calibration runs a few FLOAT probe batches of the same z (and
         # label) distribution the render draws, then the float generator
         # params are replaced by the int8 pytree for the service lifetime.
-        if quant not in (None, "int8"):
-            raise ValueError(
-                f"quant={quant!r}: supported modes are None (float) and 'int8'")
-        self.quant = quant
-        if quant == "int8":
-            from jckx.ops.quant import calibrate_generator, quantize_generator
+        # make_sampler (ops/quant.py) is the single home of the quant-vs-
+        # float dispatch AND the calibration-key derivation, shared with
+        # jckx.evaluate --quant (so the scored pytree is the served one),
+        # jckx.export and bench_serve.py.
+        from jckx.ops.quant import make_sampler
 
-            scales = calibrate_generator(
-                self.params_g, self.geo, jax.random.PRNGKey(seed + 0x5ca1e),
-                in_dim=self.geo.z_dim + (ncls if conditional else 0),
-                batches=quant_calib_batches, batch_size=min(bs, 64),
-                compute_dtype=cd)
-            self.params_g = quantize_generator(self.params_g, scales, self.geo)
+        self.quant = quant
+        self.params_g, self.sampler_apply = make_sampler(
+            self.params_g, self.geo, quant=quant, conditional=conditional,
+            num_classes=ncls, compute_dtype=cd, seed=seed,
+            calib_batches=quant_calib_batches, calib_batch_size=min(bs, 64))
 
         # The whole request batch is ONE compiled program: fold the batch
         # offset into the key, draw z (and random labels for conditional
@@ -251,22 +248,14 @@ class GeneratorService:
         # per-batch device ops (fold_in/normal/one_hot) would each cost a
         # dispatch (~0.4 s through this machine's tunnel) that the async
         # drain in sample() cannot hide.
+        sampler_apply = self.sampler_apply
+
         def apply_g(params, z, lab):
             """One generator forward — float (the default trace) or the int8
-            serving replica. ``lab`` None ⇒ unconditional; else class ids.
-            The float conditional call goes through cgan.cgenerator_apply
-            (the same one-hot concat the quant path does inline)."""
-            if quant == "int8":
-                from jckx.ops.quant import quantized_generator_apply
-
-                if lab is not None:
-                    z = jnp.concatenate(
-                        [z, jax.nn.one_hot(lab, ncls, dtype=z.dtype)], axis=-1)
-                return quantized_generator_apply(params, z, self.geo)
-            if lab is not None:
-                return cgan.cgenerator_apply(
-                    params, z, jax.nn.one_hot(lab, ncls), self.geo, cd)
-            return dcgan.generator_apply(params, z, self.geo, cd)
+            serving replica. ``lab`` None ⇒ unconditional; else class ids."""
+            onehot = (jax.nn.one_hot(lab, ncls, dtype=z.dtype)
+                      if lab is not None else None)
+            return sampler_apply(params, z, onehot)
 
         def render_rand(params, key, offset):
             k = jax.random.fold_in(key, offset)

@@ -164,3 +164,30 @@ def test_service_quant_int8_mesh_sharded(tmp_path):
     # integer conv math is exact; BN stats are f32 reductions whose grouping
     # may differ across shardings -> allow +-1 uint8 count
     assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+def test_evaluate_scores_the_served_pytree(tmp_path):
+    """The quantized pytree `jckx.evaluate --quant int8` scores must be
+    bit-for-bit the one `GeneratorService(quant='int8')` serves for the
+    same seed. Regression: evaluate once calibrated with
+    fold_in(PRNGKey(seed), salt) while serve used PRNGKey(seed + salt) —
+    near-identical scales, but the metric-isolation claim was false in the
+    clipping tail. Both now route through ops/quant.py::make_sampler with
+    serving_calibration_key(seed)."""
+    from jckx.ops.quant import make_sampler
+    from jckx.serve import GeneratorService
+
+    path, geo = _save_ckpt(tmp_path)
+    svc = GeneratorService(path, geo=geo, batch_size=512,  # default-size calib
+                           compute_dtype=jnp.float32, quant="int8", seed=7)
+    svc_float = GeneratorService(path, geo=geo, batch_size=512,
+                                 compute_dtype=jnp.float32, seed=7)
+    # evaluate.py's exact call shape (defaults: calib_batches=4, bs=64)
+    qp_eval, _ = make_sampler(svc_float.params_g, geo, quant="int8",
+                              conditional=False, num_classes=100,
+                              compute_dtype=jnp.float32, seed=7)
+    served = jax.tree_util.tree_leaves(svc.params_g)
+    scored = jax.tree_util.tree_leaves(qp_eval)
+    assert len(served) == len(scored)
+    for a, b in zip(served, scored):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
