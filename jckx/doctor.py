@@ -1,0 +1,165 @@
+"""Environment readiness check: ``python -m jckx.doctor``.
+
+One command that answers "can this machine train/serve, and how healthy is
+the accelerator link right now?" — the operational questions every other
+jckx entry point assumes are already settled. The reference has no analog
+(it crashes at whatever layer first touches the missing piece); jckx's
+remote-TPU deployments in particular need the LINK check, because a
+degraded tunnel makes every timing/metric read garbage without any error
+being raised (see CLAUDE.md's landmine list).
+
+Checks (each independent; failures are reported, never raised):
+- backend: which JAX platform resolved, device count/kind.
+- link: device put + blocked scalar read round-trip seconds — the probe
+  recommended before trusting any measurement. Healthy tunnel ≲ 1 s;
+  sick episodes have measured 40 s – 5 min+.
+- compile: jit of a tiny matmul end to end (exercises the XLA toolchain
+  and, on a remote runtime, the compile channel).
+- native: the C++ IO library (mmap dataset cache / multithreaded gather)
+  — 'fallback' means the pure-python path will be used, which is correct
+  but slower for host-streaming datasets.
+- datasets: which real archives are present under --data_dir (else the
+  synthetic fallback trains/evals deterministically).
+- backbone: whether a fine-tuned metric backbone exists (Metrics falls
+  back to seeded-random init — FID/IS still run, absolutes not comparable).
+
+Exit code 0 when backend+compile pass (the framework can run), 1 otherwise.
+JSON on stdout — scrape-friendly for fleet preflight.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def run_checks(data_dir: str = "./data", probe_timeout_s: float = 60.0,
+               save_root: str = "./save") -> dict:
+    """→ report dict; never raises. Import-heavy work stays inside so a
+    broken piece is reported as its check's failure, not a CLI crash."""
+    report: dict = {"ok": False}
+
+    # backend --------------------------------------------------------------
+    try:
+        import jax
+
+        devs = jax.devices()
+        report["backend"] = {
+            "platform": jax.default_backend(),
+            "device_count": len(devs),
+            "device_kind": devs[0].device_kind if devs else None,
+            "jax_version": jax.__version__,
+        }
+    except Exception as e:  # noqa: BLE001 — the report IS the error channel
+        report["backend"] = {"error": f"{type(e).__name__}: {e}"}
+        return report
+
+    # link probe ------------------------------------------------------------
+    # a thread-boxed put+read: the read is what hangs on a sick tunnel, and
+    # a doctor that itself hangs for minutes is useless
+    import threading
+
+    import numpy as np
+
+    box: dict = {}
+
+    def _probe():
+        try:
+            a = jax.device_put(np.ones((8, 8), np.float32))
+            jax.block_until_ready(a)
+            t0 = time.perf_counter()
+            float(a[0, 0])
+            box["read_s"] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            box["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(probe_timeout_s)
+    if th.is_alive():
+        report["link"] = {"error": f"probe still blocked after "
+                                   f"{probe_timeout_s:.0f}s — treat the "
+                                   f"link as sick; do not trust timings"}
+    elif "error" in box:
+        report["link"] = {"error": box["error"]}
+    else:
+        read_s = box["read_s"]
+        report["link"] = {"read_s": read_s,
+                          "healthy": bool(read_s < 2.0)}
+
+    # compile ---------------------------------------------------------------
+    try:
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        y = jax.jit(lambda x: (x @ x).sum())(jnp.eye(128))
+        jax.block_until_ready(y)
+        report["compile"] = {"ok": bool(np.isfinite(float(y))),
+                             "wall_s": round(time.perf_counter() - t0, 2)}
+    except Exception as e:  # noqa: BLE001
+        report["compile"] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+
+    # native IO ------------------------------------------------------------
+    try:
+        from jckx.data import native_io
+
+        report["native_io"] = {"available": native_io.available(),
+                               "note": None if native_io.available() else
+                               "python fallback active (no compiler or "
+                               "build failed) — correct but slower for "
+                               "host-streaming datasets"}
+    except Exception as e:  # noqa: BLE001
+        report["native_io"] = {"available": False,
+                               "note": f"{type(e).__name__}: {e}"}
+
+    # datasets -------------------------------------------------------------
+    archives = {
+        "cifar100": ("cifar-100-python.tar.gz", "cifar-100-python"),
+        "cifar10": ("cifar-10-python.tar.gz", "cifar-10-batches-py"),
+        "mnist": ("train-images-idx3-ubyte.gz", "train-images-idx3-ubyte"),
+    }
+    present = {
+        name: any(os.path.exists(os.path.join(data_dir, p)) for p in paths)
+        for name, paths in archives.items()
+    }
+    report["datasets"] = {**present,
+                          "synthetic_fallback": True,
+                          "data_dir": os.path.abspath(data_dir)}
+
+    # metric backbone ------------------------------------------------------
+    bdir = os.path.join(save_root, "iception_v3")  # (sic) reference dropin
+    found = [f for f in ("loss_bset.npz", "loss_bset.pt")
+             if os.path.exists(os.path.join(bdir, f))]
+    report["metric_backbone"] = {
+        "found": found,
+        "note": None if found else
+        "no fine-tuned backbone — Metrics uses seeded-random init "
+        "(FID/IS run; absolutes not comparable across stacks). Produce one "
+        "with: python -m jckx.metrics.inception_train",
+    }
+
+    report["ok"] = bool(report["backend"].get("device_count")
+                        and report["compile"].get("ok"))
+    return report
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        description="jckx environment readiness check (JSON on stdout)")
+    p.add_argument("--data_dir", default="./data")
+    p.add_argument("--save_root", default="./save")
+    p.add_argument("--probe_timeout", type=float, default=60.0,
+                   help="seconds before declaring the device link sick")
+    args = p.parse_args(argv)
+    report = run_checks(args.data_dir, args.probe_timeout, args.save_root)
+    print(json.dumps(report, indent=2))
+    return 0 if report["ok"] else 1
+
+
+if __name__ == "__main__":
+    from jckx.utils.device import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
+    raise SystemExit(main())

@@ -76,3 +76,24 @@ def test_differential_time_jitter_armor():
     # repeats=1 keeps the legacy single-shot behavior (fallback on <=0)
     dt = differential_time(make_region({0: 1.0}), 5, repeats=1)
     assert dt > 5 * TRUE  # degraded estimate, but never negative
+
+
+def test_doctor_report(tmp_path, capsys):
+    """jckx.doctor: all checks present, ok=True on a working backend, exit 0;
+    dataset/backbone probes respect the dirs given."""
+    import jckx.doctor as doctor
+
+    rc = doctor.main(["--data_dir", str(tmp_path), "--save_root",
+                      str(tmp_path)])
+    assert rc == 0
+    import json
+
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"] is True
+    assert rep["backend"]["device_count"] >= 1
+    assert rep["compile"]["ok"] is True
+    assert rep["link"].get("read_s") is not None
+    assert rep["datasets"]["cifar100"] is False  # empty tmp dir
+    assert rep["datasets"]["synthetic_fallback"] is True
+    assert rep["metric_backbone"]["found"] == []
+    assert "inception_train" in rep["metric_backbone"]["note"]
