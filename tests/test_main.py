@@ -97,3 +97,19 @@ def test_doctor_report(tmp_path, capsys):
     assert rep["datasets"]["synthetic_fallback"] is True
     assert rep["metric_backbone"]["found"] == []
     assert "inception_train" in rep["metric_backbone"]["note"]
+
+
+def test_bench_serve_smoke(capsys):
+    """bench_serve.py end to end on CPU at toy size: the make_sampler
+    serving trace, differential timing, roofline block, and the e2e
+    GeneratorService detail all produce one valid JSON line."""
+    import json
+
+    import bench_serve
+
+    bench_serve.main(batch_size=4, scan_batches=2, regions=1, repeats=1)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["unit"] == "images/sec/chip" and rec["value"] > 0
+    r = rec["detail"]["serve_forward_roofline"]
+    assert r["gflop_per_image"] > 0 and r["mb_accessed_per_image"] > 0
+    assert rec["detail"]["e2e_service_img_per_s_incl_host_fetch"] > 0
