@@ -73,7 +73,7 @@ def one_config(image_size, batch_size, remat, K, supersteps, trace,
     # idx upload is a per-launch dispatch the 2S−S differential cannot
     # cancel — same fix as bench.py)
     idx_pool = iter(jax.block_until_ready(
-        [jax.device_put(idxs()) for _ in range(3 * supersteps)]))
+        [jax.device_put(idxs()) for _ in range(2 * 3 * supersteps)]))
     box = {"state": state}
 
     def run_region(n):
@@ -87,7 +87,8 @@ def one_config(image_size, batch_size, remat, K, supersteps, trace,
         return time.perf_counter() - t0
 
     # tunnel-safe differential timing, single-sourced with the bench
-    dt = differential_time(run_region, supersteps)
+    # (2 repeats: per-size minima shed one-off dispatch jitter)
+    dt = differential_time(run_region, supersteps, repeats=2)
     state, loss_d = box["state"], box["loss"]
     assert np.isfinite(loss_d)
 
