@@ -36,9 +36,11 @@ import time
 
 
 def run_checks(data_dir: str = "./data", probe_timeout_s: float = 60.0,
-               save_root: str = "./save") -> dict:
+               save_root: str = "./save", link_only: bool = False) -> dict:
     """→ report dict; never raises. Import-heavy work stays inside so a
-    broken piece is reported as its check's failure, not a CLI crash."""
+    broken piece is reported as its check's failure, not a CLI crash.
+    ``link_only`` stops after backend+link (the cheap preflight other tools
+    shell out to — tools/bench_all.py's tunnel probe)."""
     report: dict = {"ok": False}
 
     # backend --------------------------------------------------------------
@@ -88,6 +90,11 @@ def run_checks(data_dir: str = "./data", probe_timeout_s: float = 60.0,
         read_s = box["read_s"]
         report["link"] = {"read_s": read_s,
                           "healthy": bool(read_s < 2.0)}
+
+    if link_only:
+        report["ok"] = bool(report["backend"].get("device_count")
+                            and "read_s" in report["link"])
+        return report
 
     # compile ---------------------------------------------------------------
     try:
@@ -152,8 +159,14 @@ def main(argv=None) -> int:
     p.add_argument("--save_root", default="./save")
     p.add_argument("--probe_timeout", type=float, default=60.0,
                    help="seconds before declaring the device link sick")
+    p.add_argument("--link_only", action="store_true",
+                   help="backend + link probe only (fast preflight)")
     args = p.parse_args(argv)
-    report = run_checks(args.data_dir, args.probe_timeout, args.save_root)
+    report = run_checks(args.data_dir, args.probe_timeout, args.save_root,
+                        link_only=args.link_only)
+    # exit 0 = framework can run; in --link_only mode that means a
+    # resolvable backend + a completed link read (sick-but-alive is still
+    # 0 — read_s is the health verdict, thresholded by the caller)
     print(json.dumps(report, indent=2))
     return 0 if report["ok"] else 1
 

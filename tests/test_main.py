@@ -113,3 +113,17 @@ def test_bench_serve_smoke(capsys):
     r = rec["detail"]["serve_forward_roofline"]
     assert r["gflop_per_image"] > 0 and r["mb_accessed_per_image"] > 0
     assert rec["detail"]["e2e_service_img_per_s_incl_host_fetch"] > 0
+
+
+def test_doctor_link_only(capsys):
+    """--link_only stops after backend+link (the fast preflight bench_all
+    shells out to): no compile/dataset keys, ok=True, exit 0."""
+    import json
+
+    import jckx.doctor as doctor
+
+    rc = doctor.main(["--link_only"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["ok"] is True and "read_s" in rep["link"]
+    assert "compile" not in rep and "datasets" not in rep

@@ -32,24 +32,23 @@ BENCHES = {
 
 
 def probe_tunnel(timeout_s: int = 120):
-    """→ (read_seconds|None, error|None): put+blocked read of a scalar.
-    A probe that CRASHES (plugin init error, etc.) is reported with its
-    stderr tail, not conflated with a tunnel timeout."""
-    code = (
-        "import numpy as np, jax, time;"
-        "a = jax.device_put(np.ones((8, 8), np.float32));"
-        "jax.block_until_ready(a);"
-        "t = time.perf_counter(); float(a[0, 0]);"
-        "print('PROBE_S', round(time.perf_counter() - t, 2))"
-    )
+    """→ (read_seconds|None, error|None) via ``jckx.doctor`` (the
+    single-source preflight; its link check is the same put+blocked-read
+    probe, thread-boxed). A probe that CRASHES (plugin init error, etc.)
+    is reported with its stderr tail, not conflated with a tunnel timeout."""
     try:
-        out = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                             text=True, timeout=timeout_s)
-        for line in out.stdout.splitlines():
-            if line.startswith("PROBE_S"):
-                return float(line.split()[1]), None
-        return None, (f"probe exited {out.returncode} without a reading; "
-                      f"stderr: {out.stderr[-300:]}")
+        out = subprocess.run(
+            [sys.executable, "-m", "jckx.doctor", "--link_only",
+             "--probe_timeout", str(timeout_s - 30)],
+            capture_output=True, text=True, timeout=timeout_s)
+        try:
+            link = json.loads(out.stdout)["link"]
+        except (json.JSONDecodeError, KeyError):
+            return None, (f"doctor exited {out.returncode} without a report; "
+                          f"stderr: {out.stderr[-300:]}")
+        if "read_s" in link:
+            return float(link["read_s"]), None
+        return None, link.get("error", "no reading")
     except subprocess.TimeoutExpired:
         return None, f"timed out after {timeout_s}s"
 
