@@ -44,11 +44,12 @@ from jckx.configs import (REFERENCE_IMG_PER_SEC, V5E_BF16_PEAK_FLOPS,
 
 
 def build_region(model: str = "DCGAN", image_size: int = 64,
-                 batch_size: int = 512, scan_batches: int = 20,
+                 batch_size: int = 512,
                  compute_dtype=jnp.bfloat16, quant: bool = False):
     """→ ``(region, params, geo, conditional)`` where ``region(params, keys)``
     renders ``keys.shape[0]`` uint8 request batches in one launch and
-    returns their checksum (forces materialization). ``quant`` swaps in the
+    returns their checksum (forces materialization) — the scan trip count
+    comes solely from the keys the caller passes. ``quant`` swaps in the
     int8 W8A8 serving forward (ops/quant.py) on calibrated-and-quantized
     params — the same trace GeneratorService(quant='int8') serves."""
     from jckx.models import cgan, dcgan
@@ -106,7 +107,7 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
     sp_scope = subpixel_inference if subpixel else contextlib.nullcontext
 
     region, params, geo, conditional = build_region(
-        model, image_size, batch_size, scan_batches, quant=quant)
+        model, image_size, batch_size, quant=quant)
     jitted = jax.jit(region)
 
     def keys_for(i, n):

@@ -315,12 +315,42 @@ def adam_state_to_torch(opt_state, entries: List[MapEntry], lr: float,
     return {"state": state, "param_groups": [group]}
 
 
+def _threefry2x32(key: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Threefry-2x32 (20 rounds) in pure numpy uint32 arithmetic — the hash
+    behind jax's threefry PRNG. Bit-exact vs jax.random (pinned in
+    tests/test_torch_convert.py::test_host_key_matches_jax_fold_in)."""
+    rot = np.uint32([13, 15, 26, 6, 17, 29, 16, 24])
+    with np.errstate(over="ignore"):  # uint32 wraparound is the cipher
+        ks = [key[0], key[1], key[0] ^ key[1] ^ np.uint32(0x1BD11BDA)]
+        x0 = (x[0] + ks[0]).astype(np.uint32)
+        x1 = (x[1] + ks[1]).astype(np.uint32)
+
+        def rotl(v, r):
+            return ((v << r) | (v >> np.uint32(32 - int(r)))).astype(np.uint32)
+
+        for block in range(5):
+            for r in rot[(block % 2) * 4:(block % 2) * 4 + 4]:
+                x0 = (x0 + x1).astype(np.uint32)
+                x1 = rotl(x1, r) ^ x0
+            x0 = (x0 + ks[(block + 1) % 3]).astype(np.uint32)
+            x1 = (x1 + ks[(block + 2) % 3]
+                  + np.uint32(block + 1)).astype(np.uint32)
+    return np.array([x0, x1], np.uint32)
+
+
 def _host_key(seed: int, fold: int) -> np.ndarray:
-    """Seed-derived PRNG key as HOST numpy uint32 — computed on the CPU
-    backend so importing a checkpoint never dispatches to (or reads from)
-    the accelerator; the first jit uploads it with the rest of the state."""
-    with jax.default_device(jax.local_devices(backend="cpu")[0]):
-        return np.asarray(jax.random.fold_in(jax.random.PRNGKey(seed), fold))
+    """Seed-derived PRNG key as HOST numpy uint32, == np.asarray(
+    jax.random.fold_in(jax.random.PRNGKey(seed), fold)).
+
+    Computed entirely in numpy: importing a checkpoint must never dispatch
+    to (or read from) the accelerator — and it cannot simply run on the
+    'cpu' backend, because the production JAX_PLATFORMS=axon/tpu pin
+    excludes cpu from the registered backends (jax.local_devices(
+    backend="cpu") raises there; only the CPU-pinned test suite has it).
+    The first jit uploads this key with the rest of the state."""
+    key = _threefry2x32(np.uint32([seed >> 32 & 0xFFFFFFFF, seed & 0xFFFFFFFF]),
+                        np.uint32([fold >> 32 & 0xFFFFFFFF, fold & 0xFFFFFFFF]))
+    return np.asarray(key, np.uint32)
 
 
 # ------------------------------------------------------------------ top level

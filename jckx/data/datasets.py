@@ -236,11 +236,21 @@ def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
         if name == "mnist":
             x, y = _with_cache(name, data_dir, train, load_mnist)
             return x, y, 10, [str(i) for i in range(10)], False
-    except OSError:
-        # not just FileNotFoundError: a read-only data_dir makes the gz/tar
-        # extraction or cache write raise PermissionError, and a torn archive
-        # raises plain OSError — all mean "no usable archive", same fallback
-        pass
+    except FileNotFoundError:
+        pass  # archive absent — the expected, silent fallback case
+    except OSError as e:
+        # not just absence: a read-only data_dir makes the gz/tar extraction
+        # or cache write raise PermissionError, and a torn archive raises
+        # plain OSError — still fall back (the run can proceed), but NEVER
+        # silently: a transient I/O failure swapping real data for synthetic
+        # would otherwise publish garbage metric absolutes with no trace
+        import warnings
+
+        warnings.warn(
+            f"dataset '{name}' archive exists-but-unreadable under "
+            f"{data_dir!r} ({type(e).__name__}: {e}) — falling back to "
+            f"SYNTHETIC data; metric absolutes will not be comparable",
+            RuntimeWarning, stacklevel=2)
     # synthetic fallback
     ch = 1 if name == "mnist" else 3
     ncls = num_classes or (10 if name in ("cifar10", "mnist") else 100)

@@ -203,6 +203,16 @@ class GeneratorService:
         self._conv_scope = subpixel_inference if subpixel else contextlib.nullcontext
 
         if torch_state is not None:
+            if use_ema:
+                # same contract as the geometry clashes above: the operator
+                # explicitly asked for EMA weights, but reference .pt
+                # checkpoints carry none (the reference has no EMA at all) —
+                # silently serving the live generator would ship the wrong
+                # weights with only an info-line hint
+                raise ValueError(
+                    f"{ckpt_path}: use_ema=True was requested but reference "
+                    f"torch checkpoints carry no EMA weights; drop use_ema "
+                    f"or serve a jckx checkpoint from an --ema_decay run")
             state = torch_state
             self.step = tinfo["step"]  # host-side: int(state.step) would be
             # a cold-channel device read on some backends (CLAUDE.md landmine)

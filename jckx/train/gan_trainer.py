@@ -476,6 +476,12 @@ class _BaseGANTrainer(Trainer):
         # the last eval. Handler installation is main-thread-only (signal
         # module restriction); library callers on worker threads keep their
         # process-level handlers untouched.
+        # fresh latch per call: a run that was preempted (or a handler that
+        # fired after the loop exited) must not make a LATER train() on the
+        # same trainer re-preempt after a single launch — the retry/continue
+        # pattern is supported (test_train_twice_continues_run)
+        self._preempt.clear()
+        self.preempted = False
         prev_term = None
         own_handler = (cfg.preempt_save
                        and threading.current_thread() is threading.main_thread())

@@ -121,9 +121,31 @@ def test_load_dataset_falls_back_on_unreadable_archive(tmp_path, monkeypatch):
         raise PermissionError("read-only mount")
 
     monkeypatch.setattr(ds.gzip, "open", deny)
-    x, y, ncls, names, synth = ds.load_dataset(
-        "mnist", str(tmp_path), synthetic_n=64)
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        x, y, ncls, names, synth = ds.load_dataset(
+            "mnist", str(tmp_path), synthetic_n=64)
     assert synth and x.shape[0] == 64 and ncls == 10
+    # the substitution must be LOUD: a non-absence I/O failure swapping real
+    # data for synthetic names the exception in a RuntimeWarning
+    msgs = [str(w.message) for w in caught if w.category is RuntimeWarning]
+    assert any("PermissionError" in m and "SYNTHETIC" in m for m in msgs), msgs
+
+
+def test_load_dataset_absent_archive_falls_back_silently(tmp_path):
+    """Plain absence (FileNotFoundError) keeps the quiet documented
+    fallback — no RuntimeWarning spam for the common no-archives case."""
+    from jckx.data import datasets as ds
+    import warnings
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        x, y, ncls, names, synth = ds.load_dataset(
+            "mnist", str(tmp_path / "empty"), synthetic_n=64)
+    assert synth and x.shape[0] == 64
+    assert not [w for w in caught if w.category is RuntimeWarning]
 
 
 def test_preprocessor_stats_match_float_copy_formula():

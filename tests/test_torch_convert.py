@@ -358,6 +358,12 @@ def test_serve_from_torch_pt(tmp_path):
     # not an opaque trace-time shape failure
     with pytest.raises(ValueError, match="contradict"):
         GeneratorService(path, batch_size=8, geo_overrides={"image_size": 32})
+
+    # same contract for EMA: reference .pt checkpoints carry no EMA
+    # weights, so an explicit use_ema=True must error rather than silently
+    # serve the live generator
+    with pytest.raises(ValueError, match="EMA"):
+        GeneratorService(path, batch_size=8, use_ema=True)
     with pytest.raises(ValueError, match="contradict"):
         GeneratorService(path, batch_size=8, conditional=True)
 
@@ -531,3 +537,20 @@ def test_convert_cli_bare_filename_dst(tmp_path, monkeypatch):
     info = convert(conv_args(["--src", src, "--dst", "latest.ckpt"]))
     assert info["wrote"] == "latest.ckpt"
     assert (tmp_path / "latest.ckpt").exists()
+
+
+def test_host_key_matches_jax_fold_in():
+    """_host_key (pure-numpy Threefry-2x32) must be bit-exact with
+    jax.random.fold_in(PRNGKey(seed), fold) — the contract that lets
+    torch-.pt import run on hosts whose JAX_PLATFORMS pin excludes the
+    cpu backend (where the old jax.local_devices(backend='cpu') path
+    raised RuntimeError before any work)."""
+    import jax
+
+    from jckx.checkpoint.torch_convert import _host_key
+
+    for seed, fold in [(0, 0), (12345, 0), (12345, 7), (2**31 - 1, 999),
+                       (1, 2**31 - 1)]:
+        expect = np.asarray(jax.random.fold_in(jax.random.PRNGKey(seed), fold))
+        got = _host_key(seed, fold)
+        np.testing.assert_array_equal(got, expect), (seed, fold)

@@ -542,3 +542,43 @@ def test_eval_cadence_launch_quantized_boundary_set(tmp_path):
     assert expected == [10, 59, 108, 117]  # sanity: straddles all 3 epochs
     assert fired == expected
     MainLogger.reset()
+
+
+def test_preempted_trainer_trains_cleanly_on_next_call(tmp_path):
+    """The preemption latch must be per-train()-call: after a preempted
+    run, calling train() AGAIN on the same trainer (the supported
+    retry/continue pattern) must run to completion, not re-preempt after
+    one launch on the stale latch."""
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(11))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+    cfg = tiny_cfg(tmp_path)
+    cfg.epoch = 2
+    cfg.log_every = 2
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps/epoch
+    data_pre.labels_np = data_pre.labels_np[:64]
+    tr = DCGANTrainer(cfg, pg, pd, data_pre, metrics=StubMetrics())
+
+    real_superstep = tr._superstep
+    calls = {"n": 0}
+
+    def kicking(*args):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            tr._preempt.set()  # what the SIGTERM handler does
+        return real_superstep(*args)
+
+    tr._superstep = kicking
+    tr.train()
+    assert tr.preempted and int(tr.state.step) == 4
+    MainLogger.reset()
+
+    tr._superstep = real_superstep
+    tr.train()  # same trainer object, no new signal
+    assert not tr.preempted, "stale preemption latch survived into a new train()"
+    assert int(tr.state.step) == 8
+    MainLogger.reset()
