@@ -72,7 +72,7 @@ def build_region(model: str = "DCGAN", image_size: int = 64,
     params, sampler_apply = make_sampler(
         params, geo, quant="int8" if quant else None, conditional=conditional,
         num_classes=ncls, compute_dtype=compute_dtype, seed=5,
-        calib_batches=2, calib_batch_size=min(batch_size, 64))
+        calib_batches=2)
 
     def render(params, key):
         z = jax.random.normal(key, (batch_size, geo.z_dim))

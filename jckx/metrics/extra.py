@@ -121,7 +121,6 @@ def _dists(q: jax.Array, a: jax.Array, a_sq: jax.Array) -> jax.Array:
     return jnp.sqrt(jnp.maximum(d2, 0.0))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def real_knn_radii(x, k: int = 3, chunk: int = 2048) -> jax.Array:
     """Public wrapper for precomputing a fixed set's k-NN radii once (the
     ``real_radii`` input of manifold_metrics)."""
@@ -129,6 +128,7 @@ def real_knn_radii(x, k: int = 3, chunk: int = 2048) -> jax.Array:
     return _knn_radii(x, k, min(int(chunk), x.shape[0]))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def _knn_radii(x: jax.Array, k: int, chunk: int) -> jax.Array:
     """Per-row distance to the k-th nearest OTHER row of ``x`` (n,).
 

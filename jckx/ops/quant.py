@@ -249,14 +249,20 @@ def make_sampler(params: Params, geo: GANGeometry, *, quant: str = None,
     dispatch and of the quant path's input convention (one-hot labels
     concatenated onto z along the feature axis, CGAN.py:154-155 semantics).
 
-    ``quant`` None/'' → float forward over the given params (DCGAN or CGAN
+    ``quant`` None → float forward over the given params (DCGAN or CGAN
     apply per ``conditional``). ``quant='int8'`` → calibrate with
     `serving_calibration_key(seed)` over the serving z(+label) probe
     distribution, quantize, and return the int8 W8A8 forward over the
-    quantized pytree. Callers that already hold prepared params (e.g.
-    export reusing a service's) pass them back through ``apply`` unchanged.
+    quantized pytree. Calibration depends only on (seed, calib_batches,
+    calib_batch_size) — callers must NOT couple ``calib_batch_size`` to
+    their serving/render batch size, or the scored-pytree == served-pytree
+    guarantee (tests/test_quant.py) breaks for other batch sizes. Callers
+    that already hold prepared params (e.g. export reusing a service's)
+    pass them back through ``apply`` unchanged.
     """
-    if quant not in (None, "", "int8"):
+    if quant not in (None, "int8"):
+        # '' is rejected too (GeneratorService's original contract):
+        # callers holding CLI strings normalize with `args.quant or None`
         raise ValueError(
             f"quant={quant!r}: supported modes are None (float) and 'int8'")
     if quant == "int8":

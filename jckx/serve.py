@@ -247,10 +247,14 @@ class GeneratorService:
         from jckx.ops.quant import make_sampler
 
         self.quant = quant
+        # calibration batch size stays the make_sampler default (64),
+        # NOT min(bs, 64): scales must depend only on (seed, calib_batches)
+        # so the pytree `evaluate --quant` scores is the served one for
+        # EVERY serving batch_size, not just bs >= 64
         self.params_g, self.sampler_apply = make_sampler(
             self.params_g, self.geo, quant=quant, conditional=conditional,
             num_classes=ncls, compute_dtype=cd, seed=seed,
-            calib_batches=quant_calib_batches, calib_batch_size=min(bs, 64))
+            calib_batches=quant_calib_batches)
 
         # The whole request batch is ONE compiled program: fold the batch
         # offset into the key, draw z (and random labels for conditional

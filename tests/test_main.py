@@ -93,6 +93,7 @@ def test_doctor_report(tmp_path, capsys):
     assert rep["backend"]["device_count"] >= 1
     assert rep["compile"]["ok"] is True
     assert rep["link"].get("read_s") is not None
+    assert rep["link"].get("cold_read_s") is not None  # two-read probe
     assert rep["datasets"]["cifar100"] is False  # empty tmp dir
     assert rep["datasets"]["synthetic_fallback"] is True
     assert rep["metric_backbone"]["found"] == []

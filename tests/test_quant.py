@@ -178,8 +178,18 @@ def test_evaluate_scores_the_served_pytree(tmp_path):
     from jckx.serve import GeneratorService
 
     path, geo = _save_ckpt(tmp_path)
-    svc = GeneratorService(path, geo=geo, batch_size=512,  # default-size calib
+    svc = GeneratorService(path, geo=geo, batch_size=512,
                            compute_dtype=jnp.float32, quant="int8", seed=7)
+    # calibration is decoupled from serving batch size: a small-batch
+    # service must quantize to the SAME pytree (regression: min(bs, 64)
+    # coupling once made bs<64 services calibrate differently than
+    # evaluate scored)
+    svc_small = GeneratorService(path, geo=geo, batch_size=32,
+                                 compute_dtype=jnp.float32, quant="int8",
+                                 seed=7)
+    for a, b in zip(jax.tree_util.tree_leaves(svc.params_g),
+                    jax.tree_util.tree_leaves(svc_small.params_g)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     svc_float = GeneratorService(path, geo=geo, batch_size=512,
                                  compute_dtype=jnp.float32, seed=7)
     # evaluate.py's exact call shape (defaults: calib_batches=4, bs=64)

@@ -553,4 +553,4 @@ def test_host_key_matches_jax_fold_in():
                        (1, 2**31 - 1)]:
         expect = np.asarray(jax.random.fold_in(jax.random.PRNGKey(seed), fold))
         got = _host_key(seed, fold)
-        np.testing.assert_array_equal(got, expect), (seed, fold)
+        np.testing.assert_array_equal(got, expect, err_msg=f"{(seed, fold)}")

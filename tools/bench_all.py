@@ -37,9 +37,11 @@ def probe_tunnel(timeout_s: int = 120):
     probe, thread-boxed). A probe that CRASHES (plugin init error, etc.)
     is reported with its stderr tail, not conflated with a tunnel timeout."""
     try:
+        # leave ~30 s of the subprocess budget for interpreter/plugin
+        # startup, but never hand doctor a non-positive probe window
         out = subprocess.run(
             [sys.executable, "-m", "jckx.doctor", "--link_only",
-             "--probe_timeout", str(timeout_s - 30)],
+             "--probe_timeout", str(max(30, timeout_s - 30))],
             capture_output=True, text=True, timeout=timeout_s)
         try:
             link = json.loads(out.stdout)["link"]
@@ -69,7 +71,7 @@ def main():
               flush=True)
     else:
         print(f"tunnel probe: {probe_s:.2f}s"
-              f"{' — SICK, numbers will be unreliable' if probe_s > 5 else ''}",
+              f"{' — SICK, numbers will be unreliable' if probe_s >= 2 else ''}",
               flush=True)
 
     def flush_report():
