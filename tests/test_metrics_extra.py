@@ -207,3 +207,14 @@ def test_evaluate_cli_flags_append_extra_metrics(tmp_path):
                    metrics=StubWithExtra())
     assert res["kid"] == 0.125 and res["kid_std"] == 0.5
     assert res["precision"] == 1.0 and res["coverage"] == 0.75
+
+
+def test_knn_radii_stays_jitted():
+    """_knn_radii must be a jitted callable: a doc-level edit once inserted
+    a function between its @jax.jit decorator and the def, silently making
+    every prdc fake-set radii computation run eagerly op-by-op (seconds of
+    dispatch overhead per eval on a remote runtime, no error raised)."""
+    from jckx.metrics import extra
+
+    assert hasattr(extra._knn_radii, "lower"), (
+        "_knn_radii lost its jax.jit wrapper")
