@@ -32,7 +32,48 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
+import threading
 import time
+
+# Device-touching checks run thread-boxed with a timeout: a blocked device
+# read (and on a sick tunnel even compile/block_until_ready) can hang for
+# minutes, and a doctor that itself hangs is useless. A timed-out probe
+# thread stays blocked inside the accelerator plugin's C++ call forever —
+# it cannot be cancelled, only abandoned.
+_PROBE_THREAD_NAME = "jckx-doctor-probe"
+
+
+def _boxed(fn, timeout_s: float):
+    """→ fn()'s dict, or {'error': ...} on raise/timeout."""
+    box: dict = {}
+
+    def _run():
+        try:
+            box.update(fn())
+        except Exception as e:  # noqa: BLE001 — the report IS the channel
+            box["error"] = f"{type(e).__name__}: {e}"
+
+    th = threading.Thread(target=_run, daemon=True,
+                          name=_PROBE_THREAD_NAME)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        return {"error": f"still blocked after {timeout_s:.0f}s — treat "
+                         f"the link as sick; do not trust timings"}
+    return box
+
+
+def _hard_exit_needed() -> bool:
+    """True when a timed-out probe thread is still blocked in native code.
+
+    Normal interpreter teardown kills daemon threads while they sit inside
+    the plugin's C++ read; the unwinding C++ frame then calls
+    std::terminate ("FATAL: exception not rethrown" + abort) AFTER the
+    report has printed. The caller should os._exit() instead — the report
+    is already flushed, and there is nothing left worth tearing down."""
+    return any(t.name == _PROBE_THREAD_NAME and t.is_alive()
+               for t in threading.enumerate())
 
 
 def run_checks(data_dir: str = "./data", probe_timeout_s: float = 60.0,
@@ -58,30 +99,7 @@ def run_checks(data_dir: str = "./data", probe_timeout_s: float = 60.0,
         report["backend"] = {"error": f"{type(e).__name__}: {e}"}
         return report
 
-    # device-touching checks run thread-boxed with a timeout: the device
-    # read (and on a sick tunnel even compile/block_until_ready) can hang
-    # for minutes, and a doctor that itself hangs is useless
-    import threading
-
     import numpy as np
-
-    def _boxed(fn, timeout_s: float):
-        """→ fn()'s dict, or {'error': ...} on raise/timeout."""
-        box: dict = {}
-
-        def _run():
-            try:
-                box.update(fn())
-            except Exception as e:  # noqa: BLE001
-                box["error"] = f"{type(e).__name__}: {e}"
-
-        th = threading.Thread(target=_run, daemon=True)
-        th.start()
-        th.join(timeout_s)
-        if th.is_alive():
-            return {"error": f"still blocked after {timeout_s:.0f}s — treat "
-                             f"the link as sick; do not trust timings"}
-        return box
 
     # link probe ------------------------------------------------------------
     # two reads: the process's FIRST device→host read rides a cold channel
@@ -194,7 +212,15 @@ def main(argv=None) -> int:
     # resolvable backend + a completed link read (sick-but-alive is still
     # 0 — read_s is the health verdict, thresholded by the caller)
     print(json.dumps(report, indent=2))
-    return 0 if report["ok"] else 1
+    code = 0 if report["ok"] else 1
+    if _hard_exit_needed():
+        # a probe thread is permanently blocked in the plugin's C++ read;
+        # skip interpreter teardown (it would abort with "FATAL: exception
+        # not rethrown" after the report) and exit with the same code
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(code)
+    return code
 
 
 if __name__ == "__main__":

@@ -100,6 +100,32 @@ def test_doctor_report(tmp_path, capsys):
     assert "inception_train" in rep["metric_backbone"]["note"]
 
 
+def test_doctor_boxed_timeout_flags_hard_exit():
+    """A timed-out probe leaves its thread permanently blocked in native
+    code; _boxed reports the sick-link error and _hard_exit_needed() turns
+    True so main() exits via os._exit (skipping the interpreter teardown
+    that would abort with 'FATAL: exception not rethrown' after the JSON
+    report — observed 2026-08-19 against a sick tunnel)."""
+    import threading
+
+    import jckx.doctor as doctor
+
+    release = threading.Event()
+    out = doctor._boxed(lambda: release.wait(60) or {}, timeout_s=0.05)
+    try:
+        assert "still blocked" in out["error"]
+        assert doctor._hard_exit_needed() is True
+    finally:
+        release.set()  # let the leaked thread finish so the suite stays clean
+    for t in threading.enumerate():
+        if t.name == doctor._PROBE_THREAD_NAME:
+            t.join(5.0)
+    assert doctor._hard_exit_needed() is False
+    # the happy path leaks nothing
+    assert doctor._boxed(lambda: {"x": 1}, timeout_s=5.0) == {"x": 1}
+    assert doctor._hard_exit_needed() is False
+
+
 def test_bench_serve_smoke(capsys):
     """bench_serve.py end to end on CPU at toy size: the make_sampler
     serving trace, differential timing, roofline block, and the e2e
