@@ -71,6 +71,12 @@ def get_args(argv=None):
                    help="int8 = score the W8A8 quantized sampler instead of "
                         "the float one (ops/quant.py) — measures the serving "
                         "quantization's metric impact in FID/IS terms")
+    p.add_argument("--calib_seed", type=int, default=0,
+                   help="int8 calibration seed — must match the serving "
+                        "process's --seed (default 0 on both CLIs, so "
+                        "default evaluate scores exactly what default serve "
+                        "deploys). Deliberately decoupled from --seed, which "
+                        "drives the eval-noise protocol")
     return p.parse_args(argv)
 
 
@@ -143,13 +149,17 @@ def evaluate(args, metrics=None):
     # (ops/quant.py) is GeneratorService's own calibrate+quantize+dispatch
     # path — same key derivation, same probe distribution — so the pytree
     # scored here is bit-for-bit the one `jckx.serve --quant int8` serves
-    # for this seed.
+    # when both CLIs use matching (calibration) seeds, which the DEFAULTS
+    # do: --calib_seed defaults to 0 = serve's --seed default. The
+    # eval-noise seed (--seed, trainer protocol) stays independent — it
+    # must NOT leak into calibration or matching serve would force
+    # abandoning the trainer-matching z protocol.
     from jckx.ops.quant import make_sampler
 
     params_for_eval, sampler_apply = make_sampler(
         svc.params_g, geo, quant=getattr(args, "quant", "") or None,
         conditional=conditional, num_classes=ncls, compute_dtype=cd,
-        seed=seed)
+        seed=getattr(args, "calib_seed", 0))
 
     def apply_unc(pg, zz):
         return sampler_apply(pg, zz, None)

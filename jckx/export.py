@@ -236,11 +236,19 @@ class ArtifactService:
         def render(batch_i, made):
             seed = jnp.asarray((base + batch_i) % (2**31 - 1), jnp.int32)
             if self.conditional:
-                lab = (np.asarray([labels[(made + i) % len(labels)]
-                                   for i in range(bs)], np.int32)
-                       if labels is not None else
-                       np.asarray([(base + batch_i + i) % self.num_classes
-                                   for i in range(bs)], np.int32))
+                if labels is not None:
+                    lab = np.asarray([labels[(made + i) % len(labels)]
+                                      for i in range(bs)], np.int32)
+                else:
+                    # no selection = iid-uniform random classes — the shared
+                    # contract (serve.validate_sample_args) GeneratorService
+                    # meets with on-device randint; the exported program's
+                    # label input is fixed, so the draw happens host-side,
+                    # seeded from (base, batch) to keep same-seed requests
+                    # byte-identical
+                    rng = np.random.default_rng([base % (2**63), batch_i])
+                    lab = rng.integers(0, self.num_classes, size=bs,
+                                       dtype=np.int32)
                 return self._call(seed, jnp.asarray(lab))
             return self._call(seed)
 

@@ -201,3 +201,42 @@ def test_evaluate_scores_the_served_pytree(tmp_path):
     assert len(served) == len(scored)
     for a, b in zip(served, scored):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_default_calibration_matches_default_serve(tmp_path,
+                                                            monkeypatch):
+    """Default `evaluate --quant int8` must calibrate with serve's DEFAULT
+    seed (0), independent of the eval-noise --seed. Regression: evaluate
+    once fed its eval-noise seed (default cfg.seed=12345) into
+    make_sampler, so the default-CLI scored pytree was NOT the default-CLI
+    served one — and matching serve's seed via --seed would have abandoned
+    the trainer-matching z protocol. --calib_seed now carries the
+    calibration identity alone."""
+    import jckx.ops.quant as quant_mod
+    from jckx.evaluate import evaluate, get_args
+    from tests.test_trainer import StubMetrics
+
+    path, _geo = _save_ckpt(tmp_path)
+    seen = []
+    real = quant_mod.make_sampler
+
+    def spy(params, geo, **kw):
+        # GeneratorService's own load path also routes through make_sampler
+        # (quant=None float passthrough) — only the int8 calibration calls
+        # carry the contract under test
+        if kw.get("quant") == "int8":
+            seen.append(kw.get("seed"))
+        return real(params, geo, **kw)
+
+    monkeypatch.setattr(quant_mod, "make_sampler", spy)
+    base = ["--ckpt", path, "--dataset", "synthetic",
+            "--image_size", "16", "--base_width", "8",
+            "--compute_dtype", "float32", "--quant", "int8"]
+    # defaults: calibration seed 0 == serve's --seed default, even though
+    # the eval-noise seed defaults to the training seed (12345)
+    evaluate(get_args(base), metrics=StubMetrics())
+    # an explicit eval-noise seed must NOT leak into calibration
+    evaluate(get_args(base + ["--seed", "7"]), metrics=StubMetrics())
+    # --calib_seed is the one knob that moves it
+    evaluate(get_args(base + ["--calib_seed", "5"]), metrics=StubMetrics())
+    assert seen == [0, 0, 5]
