@@ -63,6 +63,15 @@ class Config:
     instance_noise: float = 0.1        # blend 0.9*x + 0.1*N(0,1), :160,171
     eval_every: int = 500              # dcgan_trainer.py:198
     log_every: int = 100               # dcgan_trainer.py:191
+    # Learning-rate schedule for the GAN Adam optimizers. "constant" is the
+    # reference behavior (-milr is parsed but never read, main.py:55); "cosine"
+    # is the opt-in fix of that dead flag: effective lr decays
+    # max_learning_rate -> min_learning_rate over lr_decay_steps steps
+    # (0 = auto: the trainer fills in epochs x steps_per_epoch). The decay is
+    # count-based inside the optimizer state, so checkpoints/resume and the
+    # opt-state structure are identical to the constant case (train/state.py).
+    lr_schedule: str = "constant"
+    lr_decay_steps: int = 0
     # Faithful-vs-fixed quirk gate: the reference DCGAN trainer computes the
     # gradient penalty but never backprops it (dcgan_trainer.py:178-180 has no
     # backward on error_d); the CGAN trainer does (cgan_trainer.py:201-203).
@@ -188,6 +197,13 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--lambda_gp", type=float, default=d.lambda_gp)
     parser.add_argument("--eval_every", type=int, default=d.eval_every)
     parser.add_argument("--log_every", type=int, default=d.log_every)
+    parser.add_argument("--lr_schedule", type=str, default=d.lr_schedule,
+                        choices=["constant", "cosine"],
+                        help="cosine = decay lr from -mlr to -milr over the run "
+                             "(gives the reference's dead -milr flag a meaning; "
+                             "constant = faithful)")
+    parser.add_argument("--lr_decay_steps", type=int, default=d.lr_decay_steps,
+                        help="cosine horizon in steps (0 = auto: epochs x steps/epoch)")
     parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype, choices=["bfloat16", "float32"])
     parser.add_argument("--gp_in_d_grad", type=int, default=int(d.gp_in_d_grad), help="1=fixed (GP in D grad), 0=faithful DCGAN quirk")
     parser.add_argument("--image_size", type=int, default=d.image_size)

@@ -138,6 +138,14 @@ class _BaseGANTrainer(Trainer):
                 mesh=self.mesh,
             )
 
+        if cfg.lr_schedule != "constant" and cfg.lr_decay_steps <= 0:
+            # cosine horizon = the run's total step count (resume keeps
+            # decaying from the checkpointed optimizer count, so the horizon
+            # must describe the RUN, not the remaining steps)
+            cfg.lr_decay_steps = max(1, (self.n_data // cfg.batch_size) * cfg.epoch)
+            self.logger.debug(
+                f"lr_schedule={cfg.lr_schedule}: decay horizon auto-set to "
+                f"{cfg.lr_decay_steps} steps ({cfg.epoch} epochs)")
         tx = make_optimizer(cfg)
         self.state = GANTrainState(
             params_g=params_g, params_d=params_d,

@@ -40,7 +40,50 @@ class GANTrainState:
 
 
 def make_optimizer(cfg: Config) -> optax.GradientTransformation:
-    return optax.adam(cfg.max_learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=1e-8)
+    """Adam, optionally under a cosine learning-rate schedule.
+
+    ``cfg.lr_schedule == "constant"`` (default) is the reference behavior:
+    Adam at ``max_learning_rate`` for the whole run (dcgan_trainer.py:61-62 —
+    the reference parses ``-milr`` but never reads it).
+
+    ``"cosine"`` (opt-in fix of that dead flag, PARITY.md) decays the
+    EFFECTIVE lr from ``max_learning_rate`` to ``min_learning_rate`` over
+    ``cfg.lr_decay_steps`` steps (the GAN trainers auto-fill it with the
+    run's total step count when 0). Implementation scales Adam's update by
+    a factor computed from the optimizer state's own step count, so the
+    opt-state PYTREE STRUCTURE IS IDENTICAL to the constant case —
+    checkpoints stay interchangeable across schedules (a resumed cosine run
+    continues its decay from the checkpointed count), and serving/convert
+    templates need no schedule awareness.
+    """
+    base = optax.adam(cfg.max_learning_rate, b1=cfg.adam_beta1, b2=cfg.adam_beta2, eps=1e-8)
+    schedule = getattr(cfg, "lr_schedule", "constant")
+    if schedule == "constant":
+        return base
+    if schedule != "cosine":
+        raise ValueError(f"lr_schedule={schedule!r}: expected 'constant' or 'cosine'")
+    if cfg.max_learning_rate <= 0:
+        raise ValueError("lr_schedule=cosine needs max_learning_rate > 0")
+    total = int(getattr(cfg, "lr_decay_steps", 0))
+    if total <= 0:
+        raise ValueError(
+            "lr_schedule=cosine needs lr_decay_steps > 0 (the trainers "
+            "auto-fill it with epochs x steps_per_epoch; set it explicitly "
+            "when building the optimizer outside a trainer)")
+    # factor(count): 1.0 at step 0 -> alpha at step >= total (optax clamps)
+    factor = optax.cosine_decay_schedule(
+        init_value=1.0, decay_steps=total,
+        alpha=cfg.min_learning_rate / cfg.max_learning_rate)
+
+    def update(grads, state, params=None):
+        # pre-increment count == the 0-based index of the step being applied;
+        # optax.adam == chain(scale_by_adam, scale_by_learning_rate) so the
+        # count lives at state[0] (pinned by tests/test_train_step.py)
+        f = factor(state[0].count)
+        updates, new_state = base.update(grads, state, params)
+        return jax.tree_util.tree_map(lambda u: f * u, updates), new_state
+
+    return optax.GradientTransformation(base.init, update)
 
 
 def geometry(cfg: Config) -> GANGeometry:

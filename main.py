@@ -29,6 +29,39 @@ from jckx.rng import KeyChain, seed_everything
 from jckx.train.gan_trainer import CGANTrainer, DCGANTrainer
 
 
+def run_test_mode(cfg: Config, metrics=None):
+    """``-t 1``: score ``save/<model>/<ts>/latest.ckpt`` via jckx.evaluate.
+
+    Needs ``-pm`` (an existing run dir) — a fresh timestamped dir has no
+    checkpoint to score. The eval-noise seed is NOT forwarded: evaluate
+    defaults to the checkpoint's own training seed, which reproduces the
+    run's logged eval numbers (the trainer protocol). ``metrics`` is a test
+    seam (StubMetrics); None builds the real Metrics engine.
+    """
+    if not cfg.model_path:
+        raise SystemExit(
+            "-t/--test needs -pm/--model_path (which run to score): "
+            "e.g. python main.py -m DCGAN -pm 20260816_073320 -t 1")
+    ckpt = os.path.join(cfg.save_path, "latest.ckpt")
+    if not os.path.exists(ckpt):
+        have = sorted(os.listdir(cfg.save_path)) if os.path.isdir(cfg.save_path) else []
+        raise SystemExit(
+            f"-t/--test: no latest.ckpt under {cfg.save_path} "
+            f"(dir contains: {have or 'nothing'})")
+    from jckx.evaluate import evaluate, get_args
+
+    argv = ["--ckpt", ckpt, "--dataset", cfg.dataset,
+            "--data_dir", cfg.data_dir,
+            "--compute_dtype", cfg.compute_dtype]
+    if cfg.synthetic_size:
+        argv += ["--synthetic_size", str(cfg.synthetic_size)]
+    result = evaluate(get_args(argv), metrics=metrics)
+    import json
+
+    print(json.dumps(result))  # same one-JSON-line contract as jckx.evaluate
+    return result
+
+
 def main(cfg: Config):
     from jckx.utils.device import honor_jax_platforms_env
 
@@ -53,6 +86,15 @@ def main(cfg: Config):
     logger = MainLogger(cfg)
     logger.debug(f"config: {cfg.to_json()}")
     logger.debug(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
+
+    if cfg.test:
+        # -t/--test: evaluation-only mode. The reference parses -t but never
+        # reads it (main.py:43 — dead flag); jckx gives the opt-in flag its
+        # evident meaning: score the run dir's latest checkpoint with the
+        # trainers' exact eval protocol (jckx.evaluate) instead of training.
+        # Faithful default (-t 0) trains exactly as before.
+        return run_test_mode(cfg)
+
     logger.debug("init data preprocessing")
 
     keys = KeyChain(seed_everything(cfg.seed))

@@ -154,3 +154,92 @@ def test_doctor_link_only(capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["ok"] is True and "read_s" in rep["link"]
     assert "compile" not in rep and "datasets" not in rep
+
+
+def test_main_test_mode_scores_latest_ckpt(tmp_path, capsys):
+    """-t/--test (parsed-but-dead in the reference, main.py:43) = opt-in
+    eval-only mode: score the -pm run dir's latest.ckpt with the trainers'
+    exact eval protocol (jckx.evaluate), print one JSON line, never train."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    import main as entry
+    from jckx.checkpoint.checkpoint import save_checkpoint
+    from jckx.configs import Config
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.train.state import GANTrainState, make_optimizer
+    from tests.test_trainer import StubMetrics
+
+    MainLogger.reset()
+    run = tmp_path / "dcgan" / "run1"
+    run.mkdir(parents=True)
+    geo = GANGeometry(image_size=16, base_width=8)
+    ocfg = Config()
+    ocfg.max_learning_rate = 2e-4
+    tx = make_optimizer(ocfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                       opt_d=tx.init(pd), step=jnp.asarray(7, jnp.int32),
+                       rng=jax.random.PRNGKey(2))
+    # the sidecar the trainers write next to every ckpt (_serve_config) —
+    # it is what lets -t self-configure geometry without extra flags
+    save_checkpoint(str(run / "latest.ckpt"), st, extra={"serve_config": {
+        "conditional": False, "num_classes": 100, "z_dim": geo.z_dim,
+        "image_size": 16, "channels": 3, "base_width": 8, "ema": False}})
+
+    cfg = get_arg_parse([
+        "-m", "DCGAN", "-t", "1", "-pm", "run1", "--dataset", "synthetic",
+        "--compute_dtype", "float32", "--save_root", str(tmp_path),
+        "-lf", "0",
+    ])
+    cfg.save_path = str(run)  # main() derives this from -pm; direct call here
+    res = entry.run_test_mode(cfg, metrics=StubMetrics())
+    assert res["step"] == 7
+    assert np.isfinite(res["fid"]) and np.isfinite(res["is"])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(line) == res  # the one-JSON-line CLI contract
+    MainLogger.reset()
+
+
+def test_main_test_mode_requires_pm_and_ckpt(tmp_path):
+    """-t without -pm (nothing to score) and -t on a run dir with no
+    latest.ckpt are loud SystemExits before any data/model work."""
+    import pytest
+
+    import main as entry
+
+    MainLogger.reset()
+    cfg = get_arg_parse(["-m", "DCGAN", "-t", "1", "--dataset", "synthetic",
+                         "--save_root", str(tmp_path), "-lf", "0"])
+    with pytest.raises(SystemExit, match="-pm"):
+        entry.main(cfg)
+    MainLogger.reset()
+    cfg = get_arg_parse(["-m", "DCGAN", "-t", "1", "-pm", "empty",
+                         "--dataset", "synthetic",
+                         "--save_root", str(tmp_path), "-lf", "0"])
+    with pytest.raises(SystemExit, match="latest.ckpt"):
+        entry.main(cfg)
+    MainLogger.reset()
+
+
+def test_main_lr_schedule_cosine_tiny(tmp_path):
+    """--lr_schedule cosine end to end: the trainer auto-fills the decay
+    horizon (epochs x steps/epoch) and the tiny run completes finite."""
+    MainLogger.reset()
+    cfg = get_arg_parse([
+        "-m", "DCGAN", "--dataset", "synthetic", "-e", "1", "-b", "32",
+        "--image_size", "16", "--base_width", "8", "--eval_every", "0",
+        "--log_every", "64", "-mlr", "0.0002", "-milr", "0.00002",
+        "--lr_schedule", "cosine", "--compute_dtype", "float32",
+        "--save_root", str(tmp_path), "-lf", "0",
+    ])
+    import main as entry
+
+    result = entry.main(cfg)
+    assert result is not None and np.isfinite(result["loss_d"])
+    assert cfg.lr_decay_steps == (4096 // 32) * 1  # auto-filled horizon
+    MainLogger.reset()

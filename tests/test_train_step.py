@@ -218,3 +218,49 @@ def test_remat_does_not_change_numerics(remat):
                     jax.tree_util.tree_leaves(got_state.params_g)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_lr_schedule_cosine_scales_adam_updates():
+    """--lr_schedule cosine (the opt-in fix of the reference's dead -milr
+    flag, main.py:55): identical opt-state STRUCTURE to the constant case
+    (checkpoints stay interchangeable; state.py make_optimizer), factor 1.0
+    at count 0, min_lr/max_lr at/after the horizon."""
+    from jckx.train.state import make_optimizer
+
+    cfg = tiny_cfg()
+    cfg.min_learning_rate = cfg.max_learning_rate / 10.0
+    const = make_optimizer(cfg)
+    cfg.lr_schedule = "cosine"
+    cfg.lr_decay_steps = 8
+    cos = make_optimizer(cfg)
+
+    params = {"w": jnp.ones((4,)), "b": jnp.zeros((2,))}
+    grads = {"w": jnp.full((4,), 0.5), "b": jnp.full((2,), -0.25)}
+    sc, ss = const.init(params), cos.init(params)
+    assert (jax.tree_util.tree_structure(sc)
+            == jax.tree_util.tree_structure(ss))
+    # the implementation reads the adam count at state[0] — pin the optax
+    # layout assumption explicitly so a version bump fails loudly here
+    assert int(ss[0].count) == 0
+
+    # step 0: cosine factor is exactly 1 -> identical updates
+    uc, sc = const.update(grads, sc, params)
+    us, ss = cos.update(grads, ss, params)
+    np.testing.assert_allclose(np.asarray(us["w"]), np.asarray(uc["w"]), rtol=1e-7)
+
+    # advance both to the horizon; past it the factor clamps to
+    # alpha = min_lr / max_lr
+    for _ in range(cfg.lr_decay_steps):
+        uc, sc = const.update(grads, sc, params)
+        us, ss = cos.update(grads, ss, params)
+    np.testing.assert_allclose(
+        np.asarray(us["w"]), 0.1 * np.asarray(uc["w"]), rtol=1e-5)
+
+    # misconfiguration fails loudly, never silently-constant
+    bad = tiny_cfg()
+    bad.lr_schedule = "cosine"  # lr_decay_steps left 0
+    with pytest.raises(ValueError, match="lr_decay_steps"):
+        make_optimizer(bad)
+    bad.lr_schedule = "linear"
+    with pytest.raises(ValueError, match="constant.*cosine"):
+        make_optimizer(bad)
