@@ -85,8 +85,13 @@ class Config:
     num_classes: int = 100             # CIFAR-100
     image_size: int = 64               # pipeline Resize(64)
     channels: int = 3
-    dataset: str = "cifar100"          # cifar100 | cifar10 | mnist | synthetic
+    # cifar100 | cifar10 | mnist | synthetic, plus the custom-data planes
+    # npz (one .npz: x uint8 NHWC, optional y/names) and folder (directory of
+    # images; class subdirs = labels, ImageFolder convention) — both read
+    # --data_path and fail loudly instead of falling back to synthetic
+    dataset: str = "cifar100"
     data_dir: str = "./data"
+    data_path: str = ""                # the npz file / image dir for the custom planes
     # synthetic-fallback sample count (0 = 4096; 50000 reproduces the
     # CIFAR-scale workload shape for reference-protocol runs without data)
     synthetic_size: int = 0
@@ -190,8 +195,13 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("-snt", "--nesterov", type=int, default=d.nesterov, help="nesterov sgd 0/1")
 
     # jckx extensions
-    parser.add_argument("--dataset", type=str, default=d.dataset, choices=["cifar100", "cifar10", "mnist", "synthetic"])
+    parser.add_argument("--dataset", type=str, default=d.dataset,
+                        choices=["cifar100", "cifar10", "mnist", "synthetic",
+                                 "npz", "folder"])
     parser.add_argument("--data_dir", type=str, default=d.data_dir)
+    parser.add_argument("--data_path", type=str, default=d.data_path,
+                        help="custom data: the .npz file (--dataset npz) or "
+                             "image directory (--dataset folder)")
     parser.add_argument("--synthetic_size", type=int, default=d.synthetic_size)
     parser.add_argument("--seed", type=int, default=d.seed)
     parser.add_argument("--lambda_gp", type=float, default=d.lambda_gp)

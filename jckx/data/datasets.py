@@ -194,6 +194,118 @@ def synthetic_dataset(
     return x, y
 
 
+def load_npz_dataset(path: str) -> Tuple[np.ndarray, np.ndarray, int, list]:
+    """Custom dataset from one ``.npz`` (jckx extension — the reference is
+    hardwired to torchvision CIFAR-100, dcgan_data_preprocessor.py:20-21):
+
+    - ``x``: REQUIRED uint8 images, (N, H, W, C) or (N, H, W) (→ one channel).
+      The on-device decode resizes to ``--image_size`` and normalizes, so any
+      source resolution works.
+    - ``y``: optional int labels (N,); absent → one unlabeled class.
+    - ``names``: optional class-name strings (≥ the label range).
+
+    → (x, y int32, num_classes, names). Strict about dtype: guessing a float
+    range and rescaling silently would corrupt the pixel statistics every
+    metric depends on.
+    """
+    with np.load(path, allow_pickle=False) as z:
+        if "x" not in z.files:
+            raise ValueError(f"{path}: needs an 'x' array of uint8 NHWC "
+                             f"images; file has {sorted(z.files)}")
+        x = z["x"]
+        y = z["y"] if "y" in z.files else None
+        names = ([str(s) for s in z["names"].tolist()]
+                 if "names" in z.files else None)
+    if x.dtype != np.uint8:
+        raise ValueError(
+            f"{path}: 'x' must be uint8 in [0, 255], got {x.dtype} — convert "
+            f"explicitly (e.g. np.clip(x * 255, 0, 255).astype(np.uint8) for "
+            f"[0, 1] floats); silently guessing the range would corrupt the "
+            f"pixel statistics the metrics depend on")
+    if x.ndim == 3:
+        x = x[..., None]
+    if x.ndim != 4:
+        raise ValueError(f"{path}: 'x' must be (N, H, W, C) or (N, H, W), "
+                         f"got shape {x.shape}")
+    if y is None:
+        y = np.zeros(len(x), np.int32)
+        ncls = 1
+    else:
+        y = np.asarray(y).ravel().astype(np.int32)
+        if len(y) != len(x):
+            raise ValueError(f"{path}: {len(x)} images but {len(y)} labels")
+        if len(y) and y.min() < 0:
+            raise ValueError(f"{path}: negative label {y.min()}")
+        ncls = int(y.max()) + 1 if len(y) else 1
+    if names is not None:
+        if len(names) < ncls:
+            raise ValueError(f"{path}: {len(names)} names but labels reach "
+                             f"class {ncls - 1}")
+        ncls = len(names)
+    else:
+        names = [str(i) for i in range(ncls)]
+    return np.ascontiguousarray(x), y, ncls, names
+
+
+_IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+def load_image_folder(path: str, src_size: int = 64, channels: int = 3,
+                      ) -> Tuple[np.ndarray, np.ndarray, int, list]:
+    """Directory of images → uint8 (N, src_size, src_size, C) + labels.
+
+    Layout (torchvision ImageFolder convention, so a reference user's
+    custom-data habit transfers): class subdirectories → conditional labels
+    in sorted-name order; a flat directory of images → one unlabeled class.
+    Each image: convert to RGB (or L for channels=1), bilinear-resize the
+    SHORT side to ``src_size``, center-crop square — the standard
+    aspect-preserving prep (the reference's Resize(64) stretches; this path
+    has no reference analog to stay faithful to).
+    """
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"--dataset folder: {path} is not a directory")
+    subdirs = sorted(d for d in os.listdir(path)
+                     if os.path.isdir(os.path.join(path, d)))
+
+    def _images_in(d):
+        return [f for f in sorted(os.listdir(d))
+                if f.lower().endswith(_IMG_EXTS)]
+
+    entries = []  # (file, label)
+    if subdirs:
+        names = subdirs
+        for li, d in enumerate(subdirs):
+            base = os.path.join(path, d)
+            entries += [(os.path.join(base, f), li) for f in _images_in(base)]
+    else:
+        names = ["image"]
+        entries = [(os.path.join(path, f), 0) for f in _images_in(path)]
+    if not entries:
+        raise ValueError(f"{path}: no images found "
+                         f"(extensions {', '.join(_IMG_EXTS)}"
+                         + (f"; class subdirs {names}" if subdirs else "") + ")")
+    from PIL import Image
+
+    mode = "L" if channels == 1 else "RGB"
+    x = np.empty((len(entries), src_size, src_size, channels), np.uint8)
+    y = np.empty(len(entries), np.int32)
+    for i, (f, li) in enumerate(entries):
+        with Image.open(f) as im:
+            im = im.convert(mode)
+            w, h = im.size
+            s = src_size / min(w, h)
+            im = im.resize((max(src_size, round(w * s)),
+                            max(src_size, round(h * s))), Image.BILINEAR)
+            w, h = im.size
+            left, top = (w - src_size) // 2, (h - src_size) // 2
+            a = np.asarray(
+                im.crop((left, top, left + src_size, top + src_size)),
+                np.uint8)
+        x[i] = a[..., None] if channels == 1 else a
+        y[i] = li
+    return x, y, len(names), names
+
+
 def _with_cache(name: str, data_dir: str, train: bool, loader):
     """Native binary cache around an archive parser: first call parses and
     writes the flat cache (native/jckx_io.cpp format); later calls mmap it
@@ -215,15 +327,36 @@ def _with_cache(name: str, data_dir: str, train: bool, loader):
 
 
 def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
-                 num_classes: int = 0, synthetic_n: int = 0):
+                 num_classes: int = 0, synthetic_n: int = 0,
+                 data_path: str = "", image_size: int = 64, channels: int = 3):
     """Dispatch; returns (images uint8 NHWC, labels int32, num_classes,
     names, is_synthetic).
 
     Falls back to synthetic data (with the real geometry) when the named
-    archive is absent — callers log the substitution. ``num_classes`` and
-    ``synthetic_n`` (sample count; 0 = 4096 default, 50000 = CIFAR-scale
+    PUBLIC archive is absent — callers log the substitution. ``num_classes``
+    and ``synthetic_n`` (sample count; 0 = 4096 default, 50000 = CIFAR-scale
     for reference-protocol runs) apply to the synthetic path only.
+
+    Custom data (``name`` "npz" or "folder", jckx extension) reads
+    ``data_path`` and NEVER falls back: the user named a specific file/dir,
+    so its absence or malformation is a loud error, not a silent swap to
+    synthetic pixels. ``image_size``/``channels`` shape the folder loader's
+    stored resolution (npz keeps its own; the device decode resizes).
     """
+    if name == "npz":
+        if not data_path:
+            raise ValueError("--dataset npz needs --data_path pointing at "
+                             "the .npz file (arrays: x uint8 NHWC, "
+                             "optional y labels, optional names)")
+        x, y, ncls, names = load_npz_dataset(data_path)
+        return x, y, ncls, names, False
+    if name == "folder":
+        if not data_path:
+            raise ValueError("--dataset folder needs --data_path pointing at "
+                             "the image directory (class subdirs = labels)")
+        x, y, ncls, names = load_image_folder(data_path, src_size=image_size,
+                                              channels=channels)
+        return x, y, ncls, names, False
     try:
         if name == "cifar100":
             x, y = _with_cache(name, data_dir, train, load_cifar100)

@@ -184,6 +184,8 @@ class DCGANDataPreprocessor:
             cfg.dataset, cfg.data_dir, train=True, seed=cfg.seed,
             num_classes=cfg.num_classes,
             synthetic_n=getattr(cfg, "synthetic_size", 0),
+            data_path=getattr(cfg, "data_path", ""),
+            image_size=cfg.image_size, channels=cfg.channels,
         )
         if synthetic and cfg.dataset != "synthetic":
             self._logger.warning(

@@ -39,8 +39,12 @@ def get_args(argv=None):
     p.add_argument("--ckpt", required=True,
                    help="checkpoint (.ckpt, or a reference torch .pt)")
     p.add_argument("--dataset", default="cifar100",
-                   help="real-side dataset (cifar100/cifar10/mnist/synthetic)")
+                   help="real-side dataset (cifar100/cifar10/mnist/synthetic, "
+                        "or npz/folder with --data_path)")
     p.add_argument("--data_dir", default="./data")
+    p.add_argument("--data_path", default="",
+                   help="custom real-side data: the .npz file (npz) or image "
+                        "directory (folder)")
     p.add_argument("--synthetic_size", type=int, default=None)
     p.add_argument("--sample_count", type=int, default=None,
                    help="unconditional sample count (default: trainer's "
@@ -101,6 +105,7 @@ def evaluate(args, metrics=None):
     cfg.log_file = 0  # a scoring CLI must not strew .log files around CWD
     cfg.dataset = args.dataset
     cfg.data_dir = args.data_dir
+    cfg.data_path = getattr(args, "data_path", "")
     cfg.image_size = geo.image_size
     cfg.channels = geo.channels
     cfg.num_classes = ncls

@@ -55,6 +55,8 @@ def run_test_mode(cfg: Config, metrics=None):
             "--compute_dtype", cfg.compute_dtype]
     if cfg.synthetic_size:
         argv += ["--synthetic_size", str(cfg.synthetic_size)]
+    if cfg.data_path:
+        argv += ["--data_path", cfg.data_path]
     result = evaluate(get_args(argv), metrics=metrics)
     import json
 

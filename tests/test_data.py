@@ -160,3 +160,108 @@ def test_preprocessor_stats_match_float_copy_formula():
     xf = pre.images_u8.astype(np.float64) / 255.0
     np.testing.assert_allclose(pre.data_mean, xf.mean(axis=(0, 1, 2)), atol=1e-9)
     np.testing.assert_allclose(pre.data_std, xf.std(axis=(0, 1, 2)), atol=1e-9)
+
+
+# ----------------------------------------------------- custom-data planes
+
+def _npz(tmp_path, name="d.npz", **arrays):
+    import os
+
+    p = str(tmp_path / name)
+    with open(p, "wb") as f:
+        np.savez(f, **arrays)
+    return p
+
+
+def test_npz_dataset_labeled(tmp_path):
+    """--dataset npz: x/y/names round-trip through the preprocessor; the
+    pipeline treats it exactly like a named archive (no synthetic flag)."""
+    from jckx.data.datasets import load_dataset
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (40, 24, 24, 3)).astype(np.uint8)
+    y = rng.randint(0, 4, 40)
+    p = _npz(tmp_path, x=x, y=y, names=np.asarray(["a", "b", "c", "d"]))
+    xx, yy, ncls, names, synth = load_dataset("npz", str(tmp_path), data_path=p)
+    assert xx.shape == (40, 24, 24, 3) and xx.dtype == np.uint8
+    np.testing.assert_array_equal(yy, y.astype(np.int32))
+    assert ncls == 4 and names == ["a", "b", "c", "d"] and synth is False
+
+    cfg = Config()
+    cfg.dataset, cfg.data_path = "npz", p
+    cfg.batch_size = 8
+    cfg.image_size = 16
+    pre = CGANDataPreprocessor(cfg)
+    pre.transform_data()
+    assert pre.num_classes == 4 and pre.idx_to_labels[1] == "b"
+    loader, metric_src = pre.get_data_loader()
+    b, lab = next(iter(loader))
+    assert b.shape == (8, 24, 24, 3)  # source res; decode resizes on device
+    dec = decode_batch(b, cfg.image_size)
+    assert dec.shape == (8, 16, 16, 3)
+    assert float(jnp.max(dec)) <= 1.0 and float(jnp.min(dec)) >= -1.0
+
+
+def test_npz_dataset_unlabeled_and_errors(tmp_path):
+    """No y -> one unlabeled class; NHW -> one channel; loud errors for a
+    float x, a missing x, a label/row mismatch, and a missing --data_path
+    (custom data never falls back to synthetic)."""
+    import pytest
+
+    from jckx.data.datasets import load_dataset, load_npz_dataset
+
+    x = np.zeros((10, 8, 8), np.uint8)
+    xx, yy, ncls, names = load_npz_dataset(_npz(tmp_path, "u.npz", x=x))
+    assert xx.shape == (10, 8, 8, 1) and ncls == 1
+    np.testing.assert_array_equal(yy, np.zeros(10, np.int32))
+
+    with pytest.raises(ValueError, match="uint8"):
+        load_npz_dataset(_npz(tmp_path, "f.npz", x=np.zeros((2, 8, 8, 3), np.float32)))
+    with pytest.raises(ValueError, match="'x'"):
+        load_npz_dataset(_npz(tmp_path, "nx.npz", images=np.zeros((2, 8, 8, 3), np.uint8)))
+    with pytest.raises(ValueError, match="labels"):
+        load_npz_dataset(_npz(tmp_path, "m.npz",
+                              x=np.zeros((4, 8, 8, 3), np.uint8), y=np.zeros(3)))
+    with pytest.raises(ValueError, match="data_path"):
+        load_dataset("npz", str(tmp_path))
+    with pytest.raises(ValueError, match="names"):
+        load_npz_dataset(_npz(tmp_path, "n.npz",
+                              x=np.zeros((4, 8, 8, 3), np.uint8),
+                              y=np.asarray([0, 1, 2, 3]),
+                              names=np.asarray(["only", "two"])))
+
+
+def test_image_folder_dataset(tmp_path):
+    """--dataset folder: class subdirs -> sorted labels; aspect-preserving
+    short-side resize + center crop to the requested source size; a flat dir
+    is one unlabeled class; an empty dir is a loud error."""
+    import pytest
+    from PIL import Image
+
+    from jckx.data.datasets import load_dataset, load_image_folder
+
+    root = tmp_path / "imgs"
+    for cls, color in (("cat", (255, 0, 0)), ("dog", (0, 0, 255))):
+        d = root / cls
+        d.mkdir(parents=True)
+        # varied sizes + aspect ratios, one non-RGB mode
+        Image.new("RGB", (40, 20), color).save(d / "a.png")
+        Image.new("L", (17, 33), 128).save(d / "b.jpg")
+    x, y, ncls, names, synth = load_dataset(
+        "folder", str(tmp_path), data_path=str(root), image_size=16)
+    assert x.shape == (4, 16, 16, 3) and x.dtype == np.uint8
+    assert names == ["cat", "dog"] and ncls == 2 and synth is False
+    np.testing.assert_array_equal(y, [0, 0, 1, 1])
+    # the wide red image center-crops to pure red after RGB convert
+    assert (x[0, :, :, 0] > 200).all() and (x[0, :, :, 2] < 50).all()
+
+    flat = tmp_path / "flat"
+    flat.mkdir()
+    Image.new("RGB", (16, 16), (1, 2, 3)).save(flat / "only.png")
+    x, y, ncls, names = load_image_folder(str(flat), src_size=8)
+    assert x.shape == (1, 8, 8, 3) and ncls == 1 and y[0] == 0
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no images"):
+        load_image_folder(str(empty))
