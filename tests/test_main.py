@@ -243,3 +243,53 @@ def test_main_lr_schedule_cosine_tiny(tmp_path):
     assert result is not None and np.isfinite(result["loss_d"])
     assert cfg.lr_decay_steps == (4096 // 32) * 1  # auto-filled horizon
     MainLogger.reset()
+
+
+def test_bench_compare_gate(tmp_path, capsys):
+    """tools/bench_compare.py: unit-aware direction (seconds regress UP,
+    throughput regresses DOWN), threshold gating, new/dropped benches listed
+    but never failed, driver single-record format accepted."""
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    try:
+        import bench_compare
+    finally:
+        sys.path.pop(0)
+
+    def sweep(path, **benches):
+        p = str(tmp_path / path)
+        with open(p, "w") as f:
+            json.dump({"benches": {
+                k: {"value": v, "unit": u} for k, (v, u) in benches.items()
+            }}, f)
+        return p
+
+    old = sweep("old.json", gan=(100.0, "images/sec/chip"),
+                eval_wall=(10.0, "seconds"), gone=(5.0, "images/sec/chip"))
+    new = sweep("new.json", gan=(96.0, "images/sec/chip"),   # -4%: within 5%
+                eval_wall=(10.4, "seconds"),                 # +4% wall: ok
+                fresh=(1.0, "images/sec/chip"))
+    assert bench_compare.main([old, new]) == 0
+    out = capsys.readouterr().out
+    assert "OK" in out and "new" in out and "dropped" in out
+
+    # throughput down 10% and wall up 10% both fail a 5% gate
+    bad = sweep("bad.json", gan=(90.0, "images/sec/chip"),
+                eval_wall=(11.0, "seconds"))
+    assert bench_compare.main([old, bad]) == 1
+    assert "REGRESSED" in capsys.readouterr().out
+    # ...but pass a 15% gate
+    assert bench_compare.main([old, bad, "--threshold", "15"]) == 0
+    capsys.readouterr()
+
+    # the driver's single-record format
+    drv_old = str(tmp_path / "d1.json")
+    drv_new = str(tmp_path / "d2.json")
+    for p, v in ((drv_old, 33189.7), (drv_new, 35397.9)):
+        with open(p, "w") as f:
+            json.dump({"parsed": {"metric": "m", "value": v,
+                                  "unit": "images/sec/chip"}}, f)
+    assert bench_compare.main([drv_old, drv_new]) == 0
+    assert "headline" in capsys.readouterr().out
