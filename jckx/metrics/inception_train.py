@@ -188,7 +188,10 @@ def evaluate(params, logits_fn, images_u8, labels, batch_size=256, device_images
     outs = [at(params, dev, i) for i in range(nb)]
     logits = np.asarray(jnp.concatenate(outs), np.float32)[:n]
     top1 = (logits.argmax(-1) == labels).mean()
-    top5_idx = np.argpartition(logits, -5, axis=1)[:, -5:]  # vectorized top-5
+    # vectorized top-5; a <5-class head (custom npz/folder data) caps k —
+    # top5 is then trivially the in-top-k rate, never an argpartition crash
+    k = min(5, logits.shape[1])
+    top5_idx = np.argpartition(logits, -k, axis=1)[:, -k:]
     top5 = (top5_idx == labels[:, None]).any(axis=1).mean()
     sup_pred = FINE_TO_SUPERCLASS[logits.argmax(-1) % 100]
     sup_true = FINE_TO_SUPERCLASS[labels % 100]
@@ -292,10 +295,36 @@ def train(args):
     # "391it" loop; drop-last batching makes it 390 full batches here,
     # 10k eval) without archives.
     syn_n = getattr(args, "synthetic_size", 0)
-    x, y, ncls, _, synthetic = load_dataset(args.dataset, args.data_dir, train=True,
-                                            seed=args.seed, synthetic_n=syn_n)
-    xt, yt, _, _, _ = load_dataset(args.dataset, args.data_dir, train=False,
-                                   seed=args.seed + 1, synthetic_n=syn_n // 5)
+    if args.dataset in ("npz", "folder"):
+        # custom planes have no train/test split convention: use
+        # --valid_data_path when given, else carve a seeded 10% holdout
+        # (deterministic in --seed, so --resume sees the same split)
+        x, y, ncls, _, _ = load_dataset(
+            args.dataset, args.data_dir, data_path=args.data_path,
+            image_size=args.image_size, channels=3)
+        vp = getattr(args, "valid_data_path", "")
+        if vp:
+            xt, yt, ncls_v, _, _ = load_dataset(
+                args.dataset, args.data_dir, data_path=vp,
+                image_size=args.image_size, channels=3)
+            if ncls_v > ncls:
+                raise ValueError(
+                    f"valid split has {ncls_v} classes, train has {ncls}")
+        else:
+            import numpy as _np
+
+            perm = _np.random.RandomState(args.seed).permutation(len(x))
+            nv = max(1, len(x) // 10)
+            xt, yt = x[perm[:nv]], y[perm[:nv]]
+            x, y = x[perm[nv:]], y[perm[nv:]]
+            logger.info(f"custom data: seeded 10% holdout as the valid "
+                        f"split ({nv} of {nv + len(x)} images)")
+        synthetic = False
+    else:
+        x, y, ncls, _, synthetic = load_dataset(args.dataset, args.data_dir, train=True,
+                                                seed=args.seed, synthetic_n=syn_n)
+        xt, yt, _, _, _ = load_dataset(args.dataset, args.data_dir, train=False,
+                                       seed=args.seed + 1, synthetic_n=syn_n // 5)
     if synthetic:
         logger.warning("archive not found — fine-tuning on synthetic data")
     if x.shape[-1] == 1:
@@ -470,6 +499,12 @@ def get_args(argv=None):
     p = argparse.ArgumentParser(description="InceptionV3 fine-tune (metric backbone)")
     p.add_argument("--dataset", default="cifar100")
     p.add_argument("--data_dir", default="./data")
+    p.add_argument("--data_path", default="",
+                   help="custom data (--dataset npz/folder): the .npz file "
+                        "or image directory")
+    p.add_argument("--valid_data_path", default="",
+                   help="custom valid split; absent = seeded 10%% holdout "
+                        "from --data_path")
     p.add_argument("-b", "--batch_size", type=int, default=128)
     p.add_argument("-e", "--epoch", type=int, default=300)
     p.add_argument("-mlr", "--max_learning_rate", type=float, default=0.1)

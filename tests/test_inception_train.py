@@ -253,3 +253,34 @@ def test_resume_legacy_state_without_params(tmp_path):
         np.savez_compressed(f, **legacy)
     best_acc, best_loss = train(args(2, r=1))
     assert np.isfinite(best_loss) and best_loss < 1e9
+
+
+def test_train_on_custom_npz_with_holdout(tmp_path):
+    """--dataset npz fine-tune: the class count comes from the data, and
+    with no --valid_data_path a seeded 10% holdout becomes the valid split
+    (custom planes have no train/test convention to read)."""
+    import json
+
+    from jckx.metrics.inception_train import get_args, train
+
+    rng = np.random.RandomState(5)
+    p = str(tmp_path / "custom.npz")
+    with open(p, "wb") as f:
+        np.savez(f, x=rng.randint(0, 256, (40, 32, 32, 3)).astype(np.uint8),
+                 y=rng.randint(0, 4, 40))
+    save = tmp_path / "bk"
+    args = get_args([
+        "--dataset", "npz", "--data_path", p,
+        "-b", "8", "-e", "1", "--image_size", "75", "-mlr", "0.01",
+        "--eval_samples", "8", "--scan_steps", "2",
+        "--save_dir", str(save), "--save_path", str(tmp_path),
+    ])
+    best_acc, best_loss = train(args)
+    assert np.isfinite(best_loss)
+    assert (save / "loss_bset.npz").exists()
+    side = json.loads((save / "summary.json").read_text())
+    assert side["synthetic_fallback"] is False
+    # 4-class head: the saved fc weights must be (2048, 4)
+    with np.load(save / "loss_bset.npz") as z:
+        fc = z["fc/w"]  # flatten_params '/'-joins the pytree keys
+    assert fc.shape == (2048, 4)
