@@ -359,6 +359,10 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
       deterministic (same seed → byte-identical images); without it each
       request draws fresh noise. ``labels`` selects CGAN classes (rejected
       for unconditional checkpoints).
+    - ``GET /metrics`` → Prometheus text exposition (requests/images/errors
+      counters, request-latency sum+count, checkpoint step) — the
+      observability surface a production scrape expects; stdlib-only like
+      the rest of the daemon.
 
     Requests are handled on threads but SAMPLING IS SERIALIZED under one
     lock: there is one device pipeline, and GeneratorService's async
@@ -371,9 +375,20 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
     import io
     import json as _json
     import threading
+    import time as _time
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()
+    # /metrics counters; one lock, touched only at request boundaries
+    stats_lock = threading.Lock()
+    stats = {"requests": 0, "images": 0, "errors": 0, "latency_sum": 0.0}
+
+    def _count(images: int = 0, error: bool = False, seconds: float = 0.0):
+        with stats_lock:
+            stats["requests"] += 1
+            stats["images"] += images
+            stats["errors"] += int(error)
+            stats["latency_sum"] += seconds
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *a):  # quiet: jckx logging owns stdout
@@ -391,8 +406,23 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                         _json.dumps({"error": msg}).encode())
 
         def do_GET(self):
+            if self.path == "/metrics":
+                with stats_lock:
+                    snap = dict(stats)
+                body = "".join(
+                    f"# TYPE {k} {t}\n{k} {v}\n" for k, t, v in (
+                        ("jckx_generate_requests_total", "counter", snap["requests"]),
+                        ("jckx_generate_images_total", "counter", snap["images"]),
+                        ("jckx_generate_errors_total", "counter", snap["errors"]),
+                        ("jckx_generate_seconds_sum", "counter",
+                         round(snap["latency_sum"], 6)),
+                        ("jckx_checkpoint_step", "gauge", svc.step),
+                        ("jckx_serving_batch_size", "gauge", svc.batch_size),
+                    ))
+                return self._reply(
+                    200, "text/plain; version=0.0.4", body.encode())
             if self.path != "/healthz":
-                return self._error(404, "unknown path (GET /healthz)")
+                return self._error(404, "unknown path (GET /healthz or /metrics)")
             self._reply(200, "application/json", _json.dumps({
                 "status": "ok", "step": svc.step,
                 "conditional": svc.conditional,
@@ -405,6 +435,12 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
         def do_POST(self):
             if self.path != "/generate":
                 return self._error(404, "unknown path (POST /generate)")
+            t0 = _time.perf_counter()
+            n = self._generate()  # image count on success, None on any error
+            _count(images=n or 0, error=n is None,
+                   seconds=_time.perf_counter() - t0)
+
+        def _generate(self):
             try:
                 length = int(self.headers.get("Content-Length") or 0)
                 req = _json.loads(self.rfile.read(length) or b"{}")
@@ -452,8 +488,9 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                 buf = io.BytesIO()
                 if fmt == "npy":
                     np.save(buf, imgs)
-                    return self._reply(200, "application/octet-stream",
-                                       buf.getvalue())
+                    self._reply(200, "application/octet-stream",
+                                buf.getvalue())
+                    return n
                 from PIL import Image
 
                 from jckx.logging.artifacts import make_grid
@@ -463,8 +500,10 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                     grid = grid[..., 0]
                 Image.fromarray(grid).save(buf, format="PNG")
                 self._reply(200, "image/png", buf.getvalue())
+                return n
             except Exception as e:  # noqa: BLE001 — boundary: report, don't die
                 self._error(500, f"generation failed: {type(e).__name__}: {e}")
+                return None
 
     return ThreadingHTTPServer((host, port), Handler)
 

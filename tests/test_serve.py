@@ -334,3 +334,32 @@ def test_http_serving_cgan_labels(tmp_path):
         assert code == 400 and "labels" in _json.loads(body)["error"]
     finally:
         f.close()
+
+
+def test_http_metrics_endpoint(tmp_path):
+    """GET /metrics: Prometheus text exposition whose counters track the
+    /generate traffic — successes add their image count, validation errors
+    add to the error counter, latency accumulates."""
+    f = _HTTPFixture(tmp_path)
+    try:
+        code, ctype, body = f.request("/metrics")
+        assert code == 200 and ctype.startswith("text/plain")
+        base = dict(line.split() for line in body.decode().splitlines()
+                    if line and not line.startswith("#"))
+        assert base["jckx_generate_requests_total"] == "0"
+        assert base["jckx_checkpoint_step"] == str(f.svc.step)
+        assert base["jckx_serving_batch_size"] == "4"
+
+        assert f.request("/generate", {"n": 6})[0] == 200
+        assert f.request("/generate", {"n": 3, "format": "npy"})[0] == 200
+        assert f.request("/generate", {"n": 0})[0] == 400  # counted error
+
+        _, _, body = f.request("/metrics")
+        m = dict(line.split() for line in body.decode().splitlines()
+                 if line and not line.startswith("#"))
+        assert m["jckx_generate_requests_total"] == "3"
+        assert m["jckx_generate_images_total"] == "9"
+        assert m["jckx_generate_errors_total"] == "1"
+        assert float(m["jckx_generate_seconds_sum"]) > 0.0
+    finally:
+        f.close()
