@@ -60,6 +60,11 @@ def main():
     p.add_argument("-o", "--out", default="BENCH_ALL.json")
     p.add_argument("--skip", default="", help="comma-separated bench names")
     p.add_argument("--timeout", type=int, default=900, help="per-bench seconds")
+    p.add_argument("--compare", default="",
+                   help="gate the finished sweep against this earlier record "
+                        "(tools/bench_compare.py; exit 1 on regression)")
+    p.add_argument("--compare_threshold", type=float, default=5.0,
+                   help="max tolerated regression for --compare, percent")
     args = p.parse_args()
     skip = {s for s in args.skip.split(",") if s}
 
@@ -112,6 +117,15 @@ def main():
 
     print(f"wrote {args.out}")
 
+    if args.compare:
+        import bench_compare  # sibling module; bench_all runs from tools/ or root
+
+        print(f"regression gate vs {args.compare} "
+              f"(threshold {args.compare_threshold}%):")
+        return bench_compare.main([args.compare, args.out, "--threshold",
+                                   str(args.compare_threshold)])
+    return 0
+
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
