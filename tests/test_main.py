@@ -293,3 +293,69 @@ def test_bench_compare_gate(tmp_path, capsys):
                                   "unit": "images/sec/chip"}}, f)
     assert bench_compare.main([drv_old, drv_new]) == 0
     assert "headline" in capsys.readouterr().out
+
+
+def test_inspect_cli_all_artifact_kinds(tmp_path, capsys):
+    """python -m jckx.inspect: one JSON view for jckx .ckpt (sidecar-driven),
+    reference torch .pt (geometry inferred from weights), and exported
+    .jaxexp (sidecar only, blob untouched)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from jckx.checkpoint.checkpoint import save_checkpoint
+    from jckx.configs import Config
+    from jckx.inspect import main as inspect_main
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry, param_count
+    from jckx.train.state import GANTrainState, make_optimizer
+
+    geo = GANGeometry(image_size=16, base_width=8)
+    ocfg = Config()
+    ocfg.max_learning_rate = 2e-4
+    tx = make_optimizer(ocfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                       opt_d=tx.init(pd), step=jnp.asarray(11, jnp.int32),
+                       rng=jax.random.PRNGKey(2))
+    ck = str(tmp_path / "latest.ckpt")
+    save_checkpoint(ck, st, extra={
+        "bests": {"fid": 12.5, "is": 3.0},
+        "losses": [(1.0, 2.0)] * 7,
+        "serve_config": {"conditional": False, "num_classes": 100,
+                         "z_dim": geo.z_dim, "image_size": 16, "channels": 3,
+                         "base_width": 8, "ema": False}})
+    assert inspect_main(["--ckpt", ck]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["kind"] == "jckx checkpoint" and rep["step"] == 11
+    assert rep["params_g"] == param_count(pg)
+    assert rep["params_d"] == param_count(pd)
+    # mu+nu per param, plus each adam state's count scalar
+    assert rep["opt_moments"] == 2 * (rep["params_g"] + rep["params_d"]) + 2
+    assert rep["bests"]["fid"] == 12.5 and rep["logged_losses"] == 7
+    assert rep["geometry"]["image_size"] == 16 and rep["file_bytes"] > 0
+
+    # reference torch .pt: geometry inferred from the weights
+    from tests.test_evaluate import _dcgan_pt
+
+    pt = _dcgan_pt(tmp_path, GANGeometry(z_dim=16, image_size=16,
+                                         channels=3, base_width=8))
+    assert inspect_main(["--ckpt", pt]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["kind"].startswith("reference torch")
+    assert rep["geometry"] == {"z_dim": 16, "image_size": 16, "channels": 3,
+                               "base_width": 8}
+    assert rep["params_g"] > 0 and rep["ema"] is False
+
+    # exported artifact: sidecar view, blob untouched
+    from jckx.export import export_generator
+
+    dst = str(tmp_path / "g.jaxexp")
+    export_generator(ck, dst, batch_size=4, compute_dtype=jnp.float32,
+                     platforms=["cpu"])
+    assert inspect_main(["--ckpt", dst]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["kind"].startswith("exported") and rep["batch_size"] == 4
+    assert rep["file_bytes"] > 0
