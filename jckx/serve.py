@@ -371,6 +371,10 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
 
     Returns the (not yet running) ``ThreadingHTTPServer``; callers run
     ``serve_forever()`` (the CLI does, with SIGTERM → clean ``shutdown()``).
+    The returned server carries ``swap_service(new_svc)``: an atomic hot
+    swap under the sampling lock (in-flight requests finish on the old
+    service; /metrics counters persist) — the mechanism behind the CLI's
+    ``--watch`` checkpoint-reload mode.
     """
     import io
     import json as _json
@@ -379,6 +383,10 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     lock = threading.Lock()
+    current = {"svc": svc}
+
+    def cur():
+        return current["svc"]
     # /metrics counters; one lock, touched only at request boundaries
     stats_lock = threading.Lock()
     stats = {"requests": 0, "images": 0, "errors": 0, "latency_sum": 0.0}
@@ -416,20 +424,21 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                         ("jckx_generate_errors_total", "counter", snap["errors"]),
                         ("jckx_generate_seconds_sum", "counter",
                          round(snap["latency_sum"], 6)),
-                        ("jckx_checkpoint_step", "gauge", svc.step),
-                        ("jckx_serving_batch_size", "gauge", svc.batch_size),
+                        ("jckx_checkpoint_step", "gauge", cur().step),
+                        ("jckx_serving_batch_size", "gauge", cur().batch_size),
                     ))
                 return self._reply(
                     200, "text/plain; version=0.0.4", body.encode())
             if self.path != "/healthz":
                 return self._error(404, "unknown path (GET /healthz or /metrics)")
+            s = cur()
             self._reply(200, "application/json", _json.dumps({
-                "status": "ok", "step": svc.step,
-                "conditional": svc.conditional,
-                "num_classes": svc.num_classes,
-                "image_size": svc.geo.image_size,
-                "channels": svc.geo.channels,
-                "batch_size": svc.batch_size,
+                "status": "ok", "step": s.step,
+                "conditional": s.conditional,
+                "num_classes": s.num_classes,
+                "image_size": s.geo.image_size,
+                "channels": s.geo.channels,
+                "batch_size": s.batch_size,
             }).encode())
 
         def do_POST(self):
@@ -441,6 +450,7 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                    seconds=_time.perf_counter() - t0)
 
         def _generate(self):
+            s = cur()  # one consistent service per request, even mid-swap
             try:
                 length = int(self.headers.get("Content-Length") or 0)
                 req = _json.loads(self.rfile.read(length) or b"{}")
@@ -457,16 +467,16 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                 return self._error(400, "'n' must be an int in [1, 4096]")
             labels = req.get("labels")
             if labels is not None:
-                if not svc.conditional:
+                if not s.conditional:
                     return self._error(
                         400, "'labels' given but the checkpoint is "
                              "unconditional (DCGAN)")
                 if (not isinstance(labels, list) or not labels or
                         not all(is_int(x) and
-                                0 <= x < svc.num_classes for x in labels)):
+                                0 <= x < s.num_classes for x in labels)):
                     return self._error(
                         400, f"'labels' must be a non-empty list of ints in "
-                             f"[0, {svc.num_classes})")
+                             f"[0, {s.num_classes})")
             fmt = req.get("format", "png")
             if fmt not in ("png", "npy"):
                 return self._error(400, "'format' must be 'png' or 'npy'")
@@ -483,7 +493,7 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
             # dropped connection (BaseHTTPRequestHandler's default)
             try:
                 with lock:
-                    imgs = svc.sample(n, labels=labels, key=key)
+                    imgs = s.sample(n, labels=labels, key=key)
 
                 buf = io.BytesIO()
                 if fmt == "npy":
@@ -505,7 +515,67 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                 self._error(500, f"generation failed: {type(e).__name__}: {e}")
                 return None
 
-    return ThreadingHTTPServer((host, port), Handler)
+    srv = ThreadingHTTPServer((host, port), Handler)
+
+    def swap_service(new_svc):
+        """Atomic hot swap: taken under the sampling lock so no request is
+        mid-sample across the switch; requests that already captured the
+        old service finish on it. Counters persist across swaps."""
+        with lock:
+            current["svc"] = new_svc
+
+    srv.swap_service = swap_service
+    return srv
+
+
+class CheckpointWatcher:
+    """Poll a checkpoint file and hot-swap the serving service on change —
+    the CLI's ``--watch`` mode: a daemon pointed at a training run's
+    ``latest.ckpt`` follows the run (the trainer's writes are atomic
+    ``os.replace``, checkpoint.py, so a poll never sees a torn file).
+
+    ``rebuild()`` constructs the replacement service; a failed rebuild
+    (e.g. the sidecar landing an instant after the blob) keeps the old
+    service and retries on the next poll — the signature is only advanced
+    on a successful swap.
+    """
+
+    def __init__(self, srv, ckpt_path: str, rebuild, logger=None):
+        self.srv, self.path, self.rebuild = srv, ckpt_path, rebuild
+        self._logger = logger
+        self._sig = self._stat()
+
+    def _stat(self):
+        st = os.stat(self.path)
+        return (st.st_mtime_ns, st.st_size)
+
+    def _log(self, msg):
+        if self._logger is not None:
+            self._logger(msg)
+
+    def poll_once(self) -> bool:
+        """→ True when a new checkpoint was swapped in."""
+        try:
+            sig = self._stat()
+        except OSError:
+            return False  # mid-replace or deleted; next poll decides
+        if sig == self._sig:
+            return False
+        try:
+            new_svc = self.rebuild()
+        except Exception as e:  # noqa: BLE001 — keep serving the old ckpt
+            self._log(f"--watch: reload of {self.path} failed "
+                      f"({type(e).__name__}: {e}) — still serving the "
+                      f"previous checkpoint; will retry")
+            return False
+        self.srv.swap_service(new_svc)
+        self._sig = sig
+        self._log(f"--watch: now serving step-{new_svc.step} checkpoint")
+        return True
+
+    def run(self, interval_s: float, stop_event):
+        while not stop_event.wait(interval_s):
+            self.poll_once()
 
 
 def get_args(argv=None):
@@ -537,6 +607,10 @@ def get_args(argv=None):
     p.add_argument("--subpixel", type=int, default=0,
                    help="1 = kernel-segregated ConvTranspose sampler trace "
                         "(ops/conv.py; same math, A/B via bench_serve.py)")
+    p.add_argument("--watch", type=float, default=0.0,
+                   help="with --listen: poll the checkpoint file every N "
+                        "seconds and hot-swap the service when it changes "
+                        "(follow a training run's latest.ckpt); 0 = off")
     p.add_argument("--quant", default="", choices=["", "int8"],
                    help="int8 = W8A8 post-training-quantized sampler "
                         "(ops/quant.py; calibrated at load, A/B via "
@@ -589,15 +663,19 @@ def main(args):
                 "--ckpt *.jaxexp is a sealed artifact: geometry/conditioning/"
                 "batch/mesh/subpixel/quant were fixed at export time — "
                 "re-export instead of overriding")
-        svc = ArtifactService(args.ckpt, seed=args.seed)
+        def build_svc():
+            return ArtifactService(args.ckpt, seed=args.seed)
     else:
-        svc = GeneratorService(
-            args.ckpt, conditional=args.conditional, num_classes=args.num_classes,
-            geo_overrides=overrides or None,
-            batch_size=512 if args.batch_size is None else args.batch_size,
-            seed=args.seed, mesh=mesh, subpixel=bool(args.subpixel),
-            quant=args.quant or None,
-        )
+        def build_svc():
+            return GeneratorService(
+                args.ckpt, conditional=args.conditional,
+                num_classes=args.num_classes,
+                geo_overrides=overrides or None,
+                batch_size=512 if args.batch_size is None else args.batch_size,
+                seed=args.seed, mesh=mesh, subpixel=bool(args.subpixel),
+                quant=args.quant or None,
+            )
+    svc = build_svc()
     if args.listen:
         import signal
         import threading
@@ -610,10 +688,21 @@ def main(args):
 
         signal.signal(signal.SIGTERM, _stop)
         signal.signal(signal.SIGINT, _stop)
+        stop_watch = threading.Event()
+        if args.watch > 0:
+            watcher = CheckpointWatcher(
+                srv, args.ckpt, build_svc,
+                logger=lambda m: print(m, flush=True))
+            threading.Thread(target=watcher.run,
+                             args=(args.watch, stop_watch),
+                             daemon=True, name="jckx-ckpt-watch").start()
         print(f"serving step-{svc.step} checkpoint on "
               f"http://{srv.server_address[0]}:{srv.server_address[1]} "
-              f"(GET /healthz, POST /generate)", flush=True)
+              f"(GET /healthz, POST /generate"
+              + (f"; --watch {args.watch:g}s" if args.watch > 0 else "")
+              + ")", flush=True)
         srv.serve_forever()
+        stop_watch.set()
         srv.server_close()
         return
     labels = [int(x) for x in args.labels.split(",") if x] or None

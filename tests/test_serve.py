@@ -363,3 +363,79 @@ def test_http_metrics_endpoint(tmp_path):
         assert float(m["jckx_generate_seconds_sum"]) > 0.0
     finally:
         f.close()
+
+
+def test_watch_hot_swaps_new_checkpoint(tmp_path):
+    """--watch machinery: CheckpointWatcher.poll_once swaps the service when
+    the checkpoint file changes (new step served, same-seed samples change),
+    keeps the old service across a failed reload (torn/corrupt file), and
+    retries until the file is loadable again."""
+    import json as _json
+    import os
+    import threading
+    import urllib.request
+
+    from jckx.serve import CheckpointWatcher, GeneratorService, make_http_server
+
+    path = str(tmp_path / "latest.ckpt")
+    side = {"serve_config": {
+        "conditional": False, "num_classes": 100, "z_dim": 8,
+        "image_size": 8, "channels": 3, "base_width": 8, "ema": False}}
+
+    def write_ckpt(step, key):
+        geo = GANGeometry(z_dim=8, image_size=8, channels=3, base_width=8)
+        cfg = Config()
+        cfg.max_learning_rate = 2e-4
+        tx = make_optimizer(cfg)
+        pg = dcgan.generator_init(jax.random.PRNGKey(key), geo)
+        pd = dcgan.discriminator_init(jax.random.PRNGKey(key + 1), geo)
+        st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                           opt_d=tx.init(pd),
+                           step=jnp.asarray(step, jnp.int32),
+                           rng=jax.random.PRNGKey(2))
+        save_checkpoint(path, st, extra=side)
+        os.utime(path, ns=(step * 10**9, step * 10**9))  # force mtime change
+
+    write_ckpt(1, key=0)
+    svc = GeneratorService(path, batch_size=4)
+    srv = make_http_server(svc, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    watcher = CheckpointWatcher(
+        srv, path, lambda: GeneratorService(path, batch_size=4))
+
+    def get(p, body=None):
+        req = (urllib.request.Request(
+                   f"http://127.0.0.1:{port}{p}",
+                   data=_json.dumps(body).encode(),
+                   headers={"Content-Type": "application/json"})
+               if body is not None else f"http://127.0.0.1:{port}{p}")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.read()
+
+    try:
+        assert watcher.poll_once() is False  # unchanged file: no swap
+        assert _json.loads(get("/healthz"))["step"] == 1
+        a = get("/generate", {"n": 2, "seed": 9, "format": "npy"})
+
+        # a corrupt replacement must NOT take down the serving process
+        with open(path, "wb") as f:
+            f.write(b"torn write")
+        os.utime(path, ns=(5 * 10**9, 5 * 10**9))
+        assert watcher.poll_once() is False
+        assert _json.loads(get("/healthz"))["step"] == 1  # old svc serving
+        np.testing.assert_array_equal(
+            np.frombuffer(a, np.uint8),
+            np.frombuffer(get("/generate", {"n": 2, "seed": 9,
+                                            "format": "npy"}), np.uint8))
+
+        write_ckpt(2, key=7)  # the retry path: now loadable
+        assert watcher.poll_once() is True
+        assert _json.loads(get("/healthz"))["step"] == 2
+        b = get("/generate", {"n": 2, "seed": 9, "format": "npy"})
+        assert a != b  # new weights: same seed, different images
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
