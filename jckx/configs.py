@@ -213,7 +213,11 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
                              "(gives the reference's dead -milr flag a meaning; "
                              "constant = faithful)")
     parser.add_argument("--lr_decay_steps", type=int, default=d.lr_decay_steps,
-                        help="cosine horizon in steps (0 = auto: epochs x steps/epoch)")
+                        help="cosine horizon in steps (0 = auto: epochs x "
+                             "steps/epoch AT LAUNCH — resuming with a raised "
+                             "epoch budget re-derives a longer horizon, so "
+                             "pass the original value explicitly to keep the "
+                             "schedule identical across such resumes)")
     parser.add_argument("--compute_dtype", type=str, default=d.compute_dtype, choices=["bfloat16", "float32"])
     parser.add_argument("--gp_in_d_grad", type=int, default=int(d.gp_in_d_grad), help="1=fixed (GP in D grad), 0=faithful DCGAN quirk")
     parser.add_argument("--image_size", type=int, default=d.image_size)

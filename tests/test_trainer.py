@@ -582,3 +582,66 @@ def test_preempted_trainer_trains_cleanly_on_next_call(tmp_path):
     assert not tr.preempted, "stale preemption latch survived into a new train()"
     assert int(tr.state.step) == 8
     MainLogger.reset()
+
+
+def test_cosine_lr_resume_bit_identical(tmp_path):
+    """--lr_schedule cosine + --resume: the decay factor is a function of
+    the CHECKPOINTED optimizer count, so an interrupted run continues the
+    schedule exactly — final params bit-identical to an uninterrupted twin
+    (fixed --lr_decay_steps; the auto horizon derives from the launch
+    epoch budget, so budget-raising resumes must pin it, configs.py)."""
+    import jax
+
+    def cosine_cfg(root):
+        cfg = tiny_cfg(root)
+        cfg.lr_schedule = "cosine"
+        cfg.lr_decay_steps = 8  # 2 epochs x 4 steps
+        cfg.min_learning_rate = cfg.max_learning_rate / 10.0
+        return cfg
+
+    def data(cfg):
+        pre = DCGANDataPreprocessor(cfg)
+        pre.images_u8 = pre.images_u8[:64]  # 4 steps/epoch
+        pre.labels_np = pre.labels_np[:64]
+        return pre
+
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(3))
+    pg0 = dcgan.generator_init(keys.next(), geo)
+    pd0 = dcgan.discriminator_init(keys.next(), geo)
+
+    def fresh():  # per-trainer copies: the donated superstep eats its inputs
+        import jax.numpy as jnp
+
+        return (jax.tree_util.tree_map(jnp.copy, pg0),
+                jax.tree_util.tree_map(jnp.copy, pd0))
+
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    # uninterrupted twin: 2 epochs in one go
+    twin_root = tmp_path / "twin"
+    cfg = cosine_cfg(twin_root)
+    cfg.epoch = 2
+    tr = DCGANTrainer(cfg, *fresh(), data(cfg), metrics=StubMetrics())
+    tr.train()
+    twin = jax.device_get(tr.state.params_g)
+    MainLogger.reset()
+
+    # interrupted run: 1 epoch, then resume to the same 2-epoch budget
+    run_root = tmp_path / "run"
+    cfg1 = cosine_cfg(run_root)
+    cfg1.epoch = 1
+    tr1 = DCGANTrainer(cfg1, *fresh(), data(cfg1), metrics=StubMetrics())
+    tr1.train()
+    MainLogger.reset()
+    cfg2 = cosine_cfg(run_root)
+    cfg2.epoch = 2
+    cfg2.resume = True
+    tr2 = DCGANTrainer(cfg2, *fresh(), data(cfg2), metrics=StubMetrics())
+    tr2.train()
+    assert int(tr2.state.step) == 8
+    got = jax.device_get(tr2.state.params_g)
+    for k in twin:
+        np.testing.assert_array_equal(np.asarray(twin[k]), np.asarray(got[k]),
+                                      err_msg=k)
+    MainLogger.reset()
