@@ -265,3 +265,70 @@ def test_image_folder_dataset(tmp_path):
     empty.mkdir()
     with pytest.raises(ValueError, match="no images"):
         load_image_folder(str(empty))
+
+
+def test_streaming_plane_on_custom_npz(tmp_path):
+    """The host-streaming data plane (C++ gather + per-launch upload) is
+    format-agnostic: an npz dataset at a non-archive geometry (24x24)
+    trains numerically == the HBM-resident plane."""
+    import os
+
+    import jax
+    import pytest
+
+    from jckx.logging.main_logger import MainLogger
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.rng import KeyChain, seed_everything
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    rng = np.random.RandomState(8)
+    p = str(tmp_path / "d.npz")
+    with open(p, "wb") as f:
+        np.savez(f, x=rng.randint(0, 256, (64, 24, 24, 3)).astype(np.uint8),
+                 y=rng.randint(0, 4, 64))
+
+    def cfg_for(place, sub):
+        cfg = Config()
+        cfg.dataset, cfg.data_path = "npz", p
+        cfg.batch_size = 16
+        cfg.epoch = 1
+        cfg.image_size = 16
+        cfg.base_width = 8
+        cfg.compute_dtype = "float32"
+        cfg.max_learning_rate = 2e-4
+        cfg.eval_every = 0
+        cfg.log_every = 8
+        cfg.log_file = 0
+        cfg.data_placement = place
+        cfg.num_worker = 2 if place == "stream" else 0
+        cfg.save_root = str(tmp_path)
+        cfg.save_path = os.path.join(str(tmp_path), "dcgan", sub)
+        return cfg
+
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(9))
+    pg0 = jax.device_get(dcgan.generator_init(keys.next(), geo))
+    pd0 = jax.device_get(dcgan.discriminator_init(keys.next(), geo))
+    fresh = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+
+    cfg_a = cfg_for("hbm", "resident")
+    pre_a = DCGANDataPreprocessor(cfg_a)
+    tr_a = DCGANTrainer(cfg_a, fresh(pg0), fresh(pd0), pre_a)
+    assert not tr_a._streaming
+    last_a = tr_a.train()
+    MainLogger.reset()
+
+    cfg_b = cfg_for("stream", "stream")
+    pre_b = DCGANDataPreprocessor(cfg_b)
+    tr_b = DCGANTrainer(cfg_b, fresh(pg0), fresh(pd0), pre_b)
+    assert tr_b._streaming
+    last_b = tr_b.train()
+    MainLogger.reset()
+
+    assert last_a["loss_d"] == pytest.approx(last_b["loss_d"], abs=1e-5)
+    a = jax.device_get(tr_a.state.params_g)
+    b = jax.device_get(tr_b.state.params_g)
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   atol=1e-6, err_msg=k)

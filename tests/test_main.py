@@ -359,3 +359,44 @@ def test_inspect_cli_all_artifact_kinds(tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out)
     assert rep["kind"].startswith("exported") and rep["batch_size"] == 4
     assert rep["file_bytes"] > 0
+
+
+def test_jckx_dispatcher(tmp_path, capsys):
+    """python -m jckx <command>: usage on no args, exit 2 on unknown,
+    and real dispatch into a subcommand (inspect on a tiny ckpt)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from jckx.__main__ import main as jckx_main
+    from jckx.checkpoint.checkpoint import save_checkpoint
+    from jckx.configs import Config
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.train.state import GANTrainState, make_optimizer
+
+    assert jckx_main([]) == 0
+    out = capsys.readouterr().out
+    assert "usage:" in out and all(
+        c in out for c in ("train", "evaluate", "serve", "export",
+                           "convert", "inspect", "doctor", "finetune"))
+    assert jckx_main(["frobnicate"]) == 2
+    assert "unknown command" in capsys.readouterr().err
+
+    geo = GANGeometry(image_size=16, base_width=8)
+    cfg = Config()
+    cfg.max_learning_rate = 2e-4
+    tx = make_optimizer(cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                       opt_d=tx.init(pd), step=jnp.asarray(3, jnp.int32),
+                       rng=jax.random.PRNGKey(2))
+    ck = str(tmp_path / "latest.ckpt")
+    save_checkpoint(ck, st, extra={"serve_config": {
+        "conditional": False, "num_classes": 100, "z_dim": geo.z_dim,
+        "image_size": 16, "channels": 3, "base_width": 8, "ema": False}})
+    assert jckx_main(["inspect", "--ckpt", ck]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["step"] == 3 and rep["kind"] == "jckx checkpoint"
