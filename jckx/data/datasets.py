@@ -349,6 +349,15 @@ def load_dataset(name: str, data_dir: str, train: bool = True, seed: int = 0,
                              "the .npz file (arrays: x uint8 NHWC, "
                              "optional y labels, optional names)")
         x, y, ncls, names = load_npz_dataset(data_path)
+        if x.shape[-1] != channels:
+            # loud here, not as an opaque conv input-channel trace error
+            # deep inside the jitted step (the folder plane CONVERTS to the
+            # requested channel count; npz carries the user's exact pixels,
+            # so a mismatch is a config error to surface, not paper over)
+            raise ValueError(
+                f"{data_path}: images have {x.shape[-1]} channel(s) but the "
+                f"model is configured for {channels} (--channels); pass "
+                f"--channels {x.shape[-1]} or convert the array")
         return x, y, ncls, names, False
     if name == "folder":
         if not data_path:

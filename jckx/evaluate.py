@@ -112,6 +112,12 @@ def evaluate(args, metrics=None):
     if args.synthetic_size is not None:
         cfg.synthetic_size = args.synthetic_size
     seed = cfg.seed if args.seed is None else args.seed
+    # the real side must follow the seed too: the trainers derive BOTH the
+    # eval-noise z and the dataset (synthetic plane: pixels are generated
+    # from cfg.seed) from one config seed, so scoring a seeded run against
+    # default-seed synthetic "real" pixels would shift FID while IS (fake-
+    # only) matches — caught by the -t drive on a --seed 777 run
+    cfg.seed = seed
     n_samples = (10 * ncls if conditional
                  else (args.sample_count or cfg.sample_count))
 

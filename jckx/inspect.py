@@ -14,8 +14,9 @@ produces or consumes — the ops question that otherwise needs a REPL:
 
 The reference has no analog (its checkpoints are opaque torch dicts whose
 only metadata is the FILENAME, train/dcgan_trainer.py:91). Never touches an
-accelerator: torch import and flax from_bytes are host-side, and no jit is
-traced — safe to run on a host whose TPU link is sick (CLAUDE.md).
+accelerator: the jax backend is PINNED TO CPU before any template/optimizer
+init (which would otherwise allocate on the default — tunneled — device),
+so it is safe to run on a host whose TPU link is sick (CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -25,16 +26,21 @@ import json
 import os
 
 
-def _tree_count(tree) -> int:
+def _pin_host_backend():
+    """Introspection never needs the chip, but template/optimizer init
+    (make_template_state, torch import) allocates on the DEFAULT backend —
+    which is the TPU tunnel on axon hosts, where a sick link blocks device
+    work for minutes (CLAUDE.md). Pin CPU before any jax touch so the
+    'safe on a sick host' promise in the module docstring holds."""
     import jax
-    import numpy as np
 
-    return int(sum(np.size(x) for x in jax.tree_util.tree_leaves(tree)))
+    jax.config.update("jax_platforms", "cpu")
 
 
 def inspect_ckpt(path: str) -> dict:
+    _pin_host_backend()
     from jckx.checkpoint import load_serve_sidecar, restore_checkpoint
-    from jckx.models.dcgan import GANGeometry
+    from jckx.models.dcgan import GANGeometry, param_count
     from jckx.train.state import make_template_state
 
     side = load_serve_sidecar(path)
@@ -56,13 +62,13 @@ def inspect_ckpt(path: str) -> dict:
         "geometry": {"z_dim": geo.z_dim, "image_size": geo.image_size,
                      "channels": geo.channels, "base_width": geo.base_width},
         "ema": ema,
-        "params_g": _tree_count(state.params_g),
-        "params_d": _tree_count(state.params_d),
-        "opt_moments": _tree_count((state.opt_g, state.opt_d)),
+        "params_g": param_count(state.params_g),
+        "params_d": param_count(state.params_d),
+        "opt_moments": param_count((state.opt_g, state.opt_d)),
         "sidecar_present": bool(side),
     }
     if ema:
-        info["params_ema_g"] = _tree_count(state.ema_g)
+        info["params_ema_g"] = param_count(state.ema_g)
     if "bests" in extra:
         info["bests"] = extra["bests"]
     if "losses" in extra:
@@ -71,7 +77,9 @@ def inspect_ckpt(path: str) -> dict:
 
 
 def inspect_pt(path: str) -> dict:
+    _pin_host_backend()
     from jckx.checkpoint import import_torch_gan_checkpoint
+    from jckx.models.dcgan import param_count
 
     state, tinfo = import_torch_gan_checkpoint(path, with_optimizer=True)
     g = tinfo["geo"]
@@ -83,9 +91,9 @@ def inspect_pt(path: str) -> dict:
         "geometry": {"z_dim": g.z_dim, "image_size": g.image_size,
                      "channels": g.channels, "base_width": g.base_width},
         "ema": False,  # the reference has no EMA
-        "params_g": _tree_count(state.params_g),
-        "params_d": _tree_count(state.params_d),
-        "opt_moments": _tree_count((state.opt_g, state.opt_d)),
+        "params_g": param_count(state.params_g),
+        "params_d": param_count(state.params_d),
+        "opt_moments": param_count((state.opt_g, state.opt_d)),
     }
 
 

@@ -33,10 +33,12 @@ def run_test_mode(cfg: Config, metrics=None):
     """``-t 1``: score ``save/<model>/<ts>/latest.ckpt`` via jckx.evaluate.
 
     Needs ``-pm`` (an existing run dir) — a fresh timestamped dir has no
-    checkpoint to score. The eval-noise seed is NOT forwarded: evaluate
-    defaults to the checkpoint's own training seed, which reproduces the
-    run's logged eval numbers (the trainer protocol). ``metrics`` is a test
-    seam (StubMetrics); None builds the real Metrics engine.
+    checkpoint to score. The eval-noise seed IS forwarded (``--seed
+    cfg.seed``): the trainers derive their eval z from the same config
+    seed, so scoring with the seed the run trained under reproduces its
+    logged eval numbers exactly (verified bit-identical on synthetic
+    runs). ``metrics`` is a test seam (StubMetrics); None builds the real
+    Metrics engine.
     """
     if not cfg.model_path:
         raise SystemExit(
@@ -52,6 +54,7 @@ def run_test_mode(cfg: Config, metrics=None):
 
     argv = ["--ckpt", ckpt, "--dataset", cfg.dataset,
             "--data_dir", cfg.data_dir,
+            "--seed", str(cfg.seed),
             "--compute_dtype", cfg.compute_dtype]
     if cfg.synthetic_size:
         argv += ["--synthetic_size", str(cfg.synthetic_size)]
@@ -81,6 +84,12 @@ def main(cfg: Config):
     if cfg.sanitize:
         jax.config.update("jax_debug_nans", True)
 
+    if cfg.test and not cfg.model_path:
+        # fail BEFORE creating a run dir: -t without -pm would otherwise
+        # litter save/ with an abandoned timestamped dir per mistake
+        raise SystemExit(
+            "-t/--test needs -pm/--model_path (which run to score): "
+            "e.g. python main.py -m DCGAN -pm 20260816_073320 -t 1")
     datetime_now = cfg.model_path or datetime.now().strftime("%Y%m%d_%H%M%S")
     cfg.save_path = os.path.join(cfg.save_root, str(cfg.model).lower(), datetime_now)
     os.makedirs(cfg.save_path, exist_ok=True)

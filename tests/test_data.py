@@ -332,3 +332,20 @@ def test_streaming_plane_on_custom_npz(tmp_path):
     for k in a:
         np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
                                    atol=1e-6, err_msg=k)
+
+
+def test_npz_channel_mismatch_is_loud(tmp_path):
+    """A grayscale npz against the default --channels 3 must fail at load
+    with guidance, not as an opaque conv trace error (review finding)."""
+    import pytest
+
+    from jckx.data.datasets import load_dataset
+
+    p = str(tmp_path / "g.npz")
+    with open(p, "wb") as f:
+        np.savez(f, x=np.zeros((6, 8, 8), np.uint8))
+    with pytest.raises(ValueError, match="--channels 1"):
+        load_dataset("npz", str(tmp_path), data_path=p, channels=3)
+    x, y, ncls, names, _ = load_dataset("npz", str(tmp_path), data_path=p,
+                                        channels=1)
+    assert x.shape == (6, 8, 8, 1)

@@ -217,6 +217,9 @@ def test_main_test_mode_requires_pm_and_ckpt(tmp_path):
                          "--save_root", str(tmp_path), "-lf", "0"])
     with pytest.raises(SystemExit, match="-pm"):
         entry.main(cfg)
+    # the rejection happens BEFORE any run dir is created: no abandoned
+    # timestamped dir litters save/ (review finding)
+    assert not os.path.exists(os.path.join(str(tmp_path), "dcgan"))
     MainLogger.reset()
     cfg = get_arg_parse(["-m", "DCGAN", "-t", "1", "-pm", "empty",
                          "--dataset", "synthetic",
@@ -400,3 +403,47 @@ def test_jckx_dispatcher(tmp_path, capsys):
     assert jckx_main(["inspect", "--ckpt", ck]) == 0
     rep = json.loads(capsys.readouterr().out)
     assert rep["step"] == 3 and rep["kind"] == "jckx checkpoint"
+
+
+def test_main_test_mode_forwards_training_seed(tmp_path, monkeypatch):
+    """-t must forward cfg.seed as the eval-noise seed — a run trained with
+    a non-default --seed is otherwise scored under a different z protocol
+    than its own logged eval boundaries (review finding)."""
+    import jax
+    import jax.numpy as jnp
+
+    import jckx.evaluate as evaluate_mod
+    import main as entry
+    from jckx.checkpoint.checkpoint import save_checkpoint
+    from jckx.configs import Config
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.train.state import GANTrainState, make_optimizer
+
+    MainLogger.reset()
+    run = tmp_path / "dcgan" / "r"
+    run.mkdir(parents=True)
+    geo = GANGeometry(image_size=16, base_width=8)
+    ocfg = Config()
+    ocfg.max_learning_rate = 2e-4
+    tx = make_optimizer(ocfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+    st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                       opt_d=tx.init(pd), step=jnp.asarray(1, jnp.int32),
+                       rng=jax.random.PRNGKey(2))
+    save_checkpoint(str(run / "latest.ckpt"), st, extra={"serve_config": {
+        "conditional": False, "num_classes": 100, "z_dim": geo.z_dim,
+        "image_size": 16, "channels": 3, "base_width": 8, "ema": False}})
+
+    seen = {}
+    monkeypatch.setattr(evaluate_mod, "evaluate",
+                        lambda args, metrics=None: seen.update(
+                            seed=args.seed) or {"ok": 1})
+    cfg = get_arg_parse(["-m", "DCGAN", "-t", "1", "-pm", "r",
+                         "--dataset", "synthetic", "--seed", "777",
+                         "--save_root", str(tmp_path), "-lf", "0"])
+    cfg.save_path = str(run)
+    entry.run_test_mode(cfg)
+    assert seen["seed"] == 777
+    MainLogger.reset()
