@@ -387,6 +387,15 @@ def test_jckx_dispatcher(tmp_path, capsys):
     assert jckx_main(["frobnicate"]) == 2
     assert "unknown command" in capsys.readouterr().err
 
+    # train wiring reaches main.py's flag parsing + validation without
+    # actually training (-t without -pm is a pre-run SystemExit)
+    import pytest
+
+    with pytest.raises(SystemExit, match="-pm"):
+        jckx_main(["train", "-m", "DCGAN", "-t", "1",
+                   "--save_root", str(tmp_path), "-lf", "0"])
+    MainLogger.reset()
+
     geo = GANGeometry(image_size=16, base_width=8)
     cfg = Config()
     cfg.max_learning_rate = 2e-4
