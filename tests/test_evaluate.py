@@ -163,3 +163,23 @@ def test_evaluate_quant_int8_scores_quantized_sampler(tmp_path):
     d = np.abs(s_f.images - s_q.images)
     assert d.max() > 0, "quantized sampler produced bit-identical images"
     assert d.mean() < 0.05, f"quant images drifted too far: mean |Δ| {d.mean():.3f}"
+
+
+def test_evaluate_npz_real_side(tmp_path, capsys):
+    """--dataset npz --data_path as the REAL side of a full-engine eval
+    (the stub-metrics paths skip the preprocessor, so this is the test
+    that pins the custom-plane forwarding through evaluate)."""
+    geo = GANGeometry(z_dim=16, image_size=16, channels=3, base_width=8)
+    path = _dcgan_pt(tmp_path, geo)
+    rng = np.random.RandomState(2)
+    npz = str(tmp_path / "real.npz")
+    with open(npz, "wb") as f:
+        np.savez(f, x=rng.randint(0, 256, (32, 16, 16, 3)).astype(np.uint8))
+    from jckx.evaluate import main
+
+    main(["--ckpt", path, "--dataset", "npz", "--data_path", npz,
+          "--sample_count", "16", "--eval_batch_size", "8",
+          "--compute_dtype", "float32", "--data_dir", str(tmp_path)])
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    res = json.loads(line)
+    assert np.isfinite(res["fid"]) and res["n"] == 16
