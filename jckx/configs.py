@@ -42,7 +42,7 @@ V5E_HBM_BYTES_PER_S = 819e9    # HBM bandwidth
 @dataclass
 class Config:
     # --- reference CLI flags (names/defaults preserved, main.py:40-61) ---
-    test: int = 0                      # -t   (parsed-but-unused in reference)
+    test: int = 0                      # -t   (dead in reference; jckx: 1 = eval-only mode, main.run_test_mode)
     model_path: str = ""               # -pm  run-dir name to reuse
     log_file: int = 1                  # -lf  write a log file
     model: ModelEnum = ModelEnum.DCGAN  # -m
@@ -50,7 +50,7 @@ class Config:
     batch_size: int = 128              # -b   GLOBAL batch size
     epoch: int = 100                   # -e
     max_learning_rate: float = 0.1     # -mlr (Adam lr, dcgan_trainer.py:61)
-    min_learning_rate: float = 1e-4    # -milr (parsed-but-unused in reference)
+    min_learning_rate: float = 1e-4    # -milr (dead in reference; jckx: cosine floor under --lr_schedule)
     weight_decay: float = 5e-4         # -wd  (parsed-but-unused in reference)
     nesterov: int = 1                  # -snt (parsed-but-unused in reference)
 
