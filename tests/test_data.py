@@ -349,3 +349,30 @@ def test_npz_channel_mismatch_is_loud(tmp_path):
     x, y, ncls, names, _ = load_dataset("npz", str(tmp_path), data_path=p,
                                         channels=1)
     assert x.shape == (6, 8, 8, 1)
+
+
+def test_config_seed_reaches_dataset_and_shuffle():
+    """``--seed`` must resample everything a seed panel varies — the
+    synthetic dataset content AND the loader's shuffle stream — and the
+    same seed must reproduce both bit-exactly. This pins the cfg.seed
+    wiring (pipeline.py passes seed=cfg.seed at both construction sites)
+    that the README's cross-seed variance evidence relies on (reference
+    analog: one global RANDOMSEED, change_randomseed.py:1)."""
+    def build(seed):
+        cfg = Config()
+        cfg.dataset = "synthetic"
+        cfg.synthetic_size = 128
+        cfg.batch_size = 16
+        cfg.log_file = 0
+        cfg.seed = seed
+        pre = DCGANDataPreprocessor(cfg)
+        loader, _ = pre.get_data_loader()
+        bx, _ = next(iter(loader))
+        return pre.images_u8, np.asarray(bx)
+
+    xa, ba = build(1)
+    xb, _ = build(2)
+    xa2, ba2 = build(1)
+    assert not (xa == xb).all()  # different seed -> different dataset
+    assert (xa == xa2).all()     # same seed -> bit-identical dataset
+    assert (ba == ba2).all()     # ...and bit-identical first shuffled batch
