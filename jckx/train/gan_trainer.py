@@ -461,6 +461,19 @@ class _BaseGANTrainer(Trainer):
         # resumes inside its epoch.
         start_epoch = min(it // steps_per_epoch, cfg.epoch) if steps_per_epoch else 0
         resume_offset = it - start_epoch * steps_per_epoch
+        # A resumed step at/after this config's total step count makes the
+        # epoch loop empty — correct when the run simply finished, but the
+        # same silent no-op also hides a config mismatch (e.g. resuming with
+        # a different dataset size changes steps_per_epoch, so the old step
+        # count can exceed the new horizon). Warn so "train finish 0.0s"
+        # is never a mystery.
+        if it > 0 and it >= cfg.epoch * steps_per_epoch:
+            self.logger.warning(
+                f"resumed step {it} >= total steps for this config "
+                f"({cfg.epoch} epochs x {steps_per_epoch} steps/epoch = "
+                f"{cfg.epoch * steps_per_epoch}) - nothing left to train; "
+                f"if the run is not actually complete, check that --epoch "
+                f"and the dataset size match the original run")
         for _ in range(start_epoch):
             rng.permutation(self.n_data)
 

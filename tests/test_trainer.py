@@ -114,12 +114,32 @@ def test_dcgan_trainer_resume_continues_step(tmp_path):
     MainLogger.reset()
 
     # resuming a COMPLETED run trains zero further steps (epochs fast-forward)
+    # — and says so (the same silent no-op would otherwise mask a config
+    # mismatch, e.g. a resume with a different dataset size)
     cfg2 = tiny_cfg(tmp_path)
     cfg2.resume = True
     tr2 = DCGANTrainer(cfg2, pg, pd, data_pre, metrics=StubMetrics())
     assert int(tr2.state.step) == step_after  # restored
+    warned = []
+    tr2.logger.warning = lambda msg, *a, **k: warned.append(str(msg))
     tr2.train()
     assert int(tr2.state.step) == step_after
+    assert any("nothing left to train" in m for m in warned)
+    MainLogger.reset()
+
+    # a resume whose dataset shrank (steps/epoch changed) must warn too:
+    # the old step count exceeds the new horizon, so the loop is empty
+    cfg2b = tiny_cfg(tmp_path)
+    cfg2b.resume = True
+    data_small = DCGANDataPreprocessor(cfg2b)
+    data_small.images_u8 = data_small.images_u8[:16]  # 1 step/epoch
+    data_small.labels_np = data_small.labels_np[:16]
+    tr2b = DCGANTrainer(cfg2b, pg, pd, data_small, metrics=StubMetrics())
+    warned_b = []
+    tr2b.logger.warning = lambda msg, *a, **k: warned_b.append(str(msg))
+    tr2b.train()
+    assert int(tr2b.state.step) == step_after  # trained nothing
+    assert any("nothing left to train" in m for m in warned_b)
     MainLogger.reset()
 
     # raising the epoch budget continues for exactly the remaining epochs
