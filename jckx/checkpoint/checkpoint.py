@@ -170,12 +170,28 @@ def restore_checkpoint(path: str, template_state: Any) -> Tuple[Any, dict]:
     try:
         state = serialization.from_bytes(template_state, data)
     except (ValueError, KeyError, AttributeError, TypeError) as e:
-        # AttributeError is what flax raises for the EMA mismatch (None
-        # stored vs tree template or vice versa)
+        # AttributeError is what flax raises for the no-EMA-checkpoint ->
+        # EMA-template mismatch
         raise ValueError(
             f"checkpoint {path} does not match the expected state structure "
             f"(wrong model family / geometry / EMA setting?): {e}"
         ) from e
+    # The OTHER EMA direction flax accepts silently: restoring an
+    # EMA-carrying checkpoint into a template built with ema_g=None hands
+    # back the stored tree as a raw dict (None is a leaf to from_state_dict,
+    # so the stored subtree replaces it wholesale). Training would then carry
+    # a stale, never-updated EMA and save it onward. Fail loudly instead —
+    # with main.py's --resume config inheritance this only fires for library
+    # callers who build their template by hand.
+    t_ema = getattr(template_state, "ema_g", None) is not None
+    r_ema = getattr(state, "ema_g", None) is not None
+    if t_ema != r_ema:
+        raise ValueError(
+            f"checkpoint {path} {'carries' if r_ema else 'lacks'} an EMA "
+            f"tree but the template was built {'without' if r_ema else 'with'} "
+            f"one - ema_decay does not match the run that wrote the "
+            f"checkpoint (make_template_state(with_ema=...) / Config.ema_decay)"
+        )
     extra = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:

@@ -176,9 +176,100 @@ class Config:
         return json.dumps(d, indent=2)
 
 
+def _explicit_dests(parser: argparse.ArgumentParser, argv: list) -> set:
+    """The dest names of options literally present on the command line.
+
+    Used by ``--resume``/``-t`` config inheritance to decide which flags the
+    user chose NOW (those win) vs which should come from the run's stored
+    ``config.json``. Requires ``allow_abbrev=False`` on the parser so a
+    prefix spelling can't dodge detection.
+    """
+    opt_to_dest = {}
+    for action in parser._actions:
+        for s in action.option_strings:
+            opt_to_dest[s] = action.dest
+    given = set()
+    for tok in argv:
+        if isinstance(tok, str) and tok.startswith("-"):
+            dest = opt_to_dest.get(tok.split("=", 1)[0])
+            if dest:
+                given.add(dest)
+    return given
+
+
+# Control-plane fields a resumed/rescored run must take from ITS OWN command
+# line, never from the stored config: mode selectors, run-dir addressing, and
+# host-environment knobs that legitimately differ across machines/sessions.
+_NO_INHERIT = {
+    "test", "model_path", "resume", "save_root", "save_path", "log_file",
+    "profile_dir", "multihost", "init_from_torch",
+}
+
+
+def _inherit_run_config(cfg: Config, explicit: set) -> Optional[str]:
+    """``--resume``/``-t``: adopt the run's persisted ``config.json`` for
+    every flag not explicitly given on this command line.
+
+    Training semantics (lr, ema_decay, dataset size, geometry, seed, ...)
+    silently reverting to defaults on resume is how a healthy run gets
+    destroyed — observed live: a 100-epoch run resumed without ``-mlr``
+    continued at the reference's default Adam lr=0.1 and collapsed within
+    200 steps (FID 133 → 1747). The run dir is searched across family dirs
+    so a forgotten ``-m`` inherits the right model too. Returns the path
+    inherited from, or None when the dir has no config.json (pre-feature
+    runs keep the old repeat-your-flags behavior).
+    """
+    import glob as _glob
+    import os
+
+    pattern = os.path.join(cfg.save_root, "*", cfg.model_path, "config.json")
+    cand = sorted(_glob.glob(pattern))
+    if len(cand) > 1:
+        byfam = [c for c in cand
+                 if os.path.basename(os.path.dirname(os.path.dirname(c)))
+                 == str(cfg.model).lower()]
+        if "model" in explicit and len(byfam) == 1:
+            cand = byfam
+        else:
+            raise SystemExit(
+                f"--resume/-t: run dir {cfg.model_path!r} exists under "
+                f"multiple model families ({[c for c in cand]}); pass -m to "
+                f"disambiguate")
+    if not cand:
+        return None
+    path = cand[0]
+    with open(path) as f:
+        stored = json.load(f)
+    stored_model = stored.get("model", str(cfg.model))
+    if "model" in explicit and str(cfg.model) != stored_model:
+        raise SystemExit(
+            f"--resume/-t: {path} records model {stored_model} but "
+            f"-m {cfg.model} was passed; drop -m to inherit or point at a "
+            f"{cfg.model} run")
+    for field in dataclasses.fields(Config):
+        name = field.name
+        if name in _NO_INHERIT or name in explicit or name not in stored:
+            continue
+        val = stored[name]
+        if name == "model":
+            val = ModelEnum(val)
+        elif name == "mesh_shape":
+            val = tuple(val) if val else None
+        elif name == "mesh_axes":
+            val = tuple(val)
+        setattr(cfg, name, val)
+    return path
+
+
 def get_arg_parse(argv: Optional[list] = None) -> Config:
-    """CLI mirroring reference ``main.py:40-61`` plus jckx extensions."""
-    parser = argparse.ArgumentParser(description="jckx - TPU-native DCGAN/CGAN")
+    """CLI mirroring reference ``main.py:40-61`` plus jckx extensions.
+
+    With ``--resume`` or ``-t`` and an existing run dir that has a
+    ``config.json`` (written by every train run), flags NOT given on this
+    command line inherit the stored run config — see _inherit_run_config.
+    """
+    parser = argparse.ArgumentParser(
+        description="jckx - TPU-native DCGAN/CGAN", allow_abbrev=False)
     d = Config()
 
     # reference flags (short/long names preserved)
@@ -254,6 +345,9 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--hbm_data_budget", type=int, default=d.hbm_data_budget)
 
     ns = parser.parse_args(argv)
+    import sys
+
+    explicit = _explicit_dests(parser, sys.argv[1:] if argv is None else argv)
     cfg = Config(
         **{
             f.name: getattr(ns, f.name)
@@ -268,6 +362,10 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
 
     cfg.mesh_shape = parse_mesh_shape(ns.mesh_shape)
     cfg.mesh_axes = tuple(ns.mesh_axes.split(","))
+    # resume/-t: non-explicit flags inherit the run's persisted config
+    cfg._inherited_from = None
+    if cfg.model_path and (cfg.resume or cfg.test):
+        cfg._inherited_from = _inherit_run_config(cfg, explicit)
     # dataset-dependent geometry defaults
     if cfg.dataset == "cifar10":
         cfg.num_classes = 10

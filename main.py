@@ -93,8 +93,22 @@ def main(cfg: Config):
     datetime_now = cfg.model_path or datetime.now().strftime("%Y%m%d_%H%M%S")
     cfg.save_path = os.path.join(cfg.save_root, str(cfg.model).lower(), datetime_now)
     os.makedirs(cfg.save_path, exist_ok=True)
+    if not cfg.test:
+        # persist the RESOLVED config so --resume/-t can inherit it
+        # (get_arg_parse._inherit_run_config): a resume that repeats only
+        # --resume -pm <dir> gets the original lr/ema/dataset/geometry back
+        # instead of silently reverting every forgotten flag to its default.
+        # Atomic write: a SIGKILL mid-write must not leave a truncated json
+        # that poisons the next resume.
+        tmp = os.path.join(cfg.save_path, "config.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(cfg.to_json())
+        os.replace(tmp, os.path.join(cfg.save_path, "config.json"))
 
     logger = MainLogger(cfg)
+    if getattr(cfg, "_inherited_from", None):
+        logger.debug(f"config inherited from {cfg._inherited_from} "
+                     f"(explicitly passed flags override)")
     logger.debug(f"config: {cfg.to_json()}")
     logger.debug(f"devices: {jax.devices()}  backend: {jax.default_backend()}")
 

@@ -178,3 +178,32 @@ def test_save_latest_with_device_snapshot(tmp_path):
     restored, _ = restore_checkpoint(str(tmp_path / "latest.ckpt"), _state(1))
     np.testing.assert_array_equal(
         np.asarray(restored.params_g["convt0"]), np.asarray(s.params_g["convt0"]))
+
+
+def test_restore_ema_presence_mismatch_raises(tmp_path):
+    """Both EMA-presence mismatch directions must fail loudly. flax raises
+    for no-EMA-ckpt -> EMA-template on its own, but silently hands back the
+    stored EMA tree as a raw dict in the other direction (observed live:
+    a resume without --ema_decay 'succeeded' and then trained carrying a
+    stale EMA) - restore_checkpoint now guards it explicitly."""
+    import pytest
+
+    from jckx.train.state import make_template_state
+
+    geo = GANGeometry(image_size=16, base_width=8)
+    with_ema = make_template_state(geo, with_ema=True)
+    no_ema = make_template_state(geo, with_ema=False)
+
+    p = os.path.join(tmp_path, "ema.ckpt")
+    save_checkpoint(p, with_ema, {})
+    with pytest.raises(ValueError, match="EMA"):
+        restore_checkpoint(p, no_ema)
+
+    p2 = os.path.join(tmp_path, "noema.ckpt")
+    save_checkpoint(p2, no_ema, {})
+    with pytest.raises(ValueError):
+        restore_checkpoint(p2, with_ema)
+
+    # matching presence still restores
+    restored, _ = restore_checkpoint(p, make_template_state(geo, with_ema=True))
+    assert restored.ema_g is not None

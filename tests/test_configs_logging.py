@@ -170,3 +170,66 @@ def test_plot_metrics_tool(tmp_path):
             "metrics_metrics.png"} <= names
     for w in written:
         assert os.path.getsize(w) > 0
+
+
+def test_resume_inherits_run_config(tmp_path):
+    """--resume/-t config inheritance (configs._inherit_run_config): flags
+    not on the command line come from the run's persisted config.json;
+    explicit flags win; the model family dir is discovered without -m; a
+    contradicting -m errors; a dir without config.json keeps the old
+    repeat-your-flags behavior. Motivated by a live failure: a 100-epoch
+    run resumed without -mlr continued at the default Adam lr=0.1 and
+    collapsed (FID 133 -> 1747 within 200 steps)."""
+    import pytest
+
+    def make_run(family, name, argv):
+        run = os.path.join(tmp_path, family, name)
+        os.makedirs(run)
+        stored = get_arg_parse(argv + ["--save_root", str(tmp_path)])
+        stored.save_path = run
+        with open(os.path.join(run, "config.json"), "w") as f:
+            f.write(stored.to_json())
+        return run
+
+    run1 = make_run("dcgan", "run1", [
+        "-m", "DCGAN", "--dataset", "synthetic", "--synthetic_size", "500",
+        "-mlr", "0.0002", "--ema_decay", "0.999", "--seed", "777",
+        "--image_size", "16", "--base_width", "8", "-e", "100"])
+
+    # bare resume: training semantics all inherited
+    cfg = get_arg_parse(["--resume", "-pm", "run1", "--save_root", str(tmp_path)])
+    assert cfg.max_learning_rate == 0.0002
+    assert cfg.ema_decay == 0.999
+    assert cfg.synthetic_size == 500
+    assert cfg.seed == 777
+    assert (cfg.image_size, cfg.base_width, cfg.epoch) == (16, 8, 100)
+    assert str(cfg.model) == "DCGAN"
+    assert cfg._inherited_from == os.path.join(run1, "config.json")
+
+    # explicit flag beats the stored value (raise the epoch budget)
+    cfg2 = get_arg_parse(["--resume", "-pm", "run1", "-e", "150",
+                          "--save_root", str(tmp_path)])
+    assert cfg2.epoch == 150 and cfg2.max_learning_rate == 0.0002
+
+    # -t inherits too (scoring needs the run's geometry/dataset)
+    cfg_t = get_arg_parse(["-t", "1", "-pm", "run1", "--save_root", str(tmp_path)])
+    assert cfg_t.image_size == 16 and cfg_t.synthetic_size == 500
+
+    # family dir discovered without -m
+    make_run("cgan", "run2", ["-m", "CGAN", "--dataset", "synthetic"])
+    cfg3 = get_arg_parse(["--resume", "-pm", "run2", "--save_root", str(tmp_path)])
+    assert str(cfg3.model) == "CGAN"
+
+    # contradicting explicit -m fails fast
+    with pytest.raises(SystemExit):
+        get_arg_parse(["--resume", "-pm", "run2", "-m", "DCGAN",
+                       "--save_root", str(tmp_path)])
+
+    # no config.json: no inheritance, defaults stand
+    os.makedirs(os.path.join(tmp_path, "dcgan", "run3"))
+    cfg4 = get_arg_parse(["--resume", "-pm", "run3", "--save_root", str(tmp_path)])
+    assert cfg4.max_learning_rate == 0.1
+    assert cfg4._inherited_from is None
+
+    # control-plane flags never inherit: stored save_root is ignored
+    assert cfg.save_root == str(tmp_path)

@@ -1,6 +1,7 @@
 """End-to-end CLI entry: main.main() wires flags → preprocessor → models →
 trainer → artifacts (metrics stubbed out via eval_every=0)."""
 
+import json
 import os
 
 import numpy as np
@@ -28,6 +29,11 @@ def test_main_dcgan_tiny(tmp_path):
     assert os.path.exists(os.path.join(run, "loss.png"))
     assert any(f.endswith(".log") for f in os.listdir(run))
     assert os.path.exists(os.path.join(run, "metrics.jsonl"))
+    # every train run persists its resolved config for --resume/-t inheritance
+    with open(os.path.join(run, "config.json")) as f:
+        stored = json.load(f)
+    assert stored["max_learning_rate"] == 0.0002
+    assert stored["model"] == "DCGAN"
     MainLogger.reset()
 
 
