@@ -233,3 +233,14 @@ def test_resume_inherits_run_config(tmp_path):
 
     # control-plane flags never inherit: stored save_root is ignored
     assert cfg.save_root == str(tmp_path)
+
+    # same run-dir name under BOTH family dirs: ambiguous without -m …
+    make_run("dcgan", "twin", ["-m", "DCGAN", "--dataset", "synthetic",
+                               "-mlr", "0.0005"])
+    make_run("cgan", "twin", ["-m", "CGAN", "--dataset", "synthetic"])
+    with pytest.raises(SystemExit):
+        get_arg_parse(["--resume", "-pm", "twin", "--save_root", str(tmp_path)])
+    # … and an explicit -m picks the matching family's config
+    cfg5 = get_arg_parse(["--resume", "-pm", "twin", "-m", "DCGAN",
+                          "--save_root", str(tmp_path)])
+    assert str(cfg5.model) == "DCGAN" and cfg5.max_learning_rate == 0.0005
