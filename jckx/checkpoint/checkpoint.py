@@ -137,8 +137,14 @@ def _write_checkpoint(path: str, host_state: Any, extra: Optional[dict]) -> None
         f.write(serialization.to_bytes(host_state))
     os.replace(tmp, path)  # atomic — a crash mid-write can't corrupt latest
     if extra is not None:
-        with open(path + ".json", "w") as f:
+        # The sidecar must be atomic too: restore_checkpoint (and the
+        # divergence rollback) may read it while the async writer is mid-
+        # rewrite, and a truncated json would turn the restore into a
+        # JSONDecodeError.
+        jtmp = path + ".json.tmp"
+        with open(jtmp, "w") as f:
             json.dump(extra, f)
+        os.replace(jtmp, path + ".json")
 
 
 def save_checkpoint(path: str, state: Any, extra: Optional[dict] = None,

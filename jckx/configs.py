@@ -176,25 +176,34 @@ class Config:
         return json.dumps(d, indent=2)
 
 
+_EXPLICIT_SENTINEL = object()
+
+
 def _explicit_dests(parser: argparse.ArgumentParser, argv: list) -> set:
     """The dest names of options literally present on the command line.
 
     Used by ``--resume``/``-t`` config inheritance to decide which flags the
     user chose NOW (those win) vs which should come from the run's stored
-    ``config.json``. Requires ``allow_abbrev=False`` on the parser so a
-    prefix spelling can't dodge detection.
+    ``config.json``. Implemented by RE-PARSING argv with every action's
+    default swapped for a sentinel, so argparse itself decides what the
+    command line set — a token scan misses attached short-option spellings
+    (``-e200``, ``-mCGAN``), which would let the stored config silently
+    override an explicitly passed flag, the exact failure class this
+    feature exists to prevent.
     """
-    opt_to_dest = {}
-    for action in parser._actions:
-        for s in action.option_strings:
-            opt_to_dest[s] = action.dest
-    given = set()
-    for tok in argv:
-        if isinstance(tok, str) and tok.startswith("-"):
-            dest = opt_to_dest.get(tok.split("=", 1)[0])
-            if dest:
-                given.add(dest)
-    return given
+    saved = [(a, a.default) for a in parser._actions]
+    try:
+        for a, _ in saved:
+            a.default = _EXPLICIT_SENTINEL
+        ns = parser.parse_args(argv)
+    finally:
+        for a, default in saved:
+            a.default = default
+    return {
+        a.dest for a, _ in saved
+        if a.dest != "help"
+        and getattr(ns, a.dest, _EXPLICIT_SENTINEL) is not _EXPLICIT_SENTINEL
+    }
 
 
 # Control-plane fields a resumed/rescored run must take from ITS OWN command

@@ -71,6 +71,11 @@ def get_args(argv=None):
     p.add_argument("--prdc", type=int, default=0,
                    help="1 = also report precision/recall/density/coverage "
                         "(k-NN manifolds — metrics/extra.py)")
+    p.add_argument("--eval_fast_stem", type=int, default=0,
+                   help="1 = space-to-depth InceptionV3 stem in the metric "
+                        "forward — pass when rescoring a run trained with "
+                        "--eval_fast_stem 1 (features differ at rounding "
+                        "level; the real-feature cache is keyed separately)")
     p.add_argument("--quant", default="", choices=["", "int8"],
                    help="int8 = score the W8A8 quantized sampler instead of "
                         "the float one (ops/quant.py) — measures the serving "
@@ -103,6 +108,7 @@ def evaluate(args, metrics=None):
 
     cfg = Config()
     cfg.log_file = 0  # a scoring CLI must not strew .log files around CWD
+    cfg.eval_fast_stem = int(getattr(args, "eval_fast_stem", 0) or 0)
     cfg.dataset = args.dataset
     cfg.data_dir = args.data_dir
     cfg.data_path = getattr(args, "data_path", "")

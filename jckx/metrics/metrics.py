@@ -253,11 +253,19 @@ class Metrics:
                 "back to a default backbone for explicitly-requested metrics"
             )
         candidates = [path] if path else []
-        # jckx-native fine-tune output first, then the reference's torch ckpt
-        candidates += [
-            os.path.join("./save/iception_v3", "loss_bset.npz"),
-            os.path.join("./save/iception_v3", "loss_bset.pt"),
-        ]
+        # jckx-native fine-tune output first, then the reference's torch
+        # ckpt; the run's --save_root is searched before the reference's
+        # hardcoded ./save (metrics.py:54) so a relocated save tree finds
+        # the backbone the same way jckx.doctor --save_root reports it
+        roots = []
+        save_root = getattr(config, "save_root", "") if config else ""
+        if save_root:
+            roots.append(os.path.join(save_root, "iception_v3"))  # (sic)
+        if os.path.normpath("./save/iception_v3") not in {
+                os.path.normpath(r) for r in roots}:
+            roots.append("./save/iception_v3")
+        candidates += [os.path.join(r, f) for r in roots
+                       for f in ("loss_bset.npz", "loss_bset.pt")]
         for c in candidates:
             if c and os.path.exists(c):
                 if c.endswith(".npz"):

@@ -119,8 +119,14 @@ def conv_transpose2d(x: jax.Array, w: jax.Array, stride: int = 1, padding: int =
     )
 
 
-def _conv_transpose2d_subpixel_k4s2p1(x: jax.Array, w: jax.Array) -> jax.Array:
+def _conv_transpose2d_subpixel_k4s2p1(
+        x: jax.Array, w: jax.Array, preferred_element_type=None) -> jax.Array:
     """Kernel-segregated form of ConvTranspose2d(k=4, s=2, p=1).
+
+    ``preferred_element_type`` passes through to the phase convs — the
+    int8 serving path (ops/quant.py) accumulates in int32 through this
+    SAME function, so the phase/padding derivation below has exactly one
+    home to fix.
 
     Derivation: with the flipped kernel wf and the dilated input xd
     (xd[2r] = x[r], odd taps zero), output row u = 2i + a only receives
@@ -141,6 +147,7 @@ def _conv_transpose2d_subpixel_k4s2p1(x: jax.Array, w: jax.Array) -> jax.Array:
                 window_strides=(1, 1),
                 padding=((1 - a, a), (1 - b, b)),
                 dimension_numbers=_DIMS,
+                preferred_element_type=preferred_element_type,
             ))
     y = jnp.stack(phases, axis=0)  # (a*2+b, N, H, W, C)
     ab, n, h, wd, c = y.shape

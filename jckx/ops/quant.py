@@ -101,22 +101,12 @@ def conv_transpose2d_int8(x: jax.Array, w: jax.Array, stride: int, padding: int)
 
 
 def _convt_int8_subpixel_k4s2p1(x: jax.Array, w: jax.Array) -> jax.Array:
-    wf = w[::-1, ::-1, :, :]
-    phases = []
-    for a in (0, 1):
-        for b in (0, 1):
-            phases.append(lax.conv_general_dilated(
-                x, wf[a::2, b::2, :, :],
-                window_strides=(1, 1),
-                padding=((1 - a, a), (1 - b, b)),
-                dimension_numbers=_DIMS,
-                preferred_element_type=jnp.int32,
-            ))
-    y = jnp.stack(phases, axis=0)
-    ab, n, h, wd, c = y.shape
-    y = y.reshape(2, 2, n, h, wd, c)
-    y = jnp.transpose(y, (2, 3, 0, 4, 1, 5))  # (N, H, a, W, b, C)
-    return y.reshape(n, 2 * h, 2 * wd, c)
+    # one home for the phase/padding derivation: ops/conv.py — this is the
+    # same kernel-segregated decomposition with int32 accumulation
+    from jckx.ops.conv import _conv_transpose2d_subpixel_k4s2p1
+
+    return _conv_transpose2d_subpixel_k4s2p1(
+        x, w, preferred_element_type=jnp.int32)
 
 
 # ------------------------------------------------------------- calibration

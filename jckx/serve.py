@@ -635,6 +635,12 @@ def main(args):
         listen_port = int(port_s)
     if not args.listen and args.num < 1:
         raise SystemExit(f"-n/--num must be >= 1, got {args.num}")
+    if args.watch > 0 and not args.listen:
+        # the watcher thread only exists inside the daemon; silently
+        # rendering a one-shot grid would ignore the operator's intent
+        raise SystemExit("--watch needs --listen (it reloads a running "
+                         "daemon's checkpoint; a one-shot render has "
+                         "nothing to reload)")
     overrides = {k: getattr(args, k)
                  for k in ("z_dim", "image_size", "channels", "base_width")
                  if getattr(args, k) is not None}

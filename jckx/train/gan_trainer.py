@@ -360,6 +360,12 @@ class _BaseGANTrainer(Trainer):
         without this the retry contract would replay data at the old
         _host_step against a diverged, k-steps-ahead state. No checkpoint →
         the trainer is poisoned and train() refuses to run again."""
+        # Drain the async writer first: the nan-guard can fire one launch
+        # (~0.4 s) after an eval boundary whose save_latest is still queued,
+        # and restoring a checkpoint the writer is concurrently (re)writing
+        # races file content against _host_step. flush may re-raise a latched
+        # write failure — that error outranks the rollback.
+        flush_writes()
         path = latest_checkpoint(self.save_path)
         if path is None:
             self._poisoned = (

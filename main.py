@@ -60,6 +60,13 @@ def run_test_mode(cfg: Config, metrics=None):
         argv += ["--synthetic_size", str(cfg.synthetic_size)]
     if cfg.data_path:
         argv += ["--data_path", cfg.data_path]
+    if cfg.eval_fast_stem:
+        # a fast-stem run logs FID from the space-to-depth backbone forward;
+        # rescoring through the standard stem would drift from its logged
+        # numbers (review finding)
+        argv += ["--eval_fast_stem", "1"]
+    if cfg.extra_metrics:
+        argv += ["--kid", "1", "--prdc", "1"]
     result = evaluate(get_args(argv), metrics=metrics)
     import json
 
@@ -92,6 +99,15 @@ def main(cfg: Config):
             "e.g. python main.py -m DCGAN -pm 20260816_073320 -t 1")
     datetime_now = cfg.model_path or datetime.now().strftime("%Y%m%d_%H%M%S")
     cfg.save_path = os.path.join(cfg.save_root, str(cfg.model).lower(), datetime_now)
+    if cfg.test and not os.path.exists(os.path.join(cfg.save_path, "latest.ckpt")):
+        # same fail-BEFORE-creating-a-run-dir rule for a mistyped -pm: the
+        # makedirs + logger below would otherwise litter save/ with an
+        # empty-but-logged dir per typo before run_test_mode's own check
+        have = (sorted(os.listdir(cfg.save_path))
+                if os.path.isdir(cfg.save_path) else [])
+        raise SystemExit(
+            f"-t/--test: no latest.ckpt under {cfg.save_path} "
+            f"(dir contains: {have or 'nothing'})")
     os.makedirs(cfg.save_path, exist_ok=True)
     if not cfg.test:
         # persist the RESOLVED config so --resume/-t can inherit it

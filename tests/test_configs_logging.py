@@ -244,3 +244,13 @@ def test_resume_inherits_run_config(tmp_path):
     cfg5 = get_arg_parse(["--resume", "-pm", "twin", "-m", "DCGAN",
                           "--save_root", str(tmp_path)])
     assert str(cfg5.model) == "DCGAN" and cfg5.max_learning_rate == 0.0005
+
+    # attached short-option spellings count as explicit too: a token scan
+    # missed -e200, letting the stored epoch silently override the raise
+    cfg6 = get_arg_parse(["--resume", "-pm", "run1", "-e200",
+                          "--save_root", str(tmp_path)])
+    assert cfg6.epoch == 200 and cfg6.max_learning_rate == 0.0002
+    # … and the contradicting-model guard fires for -mCGAN as well
+    with pytest.raises(SystemExit):
+        get_arg_parse(["--resume", "-pm", "run1", "-mCGAN",
+                       "--save_root", str(tmp_path)])

@@ -211,6 +211,37 @@ def test_main_test_mode_scores_latest_ckpt(tmp_path, capsys):
     MainLogger.reset()
 
 
+def test_main_test_mode_forwards_eval_flags(tmp_path, monkeypatch):
+    """-t rescoring forwards --eval_fast_stem and --extra_metrics (as
+    --kid/--prdc) to jckx.evaluate — a fast-stem run rescored through the
+    standard stem would drift from its logged numbers (review finding)."""
+    import jckx.evaluate as jev
+    import main as entry
+
+    MainLogger.reset()
+    run = tmp_path / "dcgan" / "run1"
+    run.mkdir(parents=True)
+    (run / "latest.ckpt").write_bytes(b"")  # existence check only: stubbed
+
+    captured = {}
+
+    def fake_evaluate(args, metrics=None):
+        captured["args"] = args
+        return {"step": 1, "n": 1, "is": 1.0, "fid": 1.0}
+
+    monkeypatch.setattr(jev, "evaluate", fake_evaluate)
+    cfg = get_arg_parse([
+        "-m", "DCGAN", "-t", "1", "-pm", "run1", "--dataset", "synthetic",
+        "--eval_fast_stem", "1", "--extra_metrics", "1",
+        "--save_root", str(tmp_path), "-lf", "0",
+    ])
+    cfg.save_path = str(run)
+    entry.run_test_mode(cfg)
+    a = captured["args"]
+    assert a.eval_fast_stem == 1 and a.kid == 1 and a.prdc == 1
+    MainLogger.reset()
+
+
 def test_main_test_mode_requires_pm_and_ckpt(tmp_path):
     """-t without -pm (nothing to score) and -t on a run dir with no
     latest.ckpt are loud SystemExits before any data/model work."""
@@ -232,6 +263,10 @@ def test_main_test_mode_requires_pm_and_ckpt(tmp_path):
                          "--save_root", str(tmp_path), "-lf", "0"])
     with pytest.raises(SystemExit, match="latest.ckpt"):
         entry.main(cfg)
+    # a mistyped -pm must not create the dir it names either: the makedirs
+    # + logger would otherwise litter save/ with an empty-but-logged run
+    # dir per typo (review finding)
+    assert not os.path.exists(os.path.join(str(tmp_path), "dcgan", "empty"))
     MainLogger.reset()
 
 

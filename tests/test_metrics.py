@@ -466,6 +466,34 @@ def test_explicit_missing_backbone_raises(tmp_path):
                 compute_dtype=jnp.float32, num_classes=10)
 
 
+def test_backbone_discovered_under_config_save_root(tmp_path):
+    """Metrics searches <save_root>/iception_v3 before the hardcoded
+    ./save/iception_v3 — a run with a relocated --save_root must find the
+    backbone jckx.doctor --save_root reports, instead of silently falling
+    back to the seeded-random one (review finding)."""
+    from jckx.metrics import inception_v3
+    from jckx.metrics.metrics import Metrics, flatten_params
+
+    params = inception_v3.init(1, num_classes=10)
+    bdir = tmp_path / "iception_v3"
+    bdir.mkdir()
+    flat = {k: np.asarray(v) for k, v in flatten_params(params).items()}
+    with open(bdir / "loss_bset.npz", "wb") as f:
+        np.savez(f, **flat)
+
+    real_u8 = (np.arange(8 * 16 * 16 * 3) % 255).astype(np.uint8).reshape(8, 16, 16, 3)
+    labels = np.zeros(8, np.int32)
+
+    class C:
+        metric_backbone = ""
+        save_root = str(tmp_path)
+
+    m = Metrics((real_u8, labels), config=C(), batch_size=4,
+                compute_dtype=jnp.float32, num_classes=10,
+                cache_dir=str(tmp_path / "cache"))
+    assert not m._backbone_sig.startswith("seeded-random")
+
+
 def test_eval_resize_matches_torch_bilinear_upscale():
     """The eval pipeline's bilinear upscale to 299² (metrics.py
     ``_normalize_299``) must equal torch's

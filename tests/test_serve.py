@@ -228,6 +228,19 @@ def test_serve_cli_writes_grid(tmp_path):
     assert os.path.exists(out)
 
 
+def test_serve_cli_watch_requires_listen(tmp_path):
+    """--watch without --listen is a loud rejection, not a silently
+    ignored flag followed by a one-shot render (review finding)."""
+    import pytest
+
+    path, _ = _save_ckpt(tmp_path)
+    from jckx.serve import get_args, main
+
+    with pytest.raises(SystemExit, match="--listen"):
+        main(get_args(["--ckpt", path, "--watch", "5", "-n", "4",
+                       "-o", os.path.join(tmp_path, "g.png")]))
+
+
 # ----------------------------------------------------------------- HTTP mode
 
 class _HTTPFixture:
