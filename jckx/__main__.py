@@ -29,6 +29,8 @@ _COMMANDS = {
     "doctor": "environment readiness check (jckx.doctor)",
     "finetune": "fine-tune the InceptionV3 metric backbone "
                 "(jckx.metrics.inception_train)",
+    "panel": "train the same config across N seeds, one quality verdict "
+             "(jckx.panel)",
 }
 
 
@@ -85,6 +87,10 @@ def main(argv=None) -> int:
         return m(rest)
     if cmd == "doctor":
         from jckx.doctor import main as m
+
+        return m(rest)
+    if cmd == "panel":
+        from jckx.panel import main as m
 
         return m(rest)
     # finetune

@@ -1,0 +1,192 @@
+"""Seed-panel runner: the same training config across N seeds, one verdict.
+
+Measured on the real chip (README "Learning sanity"): short-budget GAN
+quality is seed-sensitive — best-FID spread is ±20% for DCGAN at 20 epochs
+and catastrophic for CGAN (411 vs 1046) — so a single-seed quality claim at
+those budgets is noise. The reference has no answer to this (it trains one
+seed per invocation and logs to a timestamped dir, train/dcgan_trainer.py:
+66-72); jckx makes the panel a first-class run mode:
+
+    python -m jckx.panel --seeds 12345,777,20260819 -m CGAN \
+        --dataset cifar100 -e 100
+
+runs ``main.py`` once per seed into ``save/<model>/<panel>/seed_<S>/``,
+then aggregates each run's eval trajectory (``metrics.jsonl``) into one
+JSON verdict: per-seed best FID / IS / intra-FID plus min/median/max and
+relative spread per metric — the exact evidence shape the README's
+cross-seed tables were built from by hand.
+
+Every non-panel flag is forwarded to ``main.py`` verbatim (same flags, same
+defaults). Re-running the same ``--panel_name`` resumes: seeds whose run
+dir already holds ``latest.ckpt`` get ``--resume`` added automatically (the
+child then inherits the run's persisted config, so an interrupted panel
+continues with the hyperparameters it started with).
+
+Prints one JSON line and writes ``panel.json`` (atomic) under the panel dir.
+Exit 0 only when every seed finished and produced eval records.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# metric -> better-direction; every other metrics.jsonl scalar is telemetry
+BEST_OF = {"fid": min, "is": max, "intra_fid": min,
+           "kid": min, "precision": max, "recall": max,
+           "density": max, "coverage": max}
+
+
+def get_args(argv=None):
+    # long options only + allow_abbrev=False: a short -m here would glue-match
+    # main.py's -mlr/-milr, and abbreviation would swallow a forwarded --seed
+    # into --seeds — both must land in `rest` (or be rejected) instead
+    p = argparse.ArgumentParser(
+        description="jckx seed panel (unknown flags forward to main.py)",
+        allow_abbrev=False)
+    p.add_argument("--seeds", required=True,
+                   help="comma-separated ints, e.g. 12345,777,20260819")
+    p.add_argument("--model", default="",
+                   help="model family DCGAN/CGAN (or pass -m in the "
+                        "forwarded flags)")
+    p.add_argument("--save_root", default="./save", help="forwarded")
+    p.add_argument("--panel_name", default="",
+                   help="panel run-dir name under save/<model>/ "
+                        "(default panel_<timestamp>; reuse to resume)")
+    ns, rest = p.parse_known_args(argv)
+    seeds = []
+    for tok in ns.seeds.split(","):
+        tok = tok.strip()
+        if tok:
+            seeds.append(int(tok))
+    if not seeds:
+        raise SystemExit("--seeds: need at least one integer seed")
+    if len(set(seeds)) != len(seeds):
+        raise SystemExit(f"--seeds: duplicate seed in {seeds}")
+    ns.seed_list = seeds
+    if any(a in ("--seed", "-pm", "--model_path") for a in rest):
+        raise SystemExit("--seed/-pm are panel-managed; don't pass them")
+    ns.model_in_rest = False
+    if not ns.model:
+        for i, a in enumerate(rest[:-1]):
+            if a == "-m":
+                ns.model, ns.model_in_rest = rest[i + 1], True
+    if not ns.model:
+        raise SystemExit("panel needs --model (or -m in the forwarded flags)")
+    if not ns.panel_name:
+        ns.panel_name = "panel_" + datetime.now().strftime("%Y%m%d_%H%M%S")
+    return ns, rest
+
+
+def child_argv(seed: int, ns, rest) -> list:
+    """argv for one seed's training subprocess (main.py flags)."""
+    run_dir = seed_run_dir(seed, ns)
+    model_flags = [] if ns.model_in_rest else ["-m", ns.model]
+    argv = [sys.executable, os.path.join(_REPO_ROOT, "main.py"),
+            *model_flags, "--save_root", ns.save_root,
+            "-pm", f"{ns.panel_name}/seed_{seed}",
+            "--seed", str(seed)] + list(rest)
+    if ("--resume" not in rest
+            and os.path.exists(os.path.join(run_dir, "latest.ckpt"))):
+        argv.append("--resume")  # interrupted panel rerun continues the run
+    return argv
+
+
+def seed_run_dir(seed: int, ns) -> str:
+    return os.path.join(ns.save_root, ns.model.lower(),
+                        ns.panel_name, f"seed_{seed}")
+
+
+def run_child(argv: list) -> int:
+    """Launch one seed's run; module-level so tests can run in-process."""
+    return subprocess.call(argv, cwd=_REPO_ROOT)
+
+
+def collect(run_dir: str) -> dict:
+    """Best-per-metric of one run's eval trajectory (metrics.jsonl)."""
+    path = os.path.join(run_dir, "metrics.jsonl")
+    out = {"run_dir": run_dir, "evals": 0, "last_step": None}
+    if not os.path.exists(path):
+        out["error"] = "no metrics.jsonl"
+        return out
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn tail line of a killed run
+            if "step" in rec:
+                out["last_step"] = rec["step"]
+            if "fid" not in rec:
+                continue  # train-telemetry record, not an eval boundary
+            out["evals"] += 1
+            for name, better in BEST_OF.items():
+                v = rec.get(name)
+                if v is None:
+                    continue
+                key = f"best_{name}"
+                out[key] = v if key not in out else better(out[key], v)
+    if out["evals"] == 0:
+        out["error"] = "no eval records (did the run reach an eval boundary?)"
+    return out
+
+
+def aggregate(per_seed: dict) -> dict:
+    """min/median/max + relative spread for every best_* all seeds share."""
+    rows = list(per_seed.values())
+    if not rows:
+        return {}
+    shared = set(rows[0]) if rows else set()
+    for r in rows[1:]:
+        shared &= set(r)
+    agg = {}
+    for key in sorted(k for k in shared if k.startswith("best_")):
+        vals = sorted(r[key] for r in rows)
+        n = len(vals)
+        med = (vals[n // 2] if n % 2 else 0.5 * (vals[n // 2 - 1] + vals[n // 2]))
+        agg[key] = {"min": vals[0], "median": med, "max": vals[-1],
+                    "rel_spread": ((vals[-1] - vals[0]) / abs(med)
+                                   if med else None)}
+    return agg
+
+
+def main(argv=None) -> int:
+    ns, rest = get_args(argv)
+    panel_dir = os.path.join(ns.save_root, ns.model.lower(), ns.panel_name)
+    per_seed, exits = {}, {}
+    t0 = time.time()
+    for seed in ns.seed_list:
+        argv_s = child_argv(seed, ns, rest)
+        print(f"[panel] seed {seed}: {' '.join(argv_s[2:])}", file=sys.stderr)
+        exits[seed] = run_child(argv_s)
+        per_seed[str(seed)] = collect(seed_run_dir(seed, ns))
+        per_seed[str(seed)]["exit_code"] = exits[seed]
+    result = {
+        "panel": ns.panel_name, "model": ns.model,
+        "seeds": ns.seed_list, "wall_s": round(time.time() - t0, 1),
+        "per_seed": per_seed, "aggregate": aggregate(per_seed),
+    }
+    ok = all(c == 0 for c in exits.values()) and not any(
+        "error" in r for r in per_seed.values())
+    result["ok"] = ok
+    os.makedirs(panel_dir, exist_ok=True)
+    tmp = os.path.join(panel_dir, "panel.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(result, f, indent=1)
+    os.replace(tmp, os.path.join(panel_dir, "panel.json"))
+    print(json.dumps(result))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,123 @@
+"""Seed-panel runner (jckx.panel): N seeds of one config -> one verdict.
+
+The README's cross-seed quality tables were built by hand from separate
+runs; jckx.panel is that workflow as a run mode. Children here execute
+in-process (run_child monkeypatched) with the stub metric engine — the
+subprocess argv itself is asserted separately."""
+
+import json
+import os
+
+import pytest
+
+from jckx import panel
+from jckx.logging.main_logger import MainLogger
+from tests.test_trainer import StubMetrics
+
+
+def test_aggregate_stats():
+    per_seed = {
+        "1": {"best_fid": 100.0, "best_is": 5.0, "evals": 2},
+        "2": {"best_fid": 80.0, "best_is": 4.0, "evals": 2},
+        "3": {"best_fid": 120.0, "best_is": 6.0, "evals": 2},
+    }
+    agg = panel.aggregate(per_seed)
+    assert agg["best_fid"] == {"min": 80.0, "median": 100.0, "max": 120.0,
+                               "rel_spread": 0.4}
+    assert agg["best_is"]["median"] == 5.0
+    # two seeds -> even-count median is the midpoint
+    agg2 = panel.aggregate({k: per_seed[k] for k in ("1", "2")})
+    assert agg2["best_fid"]["median"] == 90.0
+    # a metric missing from one seed is not aggregated
+    per_seed["3"] = {"best_fid": 120.0, "evals": 1}
+    assert "best_is" not in panel.aggregate(per_seed)
+
+
+def test_seed_and_flag_validation(tmp_path):
+    with pytest.raises(SystemExit):
+        panel.get_args(["--seeds", "1,1", "--model", "DCGAN"])
+    with pytest.raises(SystemExit):
+        panel.get_args(["--seeds", "", "--model", "DCGAN"])
+    # panel-managed flags must not be forwarded by hand
+    with pytest.raises(SystemExit):
+        panel.get_args(["--seeds", "1,2", "--model", "DCGAN", "--seed", "3"])
+    with pytest.raises(SystemExit):
+        panel.get_args(["--seeds", "1,2", "--model", "DCGAN", "-pm", "x"])
+    # model must arrive one way or the other
+    with pytest.raises(SystemExit):
+        panel.get_args(["--seeds", "1,2"])
+    # -m in the forwarded flags is the other accepted spelling
+    ns, rest = panel.get_args(["--seeds", "1", "-m", "CGAN", "-mlr", "2e-4"])
+    assert ns.model == "CGAN" and ns.model_in_rest
+    assert rest == ["-m", "CGAN", "-mlr", "2e-4"]  # -mlr survives un-glued
+    assert panel.child_argv(1, ns, rest).count("-m") == 1
+
+
+def test_child_argv_and_resume_autoforward(tmp_path):
+    ns, rest = panel.get_args(
+        ["--seeds", "7", "--model", "DCGAN", "--save_root", str(tmp_path),
+         "--panel_name", "p1", "--dataset", "synthetic"])
+    argv = panel.child_argv(7, ns, rest)
+    assert argv[2:8] == ["-m", "DCGAN", "--save_root", str(tmp_path),
+                         "-pm", "p1/seed_7"]
+    assert argv[argv.index("--seed") + 1] == "7"
+    assert "--dataset" in argv and "--resume" not in argv
+    # an existing latest.ckpt makes the rerun resume automatically
+    run = panel.seed_run_dir(7, ns)
+    os.makedirs(run)
+    open(os.path.join(run, "latest.ckpt"), "wb").close()
+    assert "--resume" in panel.child_argv(7, ns, rest)
+
+
+def test_collect_tolerates_torn_tail(tmp_path):
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"step": 2, "fid": 50.0, "is": 2.0}) + "\n")
+        f.write(json.dumps({"step": 4, "loss_d": 1.0}) + "\n")
+        f.write(json.dumps({"step": 4, "fid": 40.0, "is": 1.5}) + "\n")
+        f.write('{"step": 6, "fid": 30')  # SIGKILL mid-write
+    got = panel.collect(str(run))
+    assert got["best_fid"] == 40.0 and got["best_is"] == 2.0
+    assert got["evals"] == 2 and got["last_step"] == 4
+    assert "error" not in got
+
+
+def test_panel_end_to_end_inprocess(tmp_path, monkeypatch, capsys):
+    def run_inprocess(argv):
+        # argv = [python, .../main.py, <main flags>]
+        import main as entry
+        from jckx.configs import get_arg_parse
+
+        MainLogger.reset()
+        monkeypatch.setattr("jckx.metrics.Metrics",
+                            lambda *a, **k: StubMetrics())
+        try:
+            entry.main(get_arg_parse(argv[2:]))
+            return 0
+        finally:
+            MainLogger.reset()
+
+    monkeypatch.setattr(panel, "run_child", run_inprocess)
+    rc = panel.main([
+        "--seeds", "11,22", "-m", "DCGAN", "--save_root", str(tmp_path),
+        # -m rides in the forwarded flags here, exercising the extraction path
+        "--panel_name", "p_e2e",
+        "--dataset", "synthetic", "--synthetic_size", "64", "-b", "16",
+        "-e", "1", "--image_size", "16", "--base_width", "8",
+        "--eval_every", "2", "--log_every", "2", "-mlr", "0.0002",
+        "--compute_dtype", "float32",
+    ])
+    assert rc == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(line)
+    assert result["ok"] and result["seeds"] == [11, 22]
+    for seed in ("11", "22"):
+        row = result["per_seed"][seed]
+        assert row["exit_code"] == 0 and row["evals"] >= 2
+        assert "best_fid" in row and "best_is" in row
+        assert os.path.exists(os.path.join(row["run_dir"], "latest.ckpt"))
+    assert "best_fid" in result["aggregate"]
+    # the verdict is persisted (atomically) in the panel dir
+    with open(os.path.join(str(tmp_path), "dcgan", "p_e2e", "panel.json")) as f:
+        assert json.load(f)["panel"] == "p_e2e"
