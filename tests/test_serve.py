@@ -452,3 +452,102 @@ def test_watch_hot_swaps_new_checkpoint(tmp_path):
         srv.shutdown()
         srv.server_close()
         t.join(timeout=10)
+
+
+def test_http_concurrent_clients_during_hotswap(tmp_path):
+    """The serving race surface: ThreadingHTTPServer handles clients on
+    worker threads while CheckpointWatcher swaps the service under them.
+    Every concurrent request must complete cleanly (no 5xx, valid payloads),
+    the stats counters must add up exactly under contention, and once the
+    last swap lands, same-seed sampling is deterministic again."""
+    import io
+    import json as _json
+    import threading
+    import urllib.error
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from jckx.serve import CheckpointWatcher, GeneratorService, make_http_server
+
+    path = str(tmp_path / "latest.ckpt")
+    side = {"serve_config": {
+        "conditional": False, "num_classes": 100, "z_dim": 8,
+        "image_size": 8, "channels": 3, "base_width": 8, "ema": False}}
+    geo = GANGeometry(z_dim=8, image_size=8, channels=3, base_width=8)
+    cfg = Config()
+    cfg.max_learning_rate = 2e-4
+    tx = make_optimizer(cfg)
+
+    def write_ckpt(step, key):
+        pg = dcgan.generator_init(jax.random.PRNGKey(key), geo)
+        pd = dcgan.discriminator_init(jax.random.PRNGKey(key + 1), geo)
+        st = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                           opt_d=tx.init(pd),
+                           step=jnp.asarray(step, jnp.int32),
+                           rng=jax.random.PRNGKey(2))
+        save_checkpoint(path, st, extra=side)
+        os.utime(path, ns=(step * 10**9, step * 10**9))
+
+    write_ckpt(1, key=0)
+    srv = make_http_server(GeneratorService(path, batch_size=4),
+                           "127.0.0.1", 0)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    watcher = CheckpointWatcher(
+        srv, path, lambda: GeneratorService(path, batch_size=4))
+
+    def post(body):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                return r.status, r.read()
+        except urllib.error.HTTPError as e:
+            return e.code, e.read()
+
+    try:
+        assert post({"n": 2})[0] == 200  # warm-up: compile outside the storm
+
+        jobs = []
+        for i in range(24):  # mixed valid traffic
+            jobs.append({"n": 2, "seed": i % 5, "format": "npy"}
+                        if i % 3 else {"n": 2, "format": "png"})
+        jobs += [{"n": 0}] * 6  # validation errors, counted not crashed
+        with ThreadPoolExecutor(8) as ex:
+            futs = [ex.submit(post, j) for j in jobs]
+            for step, key in ((2, 7), (3, 9)):  # swap under the load
+                write_ckpt(step, key=key)
+                assert watcher.poll_once() is True
+            results = [f.result() for f in futs]
+
+        for job, (code, body) in zip(jobs, results):
+            if job["n"] == 0:
+                assert code == 400 and "error" in _json.loads(body)
+            elif job.get("format") == "npy":
+                assert code == 200
+                arr = np.load(io.BytesIO(body))
+                assert arr.shape == (2, 8, 8, 3) and arr.dtype == np.uint8
+            else:
+                assert code == 200 and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # counters are exact under contention (stats_lock works)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/metrics", timeout=120) as r:
+            m = dict(line.split() for line in r.read().decode().splitlines()
+                     if line and not line.startswith("#"))
+        assert m["jckx_generate_requests_total"] == str(1 + len(jobs))
+        assert m["jckx_generate_images_total"] == str(2 + 24 * 2)
+        assert m["jckx_generate_errors_total"] == "6"
+        assert m["jckx_checkpoint_step"] == "3"
+
+        # the post-swap world is deterministic again
+        _, b1 = post({"n": 2, "seed": 9, "format": "npy"})
+        _, b2 = post({"n": 2, "seed": 9, "format": "npy"})
+        assert b1 == b2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        t.join(timeout=10)
