@@ -80,6 +80,11 @@ def get_args(argv=None):
                    help="int8 = score the W8A8 quantized sampler instead of "
                         "the float one (ops/quant.py) — measures the serving "
                         "quantization's metric impact in FID/IS terms")
+    p.add_argument("--truncation", type=float, default=0.0,
+                   help="draw the eval z from N(0,1) truncated to [-t, t] — "
+                        "scores what `jckx.serve --truncation t` actually "
+                        "deploys (deviates from the trainer z protocol by "
+                        "construction; 0 = off)")
     p.add_argument("--calib_seed", type=int, default=0,
                    help="int8 calibration seed — must match the serving "
                         "process's --seed (default 0 on both CLIs, so "
@@ -147,9 +152,13 @@ def evaluate(args, metrics=None):
             # extraction sharded over all attached chips (no-op on one)
             mesh=make_mesh(cfg.mesh_shape, cfg.mesh_axes))
 
-    # the trainers' fixed eval inputs (gan_trainer._fixed_eval_inputs)
+    # the trainers' fixed eval inputs (gan_trainer._fixed_eval_inputs);
+    # --truncation swaps the z law for the serving knob's truncated normal
     key = jax.random.fold_in(jax.random.PRNGKey(seed), 999)
-    z = jax.random.normal(key, (n_samples, geo.z_dim))
+    trunc = float(getattr(args, "truncation", 0.0) or 0.0)
+    z = (jax.random.truncated_normal(key, -trunc, trunc,
+                                     (n_samples, geo.z_dim))
+         if trunc > 0 else jax.random.normal(key, (n_samples, geo.z_dim)))
     onehot = (jax.nn.one_hot(jnp.repeat(jnp.arange(ncls), 10), ncls)
               if conditional else None)
 
@@ -202,6 +211,7 @@ def evaluate(args, metrics=None):
         "step": svc.step,
         "n": n_samples,
         **({"quant": "int8"} if getattr(args, "quant", "") == "int8" else {}),
+        **({"truncation": trunc} if trunc > 0 else {}),
         "is": float(metrics.inception_score(logits=feats)),
         "fid": float(metrics.fid(features=feats)),
     }

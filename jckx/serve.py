@@ -126,6 +126,7 @@ class GeneratorService:
         subpixel: bool = False,
         quant: Optional[str] = None,
         quant_calib_batches: int = 4,
+        truncation: float = 0.0,
     ):
         # self-configure from the trainer's sidecar when present (explicit
         # args win — for a jckx checkpoint, whose sidecar is advisory). A
@@ -230,6 +231,9 @@ class GeneratorService:
             raise ValueError(
                 f"batch_size {batch_size} must be >= 1 (a zero batch would "
                 f"make sample() spin forever)")
+        if truncation < 0:
+            raise ValueError(f"truncation {truncation} must be >= 0 (0 = off)")
+        self.truncation = float(truncation)
         cd = compute_dtype
         bs = batch_size
         ncls = num_classes
@@ -271,17 +275,55 @@ class GeneratorService:
                       if lab is not None else None)
             return sampler_apply(params, z, onehot)
 
+        # truncation trick (BigGAN-style quality/diversity knob, opt-in):
+        # z ~ N(0,1) truncated to [-t, t]. Compiled into the render, so the
+        # knob costs nothing per request. Quality effect is measurable via
+        # jckx.evaluate --truncation on the same checkpoint.
+        trunc = self.truncation
+
+        def draw_z(k, shape):
+            if trunc > 0:
+                return jax.random.truncated_normal(k, -trunc, trunc, shape)
+            return jax.random.normal(k, shape)
+
         def render_rand(params, key, offset):
             k = jax.random.fold_in(key, offset)
-            z = jax.random.normal(k, (bs, self.geo.z_dim))
+            z = draw_z(k, (bs, self.geo.z_dim))
             lab = (jax.random.randint(jax.random.fold_in(k, 1), (bs,), 0, ncls)
                    if conditional else None)
             return tanh_to_u8(apply_g(params, z, lab))
 
         def render_labeled(params, key, offset, lab):
             k = jax.random.fold_in(key, offset)
-            z = jax.random.normal(k, (bs, self.geo.z_dim))
+            z = draw_z(k, (bs, self.geo.z_dim))
             return tanh_to_u8(apply_g(params, z, lab))
+
+        def render_interp(params, ka, kb, t, oh_a, oh_b, kind):
+            """Latent interpolation row: endpoints drawn on device from the
+            two seeds (same distribution the sampler draws, incl. the
+            truncation knob), path = slerp (the right geodesic for Gaussian
+            latents) or lerp over ``t`` (steps,). Conditional morph:
+            the one-hots lerp alongside. One dispatch, no host reads
+            before the render (cold-channel landmine, CLAUDE.md)."""
+            za = draw_z(ka, (self.geo.z_dim,))
+            zb = draw_z(kb, (self.geo.z_dim,))
+            tt = t[:, None]
+            if kind == "slerp":
+                na = za / jnp.linalg.norm(za)
+                nb = zb / jnp.linalg.norm(zb)
+                omega = jnp.arccos(jnp.clip(jnp.dot(na, nb), -1.0, 1.0))
+                so = jnp.sin(omega)
+                # degenerate (za ∥ zb, e.g. seed_a == seed_b): fall back to
+                # lerp — slerp's sin ratio is 0/0 there
+                safe = so > 1e-6
+                wa = jnp.where(safe, jnp.sin((1.0 - tt) * omega) / jnp.where(safe, so, 1.0), 1.0 - tt)
+                wb = jnp.where(safe, jnp.sin(tt * omega) / jnp.where(safe, so, 1.0), tt)
+            else:  # lerp
+                wa, wb = 1.0 - tt, tt
+            z = wa * za[None, :] + wb * zb[None, :]
+            oh = (None if oh_a is None
+                  else (1.0 - tt) * oh_a[None, :] + tt * oh_b[None, :])
+            return tanh_to_u8(sampler_apply(params, z, oh))
 
         self.mesh = mesh
         if mesh is not None:
@@ -308,6 +350,10 @@ class GeneratorService:
         else:
             self._jit_rand = jax.jit(render_rand)
             self._jit_labeled = jax.jit(render_labeled)
+        # interpolation rows are small one-shots (CLI grids / HTTP
+        # /interpolate); plain jit — with a mesh the replicated params serve
+        # it unsharded, which is the right trade for a ≤256-image render
+        self._jit_interp = jax.jit(render_interp, static_argnames=("kind",))
 
     def _next_key(self):
         self._count += 1
@@ -342,6 +388,57 @@ class GeneratorService:
                 return self._jit_rand(self.params_g, key, made)
 
         return pipelined_sample(n, bs, render)
+
+    def interpolate(
+        self,
+        seed_a: int,
+        seed_b: int,
+        steps: int = 10,
+        label_a: Optional[int] = None,
+        label_b: Optional[int] = None,
+        kind: str = "slerp",
+    ) -> np.ndarray:
+        """Latent interpolation: → uint8 images (steps, S, S, C).
+
+        Endpoint latents are drawn from ``PRNGKey(seed_a)/PRNGKey(seed_b)``
+        (deterministic: same seeds → byte-identical row). ``kind``: "slerp"
+        (default — the geodesic for Gaussian latents) or "lerp". Conditional
+        checkpoints need ``label_a`` (``label_b`` defaults to it; differing
+        labels morph the class one-hot alongside the latent). The whole row
+        renders as ONE batch — under batch-stat BN the batch is part of the
+        function, so frames are a function of (seeds, labels, steps, kind)
+        only. Each distinct ``steps`` value compiles once.
+        """
+        if not 2 <= steps <= 4096:
+            raise ValueError(f"steps {steps} must be in [2, 4096]")
+        if kind not in ("slerp", "lerp"):
+            raise ValueError(f"kind {kind!r} must be 'slerp' or 'lerp'")
+        if self.conditional:
+            if label_a is None:
+                raise ValueError(
+                    "conditional checkpoint: interpolate needs label_a "
+                    "(label_b defaults to label_a)")
+            if label_b is None:
+                label_b = label_a
+            for lab in (label_a, label_b):
+                if not 0 <= lab < self.num_classes:
+                    raise ValueError(
+                        f"label {lab} out of [0, {self.num_classes})")
+            oh_a = np.zeros(self.num_classes, np.float32)
+            oh_b = np.zeros(self.num_classes, np.float32)
+            oh_a[label_a] = 1.0
+            oh_b[label_b] = 1.0
+        else:
+            if label_a is not None or label_b is not None:
+                raise ValueError(
+                    "labels given but the checkpoint is unconditional")
+            oh_a = oh_b = None
+        t = np.linspace(0.0, 1.0, steps, dtype=np.float32)
+        with pallas_inference(), self._conv_scope():
+            u8 = self._jit_interp(
+                self.params_g, jax.random.PRNGKey(seed_a),
+                jax.random.PRNGKey(seed_b), t, oh_a, oh_b, kind=kind)
+        return np.asarray(u8)
 
 
 # ----------------------------------------------------------------- HTTP mode
@@ -439,25 +536,98 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                 "image_size": s.geo.image_size,
                 "channels": s.geo.channels,
                 "batch_size": s.batch_size,
+                "truncation": getattr(s, "truncation", 0.0),
             }).encode())
 
         def do_POST(self):
-            if self.path != "/generate":
-                return self._error(404, "unknown path (POST /generate)")
+            if self.path == "/generate":
+                handler = self._generate
+            elif self.path == "/interpolate":
+                handler = self._interpolate
+            else:
+                return self._error(
+                    404, "unknown path (POST /generate or /interpolate)")
             t0 = _time.perf_counter()
-            n = self._generate()  # image count on success, None on any error
+            n = handler()  # image count on success, None on any error
             _count(images=n or 0, error=n is None,
                    seconds=_time.perf_counter() - t0)
 
-        def _generate(self):
-            s = cur()  # one consistent service per request, even mid-swap
+        def _read_json(self):
             try:
                 length = int(self.headers.get("Content-Length") or 0)
                 req = _json.loads(self.rfile.read(length) or b"{}")
                 if not isinstance(req, dict):
                     raise ValueError("body must be a JSON object")
+                return req
             except ValueError as e:
-                return self._error(400, f"bad JSON body: {e}")
+                self._error(400, f"bad JSON body: {e}")
+                return None
+
+        def _send_images(self, imgs, fmt, ncol):
+            buf = io.BytesIO()
+            if fmt == "npy":
+                np.save(buf, imgs)
+                self._reply(200, "application/octet-stream", buf.getvalue())
+                return
+            from PIL import Image
+
+            from jckx.logging.artifacts import make_grid
+
+            grid = make_grid(imgs, ncol=ncol)
+            if grid.shape[-1] == 1:
+                grid = grid[..., 0]
+            Image.fromarray(grid).save(buf, format="PNG")
+            self._reply(200, "image/png", buf.getvalue())
+
+        def _interpolate(self):
+            """POST /interpolate {"seed_a", "seed_b", "steps"?, "label_a"?,
+            "label_b"?, "kind"?, "format"?} → one row of the latent walk
+            (PNG strip, or npy (steps,S,S,C))."""
+            s = cur()
+            if not hasattr(s, "interpolate"):
+                return self._error(
+                    400, "this serving artifact has no interpolation path "
+                         "(serve a .ckpt/.pt, not a sealed *.jaxexp)")
+            req = self._read_json()
+            if req is None:
+                return None
+
+            def is_int(v):
+                return isinstance(v, int) and not isinstance(v, bool)
+
+            for field in ("seed_a", "seed_b"):
+                if not is_int(req.get(field)):
+                    return self._error(400, f"'{field}' must be an int")
+            steps = req.get("steps", 10)
+            if not is_int(steps) or not 2 <= steps <= 256:
+                return self._error(400, "'steps' must be an int in [2, 256]")
+            fmt = req.get("format", "png")
+            if fmt not in ("png", "npy"):
+                return self._error(400, "'format' must be 'png' or 'npy'")
+            kind = req.get("kind", "slerp")
+            labs = {}
+            for field in ("label_a", "label_b"):
+                if field in req:
+                    if not is_int(req[field]):
+                        return self._error(400, f"'{field}' must be an int")
+                    labs[field] = req[field]
+            try:
+                with lock:
+                    imgs = s.interpolate(req["seed_a"], req["seed_b"],
+                                         steps=steps, kind=kind, **labs)
+            except ValueError as e:  # service-level validation → clear 400
+                return self._error(400, str(e))
+            except Exception as e:  # noqa: BLE001 — boundary: report, don't die
+                self._error(500, f"generation failed: {type(e).__name__}: {e}")
+                return None
+            self._send_images(imgs, fmt, ncol=steps)
+            return steps
+
+        def _generate(self):
+            s = cur()  # one consistent service per request, even mid-swap
+            req = self._read_json()
+            if req is None:
+                return None
 
             def is_int(v):  # JSON true/false are ints to isinstance
                 return isinstance(v, int) and not isinstance(v, bool)
@@ -494,22 +664,8 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
             try:
                 with lock:
                     imgs = s.sample(n, labels=labels, key=key)
-
-                buf = io.BytesIO()
-                if fmt == "npy":
-                    np.save(buf, imgs)
-                    self._reply(200, "application/octet-stream",
-                                buf.getvalue())
-                    return n
-                from PIL import Image
-
-                from jckx.logging.artifacts import make_grid
-
-                grid = make_grid(imgs, ncol=max(1, int(np.ceil(np.sqrt(n)))))
-                if grid.shape[-1] == 1:
-                    grid = grid[..., 0]
-                Image.fromarray(grid).save(buf, format="PNG")
-                self._reply(200, "image/png", buf.getvalue())
+                self._send_images(imgs, fmt,
+                                  ncol=max(1, int(np.ceil(np.sqrt(n)))))
                 return n
             except Exception as e:  # noqa: BLE001 — boundary: report, don't die
                 self._error(500, f"generation failed: {type(e).__name__}: {e}")
@@ -615,6 +771,22 @@ def get_args(argv=None):
                    help="int8 = W8A8 post-training-quantized sampler "
                         "(ops/quant.py; calibrated at load, A/B via "
                         "bench_serve.py --quant int8)")
+    p.add_argument("--truncation", type=float, default=0.0,
+                   help="truncation trick: draw z ~ N(0,1) truncated to "
+                        "[-t, t] (BigGAN-style quality/diversity knob; "
+                        "0 = off; quality effect measurable via "
+                        "jckx.evaluate --truncation)")
+    p.add_argument("--interpolate", default="",
+                   help="SEEDA,SEEDB — write a latent-interpolation strip "
+                        "between the two seeds to -o instead of a sample "
+                        "grid (conditional: --labels A[,B] picks the "
+                        "endpoint classes; the HTTP daemon serves the same "
+                        "walk at POST /interpolate)")
+    p.add_argument("--steps", type=int, default=10,
+                   help="frames in the --interpolate strip")
+    p.add_argument("--kind", default="slerp", choices=["slerp", "lerp"],
+                   help="--interpolate path: slerp (Gaussian geodesic) or "
+                        "lerp")
     return p.parse_args(argv)
 
 
@@ -664,11 +836,13 @@ def main(args):
 
         if (overrides or args.conditional is not None or mesh is not None
                 or args.subpixel or args.quant or args.num_classes is not None
-                or args.batch_size is not None):
+                or args.batch_size is not None or args.truncation
+                or args.interpolate):
             raise SystemExit(
                 "--ckpt *.jaxexp is a sealed artifact: geometry/conditioning/"
-                "batch/mesh/subpixel/quant were fixed at export time — "
-                "re-export instead of overriding")
+                "batch/mesh/subpixel/quant/truncation were fixed at export "
+                "time (and interpolation needs the live sampler) — "
+                "re-export or serve the .ckpt instead")
         def build_svc():
             return ArtifactService(args.ckpt, seed=args.seed)
     else:
@@ -679,7 +853,7 @@ def main(args):
                 geo_overrides=overrides or None,
                 batch_size=512 if args.batch_size is None else args.batch_size,
                 seed=args.seed, mesh=mesh, subpixel=bool(args.subpixel),
-                quant=args.quant or None,
+                quant=args.quant or None, truncation=args.truncation,
             )
     svc = build_svc()
     if args.listen:
@@ -712,6 +886,23 @@ def main(args):
         srv.server_close()
         return
     labels = [int(x) for x in args.labels.split(",") if x] or None
+    if args.interpolate:
+        try:
+            seed_a, seed_b = (int(x) for x in args.interpolate.split(","))
+        except ValueError:
+            raise SystemExit(
+                f"--interpolate expects SEEDA,SEEDB (two ints), got "
+                f"{args.interpolate!r}")
+        lab_a = labels[0] if labels else None
+        lab_b = labels[1] if labels and len(labels) > 1 else lab_a
+        imgs = svc.interpolate(seed_a, seed_b, steps=args.steps,
+                               label_a=lab_a, label_b=lab_b, kind=args.kind)
+        from jckx.logging.artifacts import save_image_grid
+
+        save_image_grid(args.out, imgs, ncol=args.steps)
+        print(f"wrote a {args.steps}-frame {args.kind} walk "
+              f"({seed_a}->{seed_b}, step {svc.step} checkpoint) to {args.out}")
+        return
     imgs = svc.sample(args.num, labels=labels)
     from jckx.logging.artifacts import save_image_grid
 

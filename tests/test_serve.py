@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -551,3 +552,114 @@ def test_http_concurrent_clients_during_hotswap(tmp_path):
         srv.shutdown()
         srv.server_close()
         t.join(timeout=10)
+
+
+def test_truncation_service_and_determinism(tmp_path):
+    """--truncation t compiles the z law into the render: same seed is still
+    byte-deterministic, output differs from the untruncated service, and a
+    negative knob is rejected."""
+    path, geo = _save_ckpt(tmp_path)
+    base = GeneratorService(path, geo=geo, batch_size=4,
+                            compute_dtype=jnp.float32)
+    trunc = GeneratorService(path, geo=geo, batch_size=4,
+                             compute_dtype=jnp.float32, truncation=0.5)
+    assert trunc.truncation == 0.5
+    k = jax.random.PRNGKey(3)
+    a, b = trunc.sample(4, key=k), trunc.sample(4, key=k)
+    np.testing.assert_array_equal(a, b)
+    c = base.sample(4, key=k)
+    assert np.abs(a.astype(int) - c.astype(int)).max() > 0
+    with pytest.raises(ValueError, match="truncation"):
+        GeneratorService(path, geo=geo, batch_size=4, truncation=-1.0)
+
+
+def test_interpolate_unconditional(tmp_path):
+    path, geo = _save_ckpt(tmp_path)
+    svc = GeneratorService(path, geo=geo, batch_size=4,
+                           compute_dtype=jnp.float32)
+    row = svc.interpolate(1, 2, steps=5)
+    assert row.shape == (5, 16, 16, 3) and row.dtype == np.uint8
+    # deterministic: same seeds -> byte-identical walk
+    np.testing.assert_array_equal(row, svc.interpolate(1, 2, steps=5))
+    # the walk actually moves (endpoints differ) and frames vary monotonically
+    assert np.abs(row[0].astype(int) - row[-1].astype(int)).max() > 0
+    # seed_a == seed_b: slerp's 0/0 corner falls back to lerp -> constant row
+    flat = svc.interpolate(7, 7, steps=3)
+    np.testing.assert_array_equal(flat[0], flat[1])
+    np.testing.assert_array_equal(flat[0], flat[2])
+    # lerp is a different path through latent space than slerp (note: under
+    # batch-stat BN even the endpoint FRAMES shift with the row's batch
+    # stats, so only whole-row difference is asserted — batching is part of
+    # the function, same contract as sample())
+    lerp = svc.interpolate(1, 2, steps=5, kind="lerp")
+    assert np.abs(lerp.astype(int) - row.astype(int)).max() > 0
+    # validation
+    for bad in (dict(steps=1), dict(kind="x"), dict(label_a=0)):
+        with pytest.raises(ValueError):
+            svc.interpolate(1, 2, **bad)
+
+
+def test_interpolate_conditional_morph(tmp_path):
+    path, geo = _save_ckpt(tmp_path, conditional=True)
+    svc = GeneratorService(path, geo=geo, conditional=True, num_classes=10,
+                           batch_size=4, compute_dtype=jnp.float32)
+    # class morph: one-hots lerp alongside the latent
+    row = svc.interpolate(1, 2, steps=4, label_a=0, label_b=3)
+    assert row.shape == (4, 16, 16, 3)
+    same = svc.interpolate(1, 2, steps=4, label_a=0)  # label_b defaults
+    assert np.abs(row[-1].astype(int) - same[-1].astype(int)).max() > 0
+    with pytest.raises(ValueError, match="label_a"):
+        svc.interpolate(1, 2, steps=4)
+    with pytest.raises(ValueError, match="out of"):
+        svc.interpolate(1, 2, steps=4, label_a=10)
+
+
+def test_http_interpolate_endpoint(tmp_path):
+    import io
+    import json as _json
+
+    f = _HTTPFixture(tmp_path)
+    try:
+        code, ctype, body = f.request(
+            "/interpolate", {"seed_a": 1, "seed_b": 2, "steps": 4,
+                             "format": "npy"})
+        assert code == 200 and ctype == "application/octet-stream"
+        arr = np.load(io.BytesIO(body))
+        assert arr.shape == (4, 8, 8, 3) and arr.dtype == np.uint8
+        # deterministic over HTTP too
+        _, _, body2 = f.request(
+            "/interpolate", {"seed_a": 1, "seed_b": 2, "steps": 4,
+                             "format": "npy"})
+        assert body == body2
+        code, ctype, png = f.request(
+            "/interpolate", {"seed_a": 1, "seed_b": 2})
+        assert code == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
+        for bad in ({"seed_a": 1}, {"seed_a": 1, "seed_b": 2, "steps": 1},
+                    {"seed_a": 1, "seed_b": 2, "kind": "x"},
+                    {"seed_a": 1, "seed_b": 2, "label_a": 0},
+                    {"seed_a": True, "seed_b": 2}):
+            code, _, body = f.request("/interpolate", bad)
+            assert code == 400, bad
+            assert "error" in _json.loads(body)
+        # counters track the walk traffic too (4 + 4 + 10 images, 5 errors)
+        _, _, m = f.request("/metrics")
+        md = dict(line.split() for line in m.decode().splitlines()
+                  if line and not line.startswith("#"))
+        assert md["jckx_generate_requests_total"] == "8"
+        assert md["jckx_generate_images_total"] == "18"
+        assert md["jckx_generate_errors_total"] == "5"
+    finally:
+        f.close()
+
+
+def test_serve_cli_interpolate_writes_strip(tmp_path):
+    path, _ = _save_ckpt(tmp_path)
+    from jckx.serve import get_args, main
+
+    out = os.path.join(tmp_path, "walk.png")
+    main(get_args(["--ckpt", path, "--interpolate", "3,4", "--steps", "5",
+                   "--image_size", "16", "--base_width", "8", "-o", out]))
+    assert os.path.exists(out)
+    with pytest.raises(SystemExit, match="SEEDA,SEEDB"):
+        main(get_args(["--ckpt", path, "--interpolate", "3", "-o", out,
+                       "--image_size", "16", "--base_width", "8"]))
