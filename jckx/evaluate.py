@@ -100,6 +100,13 @@ def evaluate(args, metrics=None):
     from jckx.configs import Config
     from jckx.serve import GeneratorService
 
+    trunc = float(getattr(args, "truncation", 0.0) or 0.0)
+    if trunc < 0:
+        # same contract as GeneratorService: silently scoring the
+        # UNtruncated sampler for a knob serve refuses would break the
+        # "--truncation scores what serve deploys" promise (review finding);
+        # checked before the (slow) service + Metrics construction
+        raise ValueError(f"truncation {trunc} must be >= 0 (0 = off)")
     overrides = {k: getattr(args, k)
                  for k in ("z_dim", "image_size", "channels", "base_width")
                  if getattr(args, k) is not None}
@@ -155,7 +162,6 @@ def evaluate(args, metrics=None):
     # the trainers' fixed eval inputs (gan_trainer._fixed_eval_inputs);
     # --truncation swaps the z law for the serving knob's truncated normal
     key = jax.random.fold_in(jax.random.PRNGKey(seed), 999)
-    trunc = float(getattr(args, "truncation", 0.0) or 0.0)
     z = (jax.random.truncated_normal(key, -trunc, trunc,
                                      (n_samples, geo.z_dim))
          if trunc > 0 else jax.random.normal(key, (n_samples, geo.z_dim)))

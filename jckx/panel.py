@@ -71,8 +71,27 @@ def get_args(argv=None):
     if len(set(seeds)) != len(seeds):
         raise SystemExit(f"--seeds: duplicate seed in {seeds}")
     ns.seed_list = seeds
-    if any(a in ("--seed", "-pm", "--model_path") for a in rest):
-        raise SystemExit("--seed/-pm are panel-managed; don't pass them")
+
+    def _managed(tok: str) -> bool:
+        # catch every spelling main.py's argparse would accept for the
+        # panel-managed flags: exact, '=value', and unambiguous long-option
+        # abbreviations ('--seed=5', '--model_p x'). A missed spelling would
+        # ride in `rest` AFTER the panel's own '--seed S' and last-wins
+        # argparse would train every child with the same user seed — the
+        # panel would then report near-zero spread for a config it never
+        # actually varied (review finding).
+        head = tok.split("=", 1)[0]
+        if head == "-pm":
+            return True
+        if not head.startswith("--") or len(head) <= 3:
+            return False
+        return any(flag.startswith(head)
+                   for flag in ("--seed", "--model_path"))
+
+    bad = [a for a in rest if _managed(a)]
+    if bad:
+        raise SystemExit(f"--seed/-pm/--model_path are panel-managed; "
+                         f"don't pass them (got {bad})")
     ns.model_in_rest = False
     if not ns.model:
         for i, a in enumerate(rest[:-1]):

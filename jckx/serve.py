@@ -548,7 +548,11 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                 return self._error(
                     404, "unknown path (POST /generate or /interpolate)")
             t0 = _time.perf_counter()
-            n = handler()  # image count on success, None on any error
+            try:
+                n = handler()  # image count on success, None on any error
+            except Exception:  # noqa: BLE001 — e.g. client hung up mid-write:
+                # the socket is gone, but the request must still be counted
+                n = None
             _count(images=n or 0, error=n is None,
                    seconds=_time.perf_counter() - t0)
 
@@ -562,6 +566,10 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
             except ValueError as e:
                 self._error(400, f"bad JSON body: {e}")
                 return None
+
+        @staticmethod
+        def _is_int(v):  # JSON true/false are ints to isinstance
+            return isinstance(v, int) and not isinstance(v, bool)
 
         def _send_images(self, imgs, fmt, ncol):
             buf = io.BytesIO()
@@ -591,16 +599,18 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
             req = self._read_json()
             if req is None:
                 return None
-
-            def is_int(v):
-                return isinstance(v, int) and not isinstance(v, bool)
-
+            is_int = self._is_int
             for field in ("seed_a", "seed_b"):
                 if not is_int(req.get(field)):
                     return self._error(400, f"'{field}' must be an int")
+            # steps capped at 64 over HTTP: each distinct (steps, kind) pair
+            # compiles its own render once, serialized under the sampling
+            # lock — an unbounded knob would let one client queue hundreds of
+            # multi-second compiles in front of /generate (review finding).
+            # ≤126 bounded programs; the CLI (operator-controlled) has no cap.
             steps = req.get("steps", 10)
-            if not is_int(steps) or not 2 <= steps <= 256:
-                return self._error(400, "'steps' must be an int in [2, 256]")
+            if not is_int(steps) or not 2 <= steps <= 64:
+                return self._error(400, "'steps' must be an int in [2, 64]")
             fmt = req.get("format", "png")
             if fmt not in ("png", "npy"):
                 return self._error(400, "'format' must be 'png' or 'npy'")
@@ -612,16 +622,17 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
                         return self._error(400, f"'{field}' must be an int")
                     labs[field] = req[field]
             try:
-                with lock:
-                    imgs = s.interpolate(req["seed_a"], req["seed_b"],
-                                         steps=steps, kind=kind, **labs)
-            except ValueError as e:  # service-level validation → clear 400
-                return self._error(400, str(e))
+                try:
+                    with lock:
+                        imgs = s.interpolate(req["seed_a"], req["seed_b"],
+                                             steps=steps, kind=kind, **labs)
+                except ValueError as e:  # service-level validation → clear 400
+                    return self._error(400, str(e))
+                self._send_images(imgs, fmt, ncol=steps)
+                return steps
             except Exception as e:  # noqa: BLE001 — boundary: report, don't die
                 self._error(500, f"generation failed: {type(e).__name__}: {e}")
                 return None
-            self._send_images(imgs, fmt, ncol=steps)
-            return steps
 
         def _generate(self):
             s = cur()  # one consistent service per request, even mid-swap
@@ -629,9 +640,7 @@ def make_http_server(svc: "GeneratorService", host: str = "0.0.0.0",
             if req is None:
                 return None
 
-            def is_int(v):  # JSON true/false are ints to isinstance
-                return isinstance(v, int) and not isinstance(v, bool)
-
+            is_int = self._is_int
             n = req.get("n", 1)
             if not is_int(n) or not 1 <= n <= 4096:
                 return self._error(400, "'n' must be an int in [1, 4096]")
@@ -807,6 +816,12 @@ def main(args):
         listen_port = int(port_s)
     if not args.listen and args.num < 1:
         raise SystemExit(f"-n/--num must be >= 1, got {args.num}")
+    if args.interpolate and args.listen:
+        # the daemon serves the same walk at POST /interpolate; silently
+        # ignoring the one-shot flag would leave the user waiting for a
+        # file that never appears (review finding)
+        raise SystemExit("--interpolate is the one-shot strip writer; with "
+                         "--listen use POST /interpolate on the daemon")
     if args.watch > 0 and not args.listen:
         # the watcher thread only exists inside the daemon; silently
         # rendering a one-shot grid would ignore the operator's intent

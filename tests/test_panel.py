@@ -43,6 +43,16 @@ def test_seed_and_flag_validation(tmp_path):
         panel.get_args(["--seeds", "1,2", "--model", "DCGAN", "--seed", "3"])
     with pytest.raises(SystemExit):
         panel.get_args(["--seeds", "1,2", "--model", "DCGAN", "-pm", "x"])
+    # every spelling main.py's argparse would accept is caught: '=value'
+    # and unambiguous long-option abbreviations (a missed one would ride
+    # AFTER the panel's own --seed and win, collapsing the panel to 1 seed)
+    for tok in ("--seed=5", "--model_path=x", "--model_p", "--see"):
+        with pytest.raises(SystemExit):
+            panel.get_args(["--seeds", "1,2", "--model", "DCGAN", tok, "v"])
+    # ...but main.py flags that merely share a prefix still forward
+    ns, rest = panel.get_args(["--seeds", "1", "--model", "DCGAN",
+                               "--sanitize"])
+    assert "--sanitize" in rest
     # model must arrive one way or the other
     with pytest.raises(SystemExit):
         panel.get_args(["--seeds", "1,2"])

@@ -635,19 +635,22 @@ def test_http_interpolate_endpoint(tmp_path):
             "/interpolate", {"seed_a": 1, "seed_b": 2})
         assert code == 200 and png[:8] == b"\x89PNG\r\n\x1a\n"
         for bad in ({"seed_a": 1}, {"seed_a": 1, "seed_b": 2, "steps": 1},
+                    # steps is capped at 64 over HTTP: each distinct value
+                    # compiles a program under the sampling lock
+                    {"seed_a": 1, "seed_b": 2, "steps": 65},
                     {"seed_a": 1, "seed_b": 2, "kind": "x"},
                     {"seed_a": 1, "seed_b": 2, "label_a": 0},
                     {"seed_a": True, "seed_b": 2}):
             code, _, body = f.request("/interpolate", bad)
             assert code == 400, bad
             assert "error" in _json.loads(body)
-        # counters track the walk traffic too (4 + 4 + 10 images, 5 errors)
+        # counters track the walk traffic too (4 + 4 + 10 images, 6 errors)
         _, _, m = f.request("/metrics")
         md = dict(line.split() for line in m.decode().splitlines()
                   if line and not line.startswith("#"))
-        assert md["jckx_generate_requests_total"] == "8"
+        assert md["jckx_generate_requests_total"] == "9"
         assert md["jckx_generate_images_total"] == "18"
-        assert md["jckx_generate_errors_total"] == "5"
+        assert md["jckx_generate_errors_total"] == "6"
     finally:
         f.close()
 
@@ -663,3 +666,17 @@ def test_serve_cli_interpolate_writes_strip(tmp_path):
     with pytest.raises(SystemExit, match="SEEDA,SEEDB"):
         main(get_args(["--ckpt", path, "--interpolate", "3", "-o", out,
                        "--image_size", "16", "--base_width", "8"]))
+    # --interpolate + --listen conflict fails loudly (the daemon serves the
+    # walk at POST /interpolate; a silently-ignored one-shot flag would
+    # leave the user waiting for a file that never appears)
+    with pytest.raises(SystemExit, match="POST /interpolate"):
+        main(get_args(["--ckpt", path, "--interpolate", "3,4",
+                       "--listen", "8099"]))
+
+
+def test_evaluate_rejects_negative_truncation():
+    from jckx.evaluate import evaluate, get_args as eval_args
+
+    with pytest.raises(ValueError, match="truncation"):
+        evaluate(eval_args(["--ckpt", "nonexistent.ckpt",
+                            "--truncation", "-0.5"]))
