@@ -42,7 +42,8 @@ from jckx.configs import REFERENCE_IMG_PER_SEC  # single-source anchor
 
 
 def build_superstep(image_size: int = 64, batch_size: int = 128,
-                    remat: str = "none", model: str = "DCGAN"):
+                    remat: str = "none", model: str = "DCGAN",
+                    fused_prop: int = 0):
     """Production-shaped fused superstep for benchmarking/profiling.
 
     Returns ``(sstep, state, cfg)`` where ``sstep(state, data_u8,
@@ -63,6 +64,7 @@ def build_superstep(image_size: int = 64, batch_size: int = 128,
     cfg.image_size = image_size
     cfg.batch_size = batch_size
     cfg.remat = remat
+    cfg.fused_prop = fused_prop
     geo = GANGeometry(z_dim=cfg.z_dim, image_size=cfg.image_size, channels=cfg.channels)
     ncls = cfg.num_classes
     conditional = model.upper() == "CGAN"
@@ -138,10 +140,11 @@ def differential_time(run_region, supersteps: int, repeats: int = 1) -> float:
 
 def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
          K: int = 50, supersteps: int = 5, model: str = "DCGAN",
-         repeats: int = 2):
+         repeats: int = 2, fused_prop: int = 0):
     from jckx.data.datasets import synthetic_dataset
 
-    sstep, state, cfg = build_superstep(image_size, batch_size, remat, model)
+    sstep, state, cfg = build_superstep(image_size, batch_size, remat, model,
+                                        fused_prop)
     x_u8, y = synthetic_dataset(4096, 32, 3, cfg.num_classes, seed=0)
     data = jax.device_put(jnp.asarray(x_u8))
     labels = jax.device_put(jnp.asarray(y, jnp.int32))
@@ -192,7 +195,8 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
     print(json.dumps({
         "metric": f"images/sec/chip fused {model.upper()} G+D step ({image_size}x{image_size}, "
                   f"bs{batch_size}, bf16, incl. GP + on-device decode"
-                  + (f", remat={remat}" if remat != "none" else "") + ")",
+                  + (f", remat={remat}" if remat != "none" else "")
+                  + (", fused_prop" if fused_prop else "") + ")",
         "value": round(img_per_sec_per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / REFERENCE_IMG_PER_SEC, 2),
@@ -211,9 +215,12 @@ if __name__ == "__main__":
     p.add_argument("--supersteps", type=int, default=5)
     p.add_argument("--repeats", type=int, default=2,
                    help="min over this many 2S-S differentials (jitter armor)")
+    p.add_argument("--fused_prop", type=int, default=0,
+                   help="1 = bench the FusedProp step (shared fake-side "
+                        "forward; configs.py)")
     a = p.parse_args()
     from jckx.utils.device import honor_jax_platforms_env
 
     honor_jax_platforms_env()
     main(a.image_size, a.batch_size, a.remat, a.scan_steps, a.supersteps,
-         a.model, a.repeats)
+         a.model, a.repeats, a.fused_prop)

@@ -130,6 +130,13 @@ class Config:
     # eval/serving sample from the averaged generator — standard GAN practice
     # the reference lacks; typical values 0.999.
     ema_decay: float = 0.0
+    # FusedProp (arXiv:2004.03335, PAPERS.md): share the fake-side D forward
+    # between the D and G updates — one fewer G forward + D forward per step
+    # (real HBM bytes; the step is byte-bound). OFF by default because it
+    # changes the game's semantics vs the reference loop: G's gradient flows
+    # through the PRE-update D (simultaneous update), d_gz2 == d_gz1 (one
+    # shared forward), and CGAN's fake-side passes share a dropout mask.
+    fused_prop: int = 0
     eval_batch_size: int = 256         # metric feature-extraction batch (bs*2 in ref)
     sample_count: int = 64             # fixed-noise eval grid (dcgan_trainer.py:143)
     metric_backbone: str = ""          # path to InceptionV3 checkpoint ('' = auto)
@@ -324,6 +331,9 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--base_width", type=int, default=d.base_width)
     parser.add_argument("--remat", type=str, default=d.remat, choices=["none", "g", "d", "both"])
     parser.add_argument("--ema_decay", type=float, default=d.ema_decay)
+    parser.add_argument("--fused_prop", type=int, default=d.fused_prop,
+                        help="1 = FusedProp step: shared fake-side D forward "
+                             "(simultaneous G/D update; see configs.py)")
     parser.add_argument("--metric_backbone", type=str, default=d.metric_backbone)
     parser.add_argument("--sanitize", action="store_true", default=d.sanitize)
     parser.add_argument("--nan_guard", type=int, default=int(d.nan_guard),

@@ -22,6 +22,17 @@ Reference-semantic details preserved (all flag-gated via Config):
 - CGAN: labels condition G and D; fresh dropout mask per D forward
   (torch semantics); GP uses detached real/fake (cgan_trainer.py:200).
 
+Opt-in ``cfg.fused_prop`` (FusedProp, arXiv:2004.03335 — PAPERS.md): ONE
+fake-side D forward serves both players. The same logits feed D's fake loss
+(cotangent pulled to the D params) and G's loss (cotangent pulled to the
+fake input and chained through G), sharing the forward residuals; the fake
+batch itself is built once by the G vjp's forward. Saves one full G forward
++ one D forward per step — real bytes in an HBM-bound program. Documented
+semantic deltas vs the reference loop (why it's OFF by default): G's
+gradient flows through the PRE-update D (simultaneous update, not
+alternating), the reported d_gz2 equals d_gz1 (one shared forward), and
+CGAN's two fake-side D passes share one dropout mask.
+
 Per-step randomness derives on-device from ``state.rng`` + ``state.step``
 (fold_in), so the step function is closed — no per-step key upload.
 
@@ -60,6 +71,25 @@ def _maybe_remat(fn, on: bool):
     return jax.checkpoint(fn) if on else fn
 
 
+def _fused_prop_fake_side(D_in, vjp_gpath, fake_n, params_d, cfg):
+    """FusedProp fake side: one D forward, two cotangent pulls.
+
+    ``D_in(params_d, x)`` is the fake-side discriminator forward. Returns
+    (bce_f, loss_g, d_gz, grads_d_fake, grads_g): D's fake-loss param grads
+    and G's full grads, both from the SAME forward residuals; the G chain
+    re-uses ``vjp_gpath`` (the blend∘G forward already ran once)."""
+    logits_f, vjp_fake = jax.vjp(D_in, params_d, fake_n)
+    one = jnp.ones((), jnp.float32)
+    bce_f, vjp_lf = jax.vjp(lambda lg: bce_from_logits(lg, cfg.label_fake), logits_f)
+    (ct_f,) = vjp_lf(one)
+    grads_d_fake, _ = vjp_fake(ct_f)
+    loss_g, vjp_lg = jax.vjp(lambda lg: bce_from_logits(lg, cfg.label_real), logits_f)
+    (ct_g,) = vjp_lg(one)
+    _, dx = vjp_fake(ct_g)
+    (grads_g,) = vjp_gpath(dx)
+    return bce_f, loss_g, jnp.mean(jax.nn.sigmoid(logits_f)), grads_d_fake, grads_g
+
+
 def make_dcgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
     """Returns step(state, real_batch) -> (new_state, metrics). Jit-ready."""
     cd = _dtype(cfg)
@@ -68,6 +98,59 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
     remat = getattr(cfg, "remat", "none")
     G = _maybe_remat(lambda p, z: dcgan.generator_apply(p, z, geo, cd), remat in ("g", "both"))
     D = _maybe_remat(lambda p, x: dcgan.discriminator_apply(p, x, geo, cd), remat in ("d", "both"))
+
+    if getattr(cfg, "fused_prop", 0):
+
+        def step_fp(state: GANTrainState, real: jax.Array):
+            k = jax.random.fold_in(state.rng, state.step)
+            k_real, k_z, k_fake, k_alpha = jax.random.split(k, 4)
+
+            real_n = instance_noise_blend(k_real, real.astype(cd), f)
+            z = jax.random.normal(k_z, (real.shape[0], geo.z_dim), jnp.float32)
+            fake_noise = jax.random.normal(k_fake, real.shape, jnp.float32).astype(cd)
+
+            # the ONLY G forward of the step; its vjp carries G's chain
+            fake_n, vjp_gpath = jax.vjp(
+                lambda pg: (1.0 - f) * G(pg, z) + f * fake_noise,
+                state.params_g)
+
+            def d_rg_loss(params_d):  # real + GP sides; fake side is shared
+                logits_r = D(params_d, real_n)
+                bce_r = bce_from_logits(logits_r, cfg.label_real)
+                gp = gradient_penalty(
+                    lambda x: jax.nn.sigmoid(D(params_d, x)),
+                    k_alpha, real_n, jax.lax.stop_gradient(fake_n))
+                loss_for_grad = bce_r + (lam * gp if cfg.gp_in_d_grad else 0.0)
+                return loss_for_grad, (bce_r, gp, jnp.mean(jax.nn.sigmoid(logits_r)))
+
+            grads_d_rg, (bce_r, gp, d_x) = jax.grad(
+                d_rg_loss, has_aux=True)(state.params_d)
+            bce_f, loss_g, d_gz, grads_d_fake, grads_g = _fused_prop_fake_side(
+                lambda pd, x: D(pd, x), vjp_gpath,
+                jax.lax.stop_gradient(fake_n), state.params_d, cfg)
+            grads_d = jax.tree_util.tree_map(jnp.add, grads_d_rg, grads_d_fake)
+
+            upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
+            params_d = optax.apply_updates(state.params_d, upd_d)
+            upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
+            params_g = optax.apply_updates(state.params_g, upd_g)
+
+            ema_g = state.ema_g
+            if cfg.ema_decay > 0 and ema_g is not None:
+                dec = cfg.ema_decay
+                ema_g = jax.tree_util.tree_map(
+                    lambda e, p: dec * e + (1.0 - dec) * p, ema_g, params_g)
+
+            metrics = {"loss_d": bce_r + bce_f + lam * gp, "gp": gp,
+                       "d_x": d_x, "d_gz1": d_gz, "loss_g": loss_g,
+                       "d_gz2": d_gz}  # one shared forward (see module doc)
+            metrics = {n: v.astype(jnp.float32) for n, v in metrics.items()}
+            return GANTrainState(
+                params_g=params_g, params_d=params_d, opt_g=opt_g,
+                opt_d=opt_d, step=state.step + 1, rng=state.rng,
+                ema_g=ema_g), metrics
+
+        return step_fp
 
     def step(state: GANTrainState, real: jax.Array):
         k = jax.random.fold_in(state.rng, state.step)
@@ -155,6 +238,63 @@ def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
         lambda p, x, lab, dk: cgan.cdiscriminator_apply(p, x, lab, geo, cd, dropout_key=dk),
         remat in ("d", "both"),
     )
+
+    if getattr(cfg, "fused_prop", 0):
+
+        def step_fp(state: GANTrainState, real: jax.Array, labels: jax.Array):
+            k = jax.random.fold_in(state.rng, state.step)
+            (k_real, k_z, k_fake, k_alpha, k_dr, k_df, k_di, _unused_k_dg
+             ) = jax.random.split(k, 8)
+
+            labels = labels.astype(jnp.float32)
+            real_n = instance_noise_blend(k_real, real.astype(cd), f)
+            z = jax.random.normal(k_z, (real.shape[0], geo.z_dim), jnp.float32)
+            fake_noise = jax.random.normal(k_fake, real.shape, jnp.float32).astype(cd)
+
+            fake_n, vjp_gpath = jax.vjp(
+                lambda pg: (1.0 - f) * G(pg, z, labels) + f * fake_noise,
+                state.params_g)
+
+            def d_rg_loss(params_d):
+                logits_r = D(params_d, real_n, labels, k_dr)
+                bce_r = bce_from_logits(logits_r, cfg.label_real)
+                gp = gradient_penalty(
+                    lambda x: jax.nn.sigmoid(D(params_d, x, labels, k_di)),
+                    k_alpha, real_n, jax.lax.stop_gradient(fake_n))
+                # CGAN backprops the full error_d incl. GP (cgan_trainer.py:201-203)
+                return bce_r + lam * gp, (bce_r, gp, jnp.mean(jax.nn.sigmoid(logits_r)))
+
+            grads_d_rg, (bce_r, gp, d_x) = jax.grad(
+                d_rg_loss, has_aux=True)(state.params_d)
+            # the shared fake-side forward uses ONE dropout mask (k_df) for
+            # both players — a documented fused_prop delta vs the fresh
+            # per-forward masks of the faithful path
+            bce_f, loss_g, d_gz, grads_d_fake, grads_g = _fused_prop_fake_side(
+                lambda pd, x: D(pd, x, labels, k_df), vjp_gpath,
+                jax.lax.stop_gradient(fake_n), state.params_d, cfg)
+            grads_d = jax.tree_util.tree_map(jnp.add, grads_d_rg, grads_d_fake)
+
+            upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
+            params_d = optax.apply_updates(state.params_d, upd_d)
+            upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
+            params_g = optax.apply_updates(state.params_g, upd_g)
+
+            ema_g = state.ema_g
+            if cfg.ema_decay > 0 and ema_g is not None:
+                dec = cfg.ema_decay
+                ema_g = jax.tree_util.tree_map(
+                    lambda e, p: dec * e + (1.0 - dec) * p, ema_g, params_g)
+
+            metrics = {"loss_d": bce_r + bce_f + lam * gp, "gp": gp,
+                       "d_x": d_x, "d_gz1": d_gz, "loss_g": loss_g,
+                       "d_gz2": d_gz}
+            metrics = {n: v.astype(jnp.float32) for n, v in metrics.items()}
+            return GANTrainState(
+                params_g=params_g, params_d=params_d, opt_g=opt_g,
+                opt_d=opt_d, step=state.step + 1, rng=state.rng,
+                ema_g=ema_g), metrics
+
+        return step_fp
 
     def step(state: GANTrainState, real: jax.Array, labels: jax.Array):
         k = jax.random.fold_in(state.rng, state.step)
