@@ -183,3 +183,39 @@ def test_fused_prop_trainer_smoke_and_sharding(tmp_path):
                     jax.tree_util.tree_leaves(s8.params_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fused_prop_reaches_trainer_via_cli_config(tmp_path):
+    """--fused_prop 1 flows get_arg_parse -> Config -> trainer step: a tiny
+    end-to-end run trains finite and moves params."""
+    from jckx.configs import get_arg_parse
+    from jckx.data.pipeline import DCGANDataPreprocessor
+    from jckx.logging.main_logger import MainLogger
+    from jckx.rng import KeyChain, seed_everything
+    from jckx.train.gan_trainer import DCGANTrainer
+    from tests.test_trainer import StubMetrics
+
+    MainLogger.reset()
+    cfg = get_arg_parse([
+        "-m", "DCGAN", "--dataset", "synthetic", "--synthetic_size", "64",
+        "-b", "16", "-e", "1", "--image_size", "16", "--base_width", "8",
+        "--eval_every", "2", "--log_every", "2", "-mlr", "0.0002",
+        "--compute_dtype", "float32", "--fused_prop", "1",
+        "--save_root", str(tmp_path),
+    ])
+    assert cfg.fused_prop == 1
+    keys = KeyChain(seed_everything(cfg.seed))
+    geo = GANGeometry(z_dim=cfg.z_dim, image_size=16, channels=3, base_width=8)
+    pre = DCGANDataPreprocessor(cfg)
+    pre.transform_data()
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+    # host copy: the trainer's donated superstep deletes the init buffers
+    pg0 = jax.tree_util.tree_map(np.asarray, pg)
+    tr = DCGANTrainer(cfg, pg, pd, pre, metrics=StubMetrics())
+    last = tr.train()
+    assert np.isfinite(last["loss_d"]) and np.isfinite(last["loss_g"])
+    assert max(float(np.abs(np.asarray(x) - y).max()) for x, y in
+               zip(jax.tree_util.tree_leaves(tr.state.params_g),
+                   jax.tree_util.tree_leaves(pg0))) > 0
+    MainLogger.reset()
