@@ -20,6 +20,7 @@ import time
 BENCHES = {
     "gan_step": [sys.executable, "bench.py"],
     "gan_step_cgan": [sys.executable, "bench.py", "-m", "CGAN"],
+    "gan_step_fused_prop": [sys.executable, "bench.py", "--fused_prop", "1"],
     "serve": [sys.executable, "bench_serve.py"],
     "serve_cgan": [sys.executable, "bench_serve.py", "-m", "CGAN"],
     # serving A/Bs against the "serve" row: kernel-segregated ConvTranspose
