@@ -40,12 +40,13 @@ CONFIGS = [(64, 128, "none"), (128, 64, "none"), (256, 32, "none")]
 
 
 def one_config(image_size, batch_size, remat, K, supersteps, trace,
-               model="DCGAN"):
+               model="DCGAN", fused_prop=0):
     # the SAME construction bench.py times (and its timing methodology) —
     # cost-analysis and throughput always describe one program
     from bench import build_superstep, differential_time
 
-    sstep, state, cfg = build_superstep(image_size, batch_size, remat, model)
+    sstep, state, cfg = build_superstep(image_size, batch_size, remat, model,
+                                        fused_prop)
     rng = np.random.RandomState(0)
     data = jax.device_put(
         rng.randint(0, 255, (4096, 32, 32, 3), dtype=np.uint8))
@@ -148,12 +149,14 @@ def main():
     p.add_argument("--only", type=int, default=0,
                    help="run a single image_size from CONFIGS")
     p.add_argument("-m", "--model", default="DCGAN", choices=["DCGAN", "CGAN"])
+    p.add_argument("--fused_prop", type=int, default=0,
+                   help="1 = cost-analyze the FusedProp step (configs.py)")
     a = p.parse_args()
     for size, bs, remat in CONFIGS:
         if a.only and size != a.only:
             continue
         one_config(size, bs, remat, a.scan_steps, a.supersteps, a.trace,
-                   a.model)
+                   a.model, a.fused_prop)
 
 
 if __name__ == "__main__":
