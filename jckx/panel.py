@@ -31,8 +31,10 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
+import threading
 import time
 from datetime import datetime
 
@@ -184,15 +186,41 @@ def main(argv=None) -> int:
     panel_dir = os.path.join(ns.save_root, ns.model.lower(), ns.panel_name)
     per_seed, exits = {}, {}
     t0 = time.time()
-    for seed in ns.seed_list:
-        argv_s = child_argv(seed, ns, rest)
-        print(f"[panel] seed {seed}: {' '.join(argv_s[2:])}", file=sys.stderr)
-        exits[seed] = run_child(argv_s)
-        per_seed[str(seed)] = collect(seed_run_dir(seed, ns))
-        per_seed[str(seed)]["exit_code"] = exits[seed]
+    # Graceful preemption mirrors the trainer's (gan_trainer.train): on
+    # SIGTERM the RUNNING child checkpoints at its next launch boundary and
+    # exits 143 (same process group) — the panel must then STOP launching
+    # seeds, not march on; rerunning the same --panel_name resumes.
+    preempted = threading.Event()
+    prev_term, own_handler = None, False
+    if threading.current_thread() is threading.main_thread():
+        try:
+            prev_term = signal.signal(
+                signal.SIGTERM, lambda signum, frame: preempted.set())
+            own_handler = True
+        except (ValueError, OSError):
+            pass
+    try:
+        for seed in ns.seed_list:
+            if preempted.is_set():
+                per_seed[str(seed)] = {"error": "not run (panel preempted)"}
+                exits[seed] = None
+                continue
+            argv_s = child_argv(seed, ns, rest)
+            print(f"[panel] seed {seed}: {' '.join(argv_s[2:])}",
+                  file=sys.stderr)
+            exits[seed] = run_child(argv_s)
+            per_seed[str(seed)] = collect(seed_run_dir(seed, ns))
+            per_seed[str(seed)]["exit_code"] = exits[seed]
+            if exits[seed] == 143:  # child reported SIGTERM preemption
+                preempted.set()
+    finally:
+        if own_handler:
+            signal.signal(signal.SIGTERM,
+                          prev_term if prev_term is not None else signal.SIG_DFL)
     result = {
         "panel": ns.panel_name, "model": ns.model,
         "seeds": ns.seed_list, "wall_s": round(time.time() - t0, 1),
+        "preempted": preempted.is_set(),
         "per_seed": per_seed, "aggregate": aggregate(per_seed),
     }
     ok = all(c == 0 for c in exits.values()) and not any(
@@ -204,6 +232,8 @@ def main(argv=None) -> int:
         json.dump(result, f, indent=1)
     os.replace(tmp, os.path.join(panel_dir, "panel.json"))
     print(json.dumps(result))
+    if preempted.is_set():
+        return 143  # conventional SIGTERM code: resumable, not failed
     return 0 if ok else 1
 
 

@@ -131,3 +131,26 @@ def test_panel_end_to_end_inprocess(tmp_path, monkeypatch, capsys):
     # the verdict is persisted (atomically) in the panel dir
     with open(os.path.join(str(tmp_path), "dcgan", "p_e2e", "panel.json")) as f:
         assert json.load(f)["panel"] == "p_e2e"
+
+
+def test_panel_preemption_stops_launching_seeds(tmp_path, monkeypatch, capsys):
+    """A child exiting 143 (the trainer's SIGTERM-preemption code) must stop
+    the panel from launching further seeds; the skipped seeds are recorded
+    and the panel itself exits 143 (resumable, not failed)."""
+    launched = []
+
+    def fake_child(argv):
+        seed = int(argv[argv.index("--seed") + 1])
+        launched.append(seed)
+        run = os.path.dirname(argv[argv.index("--save_root") + 1])
+        return 143  # every child reports preemption
+
+    monkeypatch.setattr(panel, "run_child", fake_child)
+    rc = panel.main(["--seeds", "1,2,3", "--model", "DCGAN",
+                     "--save_root", str(tmp_path), "--panel_name", "pp"])
+    assert rc == 143
+    assert launched == [1]  # seeds 2 and 3 never launched
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["preempted"] is True and result["ok"] is False
+    assert result["per_seed"]["2"]["error"].startswith("not run")
+    assert result["per_seed"]["3"]["error"].startswith("not run")
