@@ -219,3 +219,21 @@ def test_fused_prop_reaches_trainer_via_cli_config(tmp_path):
                zip(jax.tree_util.tree_leaves(tr.state.params_g),
                    jax.tree_util.tree_leaves(pg0))) > 0
     MainLogger.reset()
+
+
+def test_fused_prop_composes_with_remat():
+    """remat=both wraps the same G/D the fused-vjp structure reuses — the
+    composition must compile and run finite."""
+    cfg = tiny_cfg(remat="both")
+    geo = _geo(cfg)
+    tx = make_optimizer(cfg)
+    pg = dcgan.generator_init(jax.random.PRNGKey(1), geo)
+    pd = dcgan.discriminator_init(jax.random.PRNGKey(2), geo)
+    state = GANTrainState(params_g=pg, params_d=pd, opt_g=tx.init(pg),
+                          opt_d=tx.init(pd), step=jnp.zeros((), jnp.int32),
+                          rng=jax.random.PRNGKey(7))
+    real = jax.random.uniform(jax.random.PRNGKey(3), (8, 16, 16, 3),
+                              minval=-1, maxval=1)
+    step = jit_train_step(make_dcgan_train_step(cfg, geo), donate_state=False)
+    _, m = step(state, real)
+    assert np.isfinite(float(m["loss_d"])) and np.isfinite(float(m["loss_g"]))

@@ -154,3 +154,34 @@ def test_panel_preemption_stops_launching_seeds(tmp_path, monkeypatch, capsys):
     assert result["preempted"] is True and result["ok"] is False
     assert result["per_seed"]["2"]["error"].startswith("not run")
     assert result["per_seed"]["3"]["error"].startswith("not run")
+
+
+def test_panel_cgan_collects_intra_fid(tmp_path, monkeypatch, capsys):
+    """The conditional family's intra_fid lands in per-seed bests and the
+    aggregate (lower-better)."""
+    def run_inprocess(argv):
+        import main as entry
+        from jckx.configs import get_arg_parse
+
+        MainLogger.reset()
+        monkeypatch.setattr("jckx.metrics.Metrics",
+                            lambda *a, **k: StubMetrics())
+        try:
+            entry.main(get_arg_parse(argv[2:]))
+            return 0
+        finally:
+            MainLogger.reset()
+
+    monkeypatch.setattr(panel, "run_child", run_inprocess)
+    rc = panel.main([
+        "--seeds", "5,6", "-m", "CGAN", "--save_root", str(tmp_path),
+        "--panel_name", "p_cgan",
+        "--dataset", "synthetic", "--synthetic_size", "64", "-b", "16",
+        "-e", "1", "--image_size", "16", "--base_width", "8",
+        "--eval_every", "2", "--log_every", "2", "-mlr", "0.0002",
+        "--compute_dtype", "float32",
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "best_intra_fid" in result["per_seed"]["5"]
+    assert "best_intra_fid" in result["aggregate"]
