@@ -22,8 +22,17 @@ dir already holds ``latest.ckpt`` get ``--resume`` added automatically (the
 child then inherits the run's persisted config, so an interrupted panel
 continues with the hyperparameters it started with).
 
+``--sweep FLAG=v1,v2`` (repeatable; cartesian product) turns the panel into
+an A/B driver: every variant runs the full seed panel into
+``<panel>/<flag-v>/seed_<S>/`` and the verdict reports one aggregate per
+variant — the workflow behind this repo's measured A/Bs (cosine-vs-constant
+lr, remat on/off, fused_prop) as one command:
+
+    python -m jckx.panel --seeds 12345,777 -m DCGAN \
+        --sweep lr_schedule=constant,cosine --dataset cifar100
+
 Prints one JSON line and writes ``panel.json`` (atomic) under the panel dir.
-Exit 0 only when every seed finished and produced eval records.
+Exit 0 only when every run finished and produced eval records.
 """
 
 from __future__ import annotations
@@ -62,6 +71,12 @@ def get_args(argv=None):
     p.add_argument("--panel_name", default="",
                    help="panel run-dir name under save/<model>/ "
                         "(default panel_<timestamp>; reuse to resume)")
+    p.add_argument("--sweep", action="append", default=[],
+                   help='FLAG=v1,v2 — run every value as a variant '
+                        '(repeatable; variants are the cartesian product), '
+                        'e.g. --sweep lr_schedule=constant,cosine (dashes '
+                        'optional: argparse would eat a dashed value, so '
+                        'spell that form --sweep=--lr_schedule=...)')
     ns, rest = p.parse_known_args(argv)
     seeds = []
     for tok in ns.seeds.split(","):
@@ -94,6 +109,32 @@ def get_args(argv=None):
     if bad:
         raise SystemExit(f"--seed/-pm/--model_path are panel-managed; "
                          f"don't pass them (got {bad})")
+
+    # --sweep FLAG=v1,v2 → variant axes; cartesian product across axes
+    sweeps = []
+    for spec in ns.sweep:
+        flag, sep, vals_s = spec.partition("=")
+        vals = [v.strip() for v in vals_s.split(",") if v.strip()]
+        if not sep or not flag or len(vals) < 2:
+            raise SystemExit(
+                f'--sweep expects FLAG=v1,v2[,...] with >=2 values, '
+                f'got {spec!r}')
+        if not flag.startswith("-"):
+            flag = "--" + flag  # dashless convenience (use the long name)
+        if _managed(flag):
+            raise SystemExit(f"--sweep {flag}: panel-managed flags cannot "
+                             f"be swept")
+        if any(a == flag or a.startswith(flag + "=") for a in rest):
+            raise SystemExit(
+                f"--sweep {flag}: also passed as a forwarded flag — a fixed "
+                f"value would silently override every variant (last-wins)")
+        if any(f == flag for f, _ in sweeps):
+            raise SystemExit(f"--sweep {flag}: duplicate sweep axis")
+        sweeps.append((flag, vals))
+    import itertools
+
+    ns.variant_list = [tuple(pairs) for pairs in itertools.product(
+        *[[(flag, v) for v in vals] for flag, vals in sweeps])] or [()]
     ns.model_in_rest = False
     if not ns.model:
         for i, a in enumerate(rest[:-1]):
@@ -106,23 +147,36 @@ def get_args(argv=None):
     return ns, rest
 
 
-def child_argv(seed: int, ns, rest) -> list:
-    """argv for one seed's training subprocess (main.py flags)."""
-    run_dir = seed_run_dir(seed, ns)
+def variant_slug(variant) -> str:
+    """(('--lr_schedule','cosine'),) → 'lr_schedule-cosine'; () → ''."""
+    return "_".join(f"{flag.lstrip('-')}-{val}".replace(os.sep, "-")
+                    for flag, val in variant)
+
+
+def child_argv(seed: int, ns, rest, variant=()) -> list:
+    """argv for one (variant, seed) training subprocess (main.py flags)."""
+    run_dir = seed_run_dir(seed, ns, variant)
     model_flags = [] if ns.model_in_rest else ["-m", ns.model]
+    slug = variant_slug(variant)
+    pm = (f"{ns.panel_name}/{slug}/seed_{seed}" if slug
+          else f"{ns.panel_name}/seed_{seed}")
     argv = [sys.executable, os.path.join(_REPO_ROOT, "main.py"),
             *model_flags, "--save_root", ns.save_root,
-            "-pm", f"{ns.panel_name}/seed_{seed}",
-            "--seed", str(seed)] + list(rest)
+            "-pm", pm, "--seed", str(seed)] + list(rest)
+    for flag, val in variant:
+        argv += [flag, val]
     if ("--resume" not in rest
             and os.path.exists(os.path.join(run_dir, "latest.ckpt"))):
         argv.append("--resume")  # interrupted panel rerun continues the run
     return argv
 
 
-def seed_run_dir(seed: int, ns) -> str:
-    return os.path.join(ns.save_root, ns.model.lower(),
-                        ns.panel_name, f"seed_{seed}")
+def seed_run_dir(seed: int, ns, variant=()) -> str:
+    slug = variant_slug(variant)
+    parts = [ns.save_root, ns.model.lower(), ns.panel_name]
+    if slug:
+        parts.append(slug)
+    return os.path.join(*parts, f"seed_{seed}")
 
 
 def run_child(argv: list) -> int:
@@ -184,7 +238,7 @@ def aggregate(per_seed: dict) -> dict:
 def main(argv=None) -> int:
     ns, rest = get_args(argv)
     panel_dir = os.path.join(ns.save_root, ns.model.lower(), ns.panel_name)
-    per_seed, exits = {}, {}
+    exits = {}
     t0 = time.time()
     # Graceful preemption mirrors the trainer's (gan_trainer.train): on
     # SIGTERM the RUNNING child checkpoints at its next launch boundary and
@@ -199,32 +253,47 @@ def main(argv=None) -> int:
             own_handler = True
         except (ValueError, OSError):
             pass
+    variants = {}  # slug -> {"variant", "per_seed", "aggregate"}
     try:
-        for seed in ns.seed_list:
-            if preempted.is_set():
-                per_seed[str(seed)] = {"error": "not run (panel preempted)"}
-                exits[seed] = None
-                continue
-            argv_s = child_argv(seed, ns, rest)
-            print(f"[panel] seed {seed}: {' '.join(argv_s[2:])}",
-                  file=sys.stderr)
-            exits[seed] = run_child(argv_s)
-            per_seed[str(seed)] = collect(seed_run_dir(seed, ns))
-            per_seed[str(seed)]["exit_code"] = exits[seed]
-            if exits[seed] == 143:  # child reported SIGTERM preemption
-                preempted.set()
+        for variant in ns.variant_list:
+            slug = variant_slug(variant)
+            per_seed = variants.setdefault(
+                slug or "base",
+                {"variant": dict(variant), "per_seed": {}})["per_seed"]
+            for seed in ns.seed_list:
+                vkey = (slug, seed)
+                if preempted.is_set():
+                    per_seed[str(seed)] = {"error": "not run (panel preempted)"}
+                    exits[vkey] = None
+                    continue
+                argv_s = child_argv(seed, ns, rest, variant)
+                print(f"[panel] {slug + ' ' if slug else ''}seed {seed}: "
+                      f"{' '.join(argv_s[2:])}", file=sys.stderr)
+                exits[vkey] = run_child(argv_s)
+                per_seed[str(seed)] = collect(seed_run_dir(seed, ns, variant))
+                per_seed[str(seed)]["exit_code"] = exits[vkey]
+                if exits[vkey] == 143:  # child reported SIGTERM preemption
+                    preempted.set()
     finally:
         if own_handler:
             signal.signal(signal.SIGTERM,
                           prev_term if prev_term is not None else signal.SIG_DFL)
+    for row in variants.values():
+        row["aggregate"] = aggregate(row["per_seed"])
     result = {
         "panel": ns.panel_name, "model": ns.model,
         "seeds": ns.seed_list, "wall_s": round(time.time() - t0, 1),
         "preempted": preempted.is_set(),
-        "per_seed": per_seed, "aggregate": aggregate(per_seed),
     }
+    if len(ns.variant_list) == 1 and not ns.variant_list[0]:
+        # no sweep: keep the flat seed-panel shape
+        result["per_seed"] = variants["base"]["per_seed"]
+        result["aggregate"] = variants["base"]["aggregate"]
+    else:
+        result["variants"] = variants
     ok = all(c == 0 for c in exits.values()) and not any(
-        "error" in r for r in per_seed.values())
+        "error" in r
+        for row in variants.values() for r in row["per_seed"].values())
     result["ok"] = ok
     os.makedirs(panel_dir, exist_ok=True)
     tmp = os.path.join(panel_dir, "panel.json.tmp")

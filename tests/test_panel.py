@@ -185,3 +185,85 @@ def test_panel_cgan_collects_intra_fid(tmp_path, monkeypatch, capsys):
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "best_intra_fid" in result["per_seed"]["5"]
     assert "best_intra_fid" in result["aggregate"]
+
+
+def test_sweep_parsing_and_validation():
+    # dashless convenience + the argparse-safe '=' spelling for dashed flags
+    ns, rest = panel.get_args(
+        ["--seeds", "1,2", "--model", "DCGAN",
+         "--sweep", "lr_schedule=constant,cosine", "--sweep=-mlr=0.1,0.2"])
+    assert len(ns.variant_list) == 4  # cartesian product
+    assert ("--lr_schedule", "cosine") in ns.variant_list[2]
+    assert ("-mlr", "0.2") in ns.variant_list[1]
+    assert panel.variant_slug(ns.variant_list[0]) == "lr_schedule-constant_mlr-0.1"
+    # bad specs
+    for spec in ("lr_schedule=onlyone", "--x", "=a,b"):
+        with pytest.raises(SystemExit):
+            panel.get_args(["--seeds", "1", "--model", "DCGAN",
+                            "--sweep", spec])
+    # swept flag also forwarded -> last-wins hazard, rejected
+    with pytest.raises(SystemExit):
+        panel.get_args(["--seeds", "1", "--model", "DCGAN",
+                        "--sweep=-mlr=0.1,0.2", "-mlr", "0.3"])
+    # managed flags cannot be swept; duplicate axes rejected
+    with pytest.raises(SystemExit):
+        panel.get_args(["--seeds", "1", "--model", "DCGAN",
+                        "--sweep", "seed=1,2"])
+    with pytest.raises(SystemExit):
+        panel.get_args(["--seeds", "1", "--model", "DCGAN",
+                        "--sweep=-mlr=1,2", "--sweep=-mlr=3,4"])
+    # no sweep -> the single empty variant
+    ns2, _ = panel.get_args(["--seeds", "1", "--model", "DCGAN"])
+    assert ns2.variant_list == [()]
+
+
+def test_sweep_child_argv_and_run_dirs(tmp_path):
+    ns, rest = panel.get_args(
+        ["--seeds", "7", "--model", "DCGAN", "--save_root", str(tmp_path),
+         "--panel_name", "ab", "--sweep", "lr_schedule=constant,cosine"])
+    v = ns.variant_list[1]
+    argv = panel.child_argv(7, ns, rest, v)
+    assert argv[argv.index("--lr_schedule") + 1] == "cosine"
+    assert "ab/lr_schedule-cosine/seed_7" in argv[argv.index("-pm") + 1]
+    assert panel.seed_run_dir(7, ns, v).endswith(
+        "dcgan/ab/lr_schedule-cosine/seed_7")
+
+
+def test_sweep_end_to_end_inprocess(tmp_path, monkeypatch, capsys):
+    """A 2-value sweep x 2 seeds runs 4 children and reports one aggregate
+    per variant."""
+    def run_inprocess(argv):
+        import main as entry
+        from jckx.configs import get_arg_parse
+
+        MainLogger.reset()
+        monkeypatch.setattr("jckx.metrics.Metrics",
+                            lambda *a, **k: StubMetrics())
+        try:
+            entry.main(get_arg_parse(argv[2:]))
+            return 0
+        finally:
+            MainLogger.reset()
+
+    monkeypatch.setattr(panel, "run_child", run_inprocess)
+    rc = panel.main([
+        "--seeds", "11,22", "-m", "DCGAN", "--save_root", str(tmp_path),
+        "--panel_name", "p_ab", "--sweep=-mlr=0.0002,0.0001",
+        "--dataset", "synthetic", "--synthetic_size", "64", "-b", "16",
+        "-e", "1", "--image_size", "16", "--base_width", "8",
+        "--eval_every", "2", "--log_every", "2",
+        "--compute_dtype", "float32",
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["ok"] and set(result["variants"]) == {"mlr-0.0002",
+                                                        "mlr-0.0001"}
+    for slug, row in result["variants"].items():
+        assert set(row["per_seed"]) == {"11", "22"}
+        assert "best_fid" in row["aggregate"]
+        for r in row["per_seed"].values():
+            assert r["exit_code"] == 0 and "best_fid" in r
+    # each variant's children trained with ITS lr (persisted config proves it)
+    with open(os.path.join(str(tmp_path), "dcgan", "p_ab", "mlr-0.0001",
+                           "seed_11", "config.json")) as f:
+        assert json.load(f)["max_learning_rate"] == 0.0001
