@@ -14,7 +14,11 @@ runs ``main.py`` once per seed into ``save/<model>/<panel>/seed_<S>/``,
 then aggregates each run's eval trajectory (``metrics.jsonl``) into one
 JSON verdict: per-seed best FID / IS / intra-FID plus min/median/max and
 relative spread per metric — the exact evidence shape the README's
-cross-seed tables were built from by hand.
+cross-seed tables were built from by hand. Throughput rides along: each
+seed's median ``images_per_sec`` / ``step_ms`` over its train-telemetry
+records (first launch dropped — it carries the XLA compile) aggregates the
+same way, so a sweep verdict answers quality AND speed in one JSON (the
+exact pair a fused_prop or remat A/B needs).
 
 Every non-panel flag is forwarded to ``main.py`` verbatim (same flags, same
 defaults). Re-running the same ``--panel_name`` resumes: seeds whose run
@@ -53,6 +57,17 @@ _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BEST_OF = {"fid": min, "is": max, "intra_fid": min,
            "kid": min, "precision": max, "recall": max,
            "density": max, "coverage": max}
+
+# per-launch telemetry scalars summarized as a per-run median (gan_trainer
+# logs one record per device launch; the first launch folds the XLA compile
+# into its wall time, so it is dropped when more samples exist)
+TELEMETRY_MEDIANS = ("images_per_sec", "step_ms")
+
+
+def _median(vals):
+    vals = sorted(vals)
+    n = len(vals)
+    return vals[n // 2] if n % 2 else 0.5 * (vals[n // 2 - 1] + vals[n // 2])
 
 
 def get_args(argv=None):
@@ -191,6 +206,7 @@ def collect(run_dir: str) -> dict:
     if not os.path.exists(path):
         out["error"] = "no metrics.jsonl"
         return out
+    telemetry = {name: [] for name in TELEMETRY_MEDIANS}
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -203,7 +219,11 @@ def collect(run_dir: str) -> dict:
             if "step" in rec:
                 out["last_step"] = rec["step"]
             if "fid" not in rec:
-                continue  # train-telemetry record, not an eval boundary
+                # train-telemetry record, not an eval boundary
+                for name in TELEMETRY_MEDIANS:
+                    if rec.get(name) is not None:
+                        telemetry[name].append(rec[name])
+                continue
             out["evals"] += 1
             for name, better in BEST_OF.items():
                 v = rec.get(name)
@@ -211,6 +231,11 @@ def collect(run_dir: str) -> dict:
                     continue
                 key = f"best_{name}"
                 out[key] = v if key not in out else better(out[key], v)
+    for name, vals in telemetry.items():
+        if len(vals) > 1:
+            vals = vals[1:]  # first launch folds the XLA compile
+        if vals:
+            out[f"median_{name}"] = round(_median(vals), 3)
     if out["evals"] == 0:
         out["error"] = "no eval records (did the run reach an eval boundary?)"
     return out
@@ -225,10 +250,11 @@ def aggregate(per_seed: dict) -> dict:
     for r in rows[1:]:
         shared &= set(r)
     agg = {}
-    for key in sorted(k for k in shared if k.startswith("best_")):
+    summarized = tuple(f"median_{n}" for n in TELEMETRY_MEDIANS)
+    for key in sorted(k for k in shared
+                      if k.startswith("best_") or k in summarized):
         vals = sorted(r[key] for r in rows)
-        n = len(vals)
-        med = (vals[n // 2] if n % 2 else 0.5 * (vals[n // 2 - 1] + vals[n // 2]))
+        med = _median(vals)
         agg[key] = {"min": vals[0], "median": med, "max": vals[-1],
                     "rel_spread": ((vals[-1] - vals[0]) / abs(med)
                                    if med else None)}

@@ -17,14 +17,21 @@ from tests.test_trainer import StubMetrics
 
 def test_aggregate_stats():
     per_seed = {
-        "1": {"best_fid": 100.0, "best_is": 5.0, "evals": 2},
-        "2": {"best_fid": 80.0, "best_is": 4.0, "evals": 2},
-        "3": {"best_fid": 120.0, "best_is": 6.0, "evals": 2},
+        "1": {"best_fid": 100.0, "best_is": 5.0, "evals": 2,
+              "median_images_per_sec": 1000.0},
+        "2": {"best_fid": 80.0, "best_is": 4.0, "evals": 2,
+              "median_images_per_sec": 1100.0},
+        "3": {"best_fid": 120.0, "best_is": 6.0, "evals": 2,
+              "median_images_per_sec": 900.0},
     }
     agg = panel.aggregate(per_seed)
     assert agg["best_fid"] == {"min": 80.0, "median": 100.0, "max": 120.0,
                                "rel_spread": 0.4}
     assert agg["best_is"]["median"] == 5.0
+    # throughput telemetry aggregates like the quality metrics...
+    assert agg["median_images_per_sec"]["median"] == 1000.0
+    # ...but bookkeeping fields (evals, run_dir, ...) never do
+    assert "evals" not in agg
     # two seeds -> even-count median is the midpoint
     agg2 = panel.aggregate({k: per_seed[k] for k in ("1", "2")})
     assert agg2["best_fid"]["median"] == 90.0
@@ -83,13 +90,22 @@ def test_collect_tolerates_torn_tail(tmp_path):
     run = tmp_path / "run"
     run.mkdir()
     with open(run / "metrics.jsonl", "w") as f:
+        # first launch telemetry carries the XLA compile -> dropped from
+        # the median when later launches exist
+        f.write(json.dumps({"step": 1, "loss_d": 1.2,
+                            "images_per_sec": 10.0, "step_ms": 900.0}) + "\n")
         f.write(json.dumps({"step": 2, "fid": 50.0, "is": 2.0}) + "\n")
-        f.write(json.dumps({"step": 4, "loss_d": 1.0}) + "\n")
+        f.write(json.dumps({"step": 4, "loss_d": 1.0,
+                            "images_per_sec": 3000.0, "step_ms": 4.0}) + "\n")
+        f.write(json.dumps({"step": 6, "loss_d": 0.9,
+                            "images_per_sec": 3500.0, "step_ms": 3.5}) + "\n")
         f.write(json.dumps({"step": 4, "fid": 40.0, "is": 1.5}) + "\n")
         f.write('{"step": 6, "fid": 30')  # SIGKILL mid-write
     got = panel.collect(str(run))
     assert got["best_fid"] == 40.0 and got["best_is"] == 2.0
     assert got["evals"] == 2 and got["last_step"] == 4
+    assert got["median_images_per_sec"] == 3250.0  # 10.0 (compile) excluded
+    assert got["median_step_ms"] == 3.75
     assert "error" not in got
 
 
@@ -126,8 +142,10 @@ def test_panel_end_to_end_inprocess(tmp_path, monkeypatch, capsys):
         row = result["per_seed"][seed]
         assert row["exit_code"] == 0 and row["evals"] >= 2
         assert "best_fid" in row and "best_is" in row
+        assert row["median_images_per_sec"] > 0  # throughput rides along
         assert os.path.exists(os.path.join(row["run_dir"], "latest.ckpt"))
     assert "best_fid" in result["aggregate"]
+    assert "median_images_per_sec" in result["aggregate"]
     # the verdict is persisted (atomically) in the panel dir
     with open(os.path.join(str(tmp_path), "dcgan", "p_e2e", "panel.json")) as f:
         assert json.load(f)["panel"] == "p_e2e"
