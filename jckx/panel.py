@@ -118,12 +118,12 @@ def get_args(argv=None):
         if not head.startswith("--") or len(head) <= 3:
             return False
         return any(flag.startswith(head)
-                   for flag in ("--seed", "--model_path"))
+                   for flag in ("--seed", "--model_path", "--save_root"))
 
     bad = [a for a in rest if _managed(a)]
     if bad:
-        raise SystemExit(f"--seed/-pm/--model_path are panel-managed; "
-                         f"don't pass them (got {bad})")
+        raise SystemExit(f"--seed/-pm/--model_path/--save_root are "
+                         f"panel-managed; don't pass them (got {bad})")
 
     # --sweep FLAG=v1,v2 → variant axes; cartesian product across axes
     sweeps = []
@@ -136,7 +136,10 @@ def get_args(argv=None):
                 f'got {spec!r}')
         if not flag.startswith("-"):
             flag = "--" + flag  # dashless convenience (use the long name)
-        if _managed(flag):
+        if _managed(flag) or flag == "-m":
+            # -m/--model changes the family and with it the panel's own
+            # save/<model>/ collection root — a swept value would divorce
+            # the child's output dir from where collect() reads
             raise SystemExit(f"--sweep {flag}: panel-managed flags cannot "
                              f"be swept")
         if any(a == flag or a.startswith(flag + "=") for a in rest):
@@ -163,9 +166,21 @@ def get_args(argv=None):
 
 
 def variant_slug(variant) -> str:
-    """(('--lr_schedule','cosine'),) → 'lr_schedule-cosine'; () → ''."""
-    return "_".join(f"{flag.lstrip('-')}-{val}".replace(os.sep, "-")
-                    for flag, val in variant)
+    """(('--lr_schedule','cosine'),) → 'lr_schedule-cosine'; () → ''.
+
+    Values that need sanitizing (os.sep) additionally carry a short content
+    hash: without it two distinct sweep values ('runs/x' vs 'runs-x') would
+    collide into ONE slug — merging their run dirs and silently cross-
+    resuming the second variant from the first's checkpoint."""
+    parts = []
+    for flag, val in variant:
+        val = str(val)
+        safe = val.replace(os.sep, "-")
+        if safe != val:
+            import hashlib
+            safe += "-" + hashlib.sha1(val.encode()).hexdigest()[:6]
+        parts.append(f"{flag.lstrip('-')}-{safe}")
+    return "_".join(parts)
 
 
 def child_argv(seed: int, ns, rest, variant=()) -> list:
@@ -207,6 +222,14 @@ def collect(run_dir: str) -> dict:
         out["error"] = "no metrics.jsonl"
         return out
     telemetry = {name: [] for name in TELEMETRY_MEDIANS}
+    # Every process session's FIRST launch folds the XLA compile into its
+    # wall time, so it is dropped per session: the trainer writes a
+    # session_start marker at every (re)launch, so a preempted-and-resumed
+    # seed doesn't keep later sessions' compile-inflated launches in its
+    # median. dropped_last keeps the most recent dropped value as a
+    # fallback for degenerate runs whose every session had a single launch.
+    drop_next = set(TELEMETRY_MEDIANS)  # file start = first session
+    dropped_last = {}
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -216,13 +239,20 @@ def collect(run_dir: str) -> dict:
                 rec = json.loads(line)
             except json.JSONDecodeError:
                 continue  # torn tail line of a killed run
+            if rec.get("event") == "session_start":
+                drop_next = set(TELEMETRY_MEDIANS)
+                continue
             if "step" in rec:
                 out["last_step"] = rec["step"]
             if "fid" not in rec:
                 # train-telemetry record, not an eval boundary
                 for name in TELEMETRY_MEDIANS:
                     if rec.get(name) is not None:
-                        telemetry[name].append(rec[name])
+                        if name in drop_next:
+                            drop_next.discard(name)
+                            dropped_last[name] = rec[name]
+                        else:
+                            telemetry[name].append(rec[name])
                 continue
             out["evals"] += 1
             for name, better in BEST_OF.items():
@@ -232,8 +262,8 @@ def collect(run_dir: str) -> dict:
                 key = f"best_{name}"
                 out[key] = v if key not in out else better(out[key], v)
     for name, vals in telemetry.items():
-        if len(vals) > 1:
-            vals = vals[1:]  # first launch folds the XLA compile
+        if not vals and name in dropped_last:
+            vals = [dropped_last[name]]  # better a compile-tainted sample
         if vals:
             out[f"median_{name}"] = round(_median(vals), 3)
     if out["evals"] == 0:
@@ -298,7 +328,11 @@ def main(argv=None) -> int:
                 exits[vkey] = run_child(argv_s)
                 per_seed[str(seed)] = collect(seed_run_dir(seed, ns, variant))
                 per_seed[str(seed)]["exit_code"] = exits[vkey]
-                if exits[vkey] == 143:  # child reported SIGTERM preemption
+                if exits[vkey] in (143, -signal.SIGTERM):
+                    # 143: child handled SIGTERM and checkpointed; -15: the
+                    # child was killed by a raw SIGTERM before its handler
+                    # was up (or only the child pid was signaled) — either
+                    # way the panel is being preempted: stop launching.
                     preempted.set()
     finally:
         if own_handler:

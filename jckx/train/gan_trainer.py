@@ -457,7 +457,12 @@ class _BaseGANTrainer(Trainer):
 
         start = time.time()
         self.logger.debug("train start")
+        # session marker: every process (re)launch re-pays the XLA compile
+        # on its first device launch; panel.collect() uses these markers to
+        # drop the compile-inflated first telemetry record of EVERY session
+        # (not just the file's first), so resumed runs aggregate fairly.
         it = self._host_step
+        self.logger.scalars({"event": "session_start", "step": it})
         last_metrics = None
 
         # Resume: fast-forward to the checkpointed position. The epoch loop

@@ -285,3 +285,110 @@ def test_sweep_end_to_end_inprocess(tmp_path, monkeypatch, capsys):
     with open(os.path.join(str(tmp_path), "dcgan", "p_ab", "mlr-0.0001",
                            "seed_11", "config.json")) as f:
         assert json.load(f)["max_learning_rate"] == 0.0001
+
+
+def test_collect_drops_compile_launch_per_session(tmp_path):
+    """A preempted-and-resumed seed re-pays the XLA compile in each
+    session's first launch; the trainer's session_start markers make
+    collect() drop the first telemetry record of EVERY session, so resumed
+    seeds aggregate fairly next to never-preempted ones (review finding)."""
+    run = tmp_path / "run"
+    run.mkdir()
+    with open(run / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"event": "session_start", "step": 0}) + "\n")
+        f.write(json.dumps({"step": 2, "loss_d": 1.0,
+                            "images_per_sec": 10.0, "step_ms": 900.0}) + "\n")
+        f.write(json.dumps({"step": 4, "loss_d": 1.0,
+                            "images_per_sec": 3000.0, "step_ms": 4.0}) + "\n")
+        f.write(json.dumps({"step": 4, "fid": 50.0, "is": 2.0}) + "\n")
+        # preempted; panel rerun resumes -> new session, fresh compile
+        f.write(json.dumps({"event": "session_start", "step": 4}) + "\n")
+        f.write(json.dumps({"step": 6, "loss_d": 1.0,
+                            "images_per_sec": 12.0, "step_ms": 880.0}) + "\n")
+        f.write(json.dumps({"step": 8, "loss_d": 1.0,
+                            "images_per_sec": 3400.0, "step_ms": 3.6}) + "\n")
+        f.write(json.dumps({"step": 8, "fid": 40.0, "is": 2.1}) + "\n")
+    got = panel.collect(str(run))
+    # both sessions' compile launches (10.0 and 12.0) are excluded
+    assert got["median_images_per_sec"] == 3200.0
+    assert got["median_step_ms"] == 3.8
+    # degenerate file: every session had a single launch -> keep the last
+    # (compile-tainted) sample rather than reporting nothing
+    run2 = tmp_path / "run2"
+    run2.mkdir()
+    with open(run2 / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"event": "session_start", "step": 0}) + "\n")
+        f.write(json.dumps({"step": 2, "loss_d": 1.0,
+                            "images_per_sec": 10.0, "step_ms": 900.0}) + "\n")
+        f.write(json.dumps({"step": 2, "fid": 50.0}) + "\n")
+    assert panel.collect(str(run2))["median_images_per_sec"] == 10.0
+
+
+def test_trainer_emits_session_start_marker(tmp_path, monkeypatch):
+    """Every training process session writes the marker collect() keys on."""
+    import main as entry
+    from jckx.configs import get_arg_parse
+
+    MainLogger.reset()
+    monkeypatch.setattr("jckx.metrics.Metrics", lambda *a, **k: StubMetrics())
+    try:
+        entry.main(get_arg_parse(
+            ["--save_root", str(tmp_path), "-pm", "mk", "--dataset",
+             "synthetic", "--synthetic_size", "32", "-b", "16", "-e", "1",
+             "--image_size", "16", "--base_width", "8", "--eval_every", "2",
+             "--compute_dtype", "float32"]))
+    finally:
+        MainLogger.reset()
+    with open(os.path.join(str(tmp_path), "dcgan", "mk",
+                           "metrics.jsonl")) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    assert any(r.get("event") == "session_start" for r in recs)
+    # the marker precedes the first telemetry record
+    kinds = [("marker" if r.get("event") == "session_start" else
+              "telemetry" if "images_per_sec" in r else "other")
+             for r in recs]
+    assert kinds.index("marker") < kinds.index("telemetry")
+
+
+def test_sweep_rejects_panel_semantic_axes():
+    """-m / --model / --save_root steer where the panel COLLECTS, not just
+    how the child trains — sweeping them would divorce the child's output
+    dir from where collect() reads (review finding)."""
+    for spec in ("--sweep=-m=DCGAN,CGAN", "--sweep=model=DCGAN,CGAN",
+                 "--sweep=save_root=/a,/b", "--sweep=--save_root=/a,/b"):
+        with pytest.raises(SystemExit):
+            panel.get_args(["--seeds", "1", "--model", "DCGAN", spec])
+
+
+def test_variant_slug_sanitization_is_collision_free():
+    """os.sep-sanitized values carry a content hash: 'runs/x' and 'runs-x'
+    must NOT merge into one run dir (silent cross-variant checkpoint
+    resume, review finding)."""
+    v_slash = (("--data_path", "runs" + os.sep + "x"),)
+    v_dash = (("--data_path", "runs-x"),)
+    assert panel.variant_slug(v_slash) != panel.variant_slug(v_dash)
+    assert os.sep not in panel.variant_slug(v_slash)
+    # clean values keep the stable human-readable slug
+    assert panel.variant_slug(
+        (("--lr_schedule", "cosine"),)) == "lr_schedule-cosine"
+
+
+def test_panel_preemption_on_raw_sigterm_child(tmp_path, monkeypatch, capsys):
+    """A child killed by a raw SIGTERM (returncode -15: signaled before the
+    trainer's handler was installed, or only the child pid was targeted)
+    must stop the panel exactly like a handled 143 exit."""
+    import signal as _signal
+
+    launched = []
+
+    def fake_child(argv):
+        launched.append(int(argv[argv.index("--seed") + 1]))
+        return -_signal.SIGTERM
+
+    monkeypatch.setattr(panel, "run_child", fake_child)
+    rc = panel.main(["--seeds", "1,2,3", "--model", "DCGAN",
+                     "--save_root", str(tmp_path), "--panel_name", "ppraw"])
+    assert rc == 143
+    assert launched == [1]
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert result["preempted"] is True and result["ok"] is False

@@ -101,7 +101,8 @@ def one_config(image_size, batch_size, remat, K, supersteps, trace,
     floor = max(comp_floor, byte_floor)
     if floor <= 0.0:  # cost model unavailable on this backend/runtime
         bound, floor = "unknown", float("nan")
-    print(f"{model} {image_size}², bs{batch_size}, remat={remat}: "
+    fp_tag = ", fused_prop" if fused_prop else ""
+    print(f"{model} {image_size}², bs{batch_size}, remat={remat}{fp_tag}: "
           f"{step_ms:.2f} ms/step ({img_s:,.0f} img/s) | "
           f"XLA cost: {flops/1e9:.0f} GFLOP, {byts/1e9:.2f} GB accessed | "
           f"floors: compute {comp_floor:.2f} ms, bytes {byte_floor:.2f} ms "
@@ -115,6 +116,7 @@ def one_config(image_size, batch_size, remat, K, supersteps, trace,
             float(ms["loss_d"])
         _print_top_ops(f"/tmp/jckx_gan_{image_size}")
     return {"image_size": image_size, "batch": batch_size, "remat": remat,
+            "fused_prop": int(bool(fused_prop)),
             "step_ms": step_ms, "img_s": img_s, "gflop": flops / 1e9,
             "gb": byts / 1e9, "bound": bound,
             "x_floor": step_ms / floor}
