@@ -444,8 +444,16 @@ class _BaseGANTrainer(Trainer):
         cfg = self.cfg
         bs = cfg.batch_size
         steps_per_epoch = self.n_data // bs
+        if steps_per_epoch == 0:
+            # the reference's DataLoader(drop_last) would silently yield zero
+            # batches here; fail fast instead of writing an empty run dir
+            raise ValueError(
+                f"batch_size {bs} exceeds the dataset ({self.n_data} rows): "
+                f"0 steps/epoch — nothing would train")
         rng = np.random.RandomState(cfg.seed)
-        K = max(1, min(cfg.log_every, cfg.eval_every if cfg.eval_every > 0 else cfg.log_every,
+        # log_every<=0 disables per-step console logs (mirrors eval_every<=0)
+        log_k = cfg.log_every if cfg.log_every > 0 else steps_per_epoch
+        K = max(1, min(log_k, cfg.eval_every if cfg.eval_every > 0 else log_k,
                        steps_per_epoch))
 
         losses_d = [l[0] for l in self._resumed_losses]
@@ -511,36 +519,39 @@ class _BaseGANTrainer(Trainer):
         # fresh latch per call: a run that was preempted (or a handler that
         # fired after the loop exited) must not make a LATER train() on the
         # same trainer re-preempt after a single launch — the retry/continue
-        # pattern is supported (test_train_twice_continues_run)
+        # pattern is supported (test_second_train_call_on_same_trainer_continues)
         self._preempt.clear()
         self.preempted = False
         prev_term = None
         own_handler = (cfg.preempt_save
                        and threading.current_thread() is threading.main_thread())
-        if own_handler:
-            def _on_term(signum, frame):
-                self._preempt.set()
-
-            try:
-                prev_term = signal.signal(signal.SIGTERM, _on_term)
-            except (ValueError, OSError):
-                own_handler = False
-
         uploader = upload_next = None
-        if self._streaming:
-            from concurrent.futures import ThreadPoolExecutor
-
-            uploader = ThreadPoolExecutor(1, thread_name_prefix="jckx-upload")
-
-            def _upload(rows: np.ndarray, k: int):
-                slab, labs = self._stream.take(rows)
-                slab = jax.device_put(
-                    slab.reshape((k, bs) + slab.shape[1:]), self._slab_sharding
-                )
-                labs = jax.device_put(labs.reshape(k, bs), self._slab_sharding)
-                return slab, labs
-
         try:
+            # handler installation INSIDE the try: if anything below raises
+            # (e.g. uploader thread creation), the finally still restores the
+            # caller's process-level SIGTERM handler.
+            if own_handler:
+                def _on_term(signum, frame):
+                    self._preempt.set()
+
+                try:
+                    prev_term = signal.signal(signal.SIGTERM, _on_term)
+                except (ValueError, OSError):
+                    own_handler = False
+
+            if self._streaming:
+                from concurrent.futures import ThreadPoolExecutor
+
+                uploader = ThreadPoolExecutor(1, thread_name_prefix="jckx-upload")
+
+                def _upload(rows: np.ndarray, k: int):
+                    slab, labs = self._stream.take(rows)
+                    slab = jax.device_put(
+                        slab.reshape((k, bs) + slab.shape[1:]), self._slab_sharding
+                    )
+                    labs = jax.device_put(labs.reshape(k, bs), self._slab_sharding)
+                    return slab, labs
+
             for epoch in range(start_epoch, cfg.epoch):
                 order = rng.permutation(self.n_data)[: steps_per_epoch * bs].reshape(
                     steps_per_epoch, bs
@@ -587,8 +598,23 @@ class _BaseGANTrainer(Trainer):
                                 f"latest.ckpt; rerun with --sanitize to locate "
                                 f"the op; --nan_guard 0 to continue anyway)"
                             )
-                            rolled_back = True
-                            self._rollback_after_divergence(it + k)
+                            rolled_back = True  # never clobber _host_step below
+                            try:
+                                self._rollback_after_divergence(it + k)
+                            except BaseException as rb_err:
+                                # rollback itself failed (e.g. flush_writes
+                                # re-raised a latched ENOSPC): the state is
+                                # still non-finite and step accounting is
+                                # stale — poison so a caller that catches and
+                                # retries (or re-runs with --nan_guard 0)
+                                # cannot train on garbage.
+                                self._poisoned = (
+                                    f"training diverged by step {it + k} AND "
+                                    f"the checkpoint rollback failed "
+                                    f"({rb_err!r}) — rebuild the trainer "
+                                    f"(fresh params or an explicit restore) "
+                                    f"before training again")
+                                raise
                             raise FloatingPointError(
                                 f"training diverged: non-finite {bad} by step {it + k}"
                             )
@@ -599,7 +625,7 @@ class _BaseGANTrainer(Trainer):
                     # per-100-iteration console log (dcgan_trainer.py:191-193)
                     for s_off in range(k):
                         step_i = done + s_off
-                        if step_i % cfg.log_every == 0:
+                        if cfg.log_every > 0 and step_i % cfg.log_every == 0:
                             self.logger.debug(
                                 f"[{epoch}/{cfg.epoch}][{step_i}/{steps_per_epoch}]\t"
                                 f"loss_d: {ms_np['loss_d'][s_off]:.4f}\t"
@@ -618,9 +644,10 @@ class _BaseGANTrainer(Trainer):
                     prev_it = it
                     it += k
                     done += k
+                    last_step_of_run = (epoch == cfg.epoch - 1) and (done >= steps_per_epoch)
                     if self._preempt.is_set():
-                        # checkpoint NOW and skip the (possibly minutes-long)
-                        # eval: the preemption deadline is short
+                        # checkpoint NOW and (usually) skip the possibly
+                        # minutes-long eval: the preemption deadline is short
                         self.preempted = True
                         self.logger.warning(
                             f"SIGTERM received — saving latest.ckpt at step {it} "
@@ -629,11 +656,17 @@ class _BaseGANTrainer(Trainer):
                         self.ckpt.save_latest(
                             DeviceSnapshot(self._snapshot_fn(self.state)),
                             {"bests": dict(self.bests),
-                             "losses": list(zip(losses_d, losses_g)),
+                             "losses": self._persist_losses(losses_d, losses_g),
                              "serve_config": self._serve_config()},
                         )
-                        break
-                    last_step_of_run = (epoch == cfg.epoch - 1) and (done >= steps_per_epoch)
+                        if not last_step_of_run:
+                            break
+                        # the signal landed during the run's FINAL launch:
+                        # training is complete, and a --resume would find
+                        # nothing left to train — exiting here would lose the
+                        # reference-mandated last-step evaluation forever
+                        # (dcgan_trainer.py:198-222). latest.ckpt is already
+                        # safe above, so fall through and run it.
                     if cfg.eval_every > 0 and (
                         prev_it // cfg.eval_every != it // cfg.eval_every or prev_it == 0
                         or last_step_of_run
@@ -652,7 +685,7 @@ class _BaseGANTrainer(Trainer):
             # dropped, a running one is joined BEFORE _stream.close() — else
             # its take() would race the close and re-create the gather pool
             # with nothing left to shut it down.
-            if self._streaming:
+            if self._streaming and uploader is not None:
                 uploader.shutdown(wait=True, cancel_futures=True)
                 self._stream.close()  # release gather threads (pool re-creates on reuse)
             # keep host-side step accounting correct for a caller that
@@ -663,6 +696,12 @@ class _BaseGANTrainer(Trainer):
             # — don't clobber it with the pre-launch position.
             if not rolled_back:
                 self._host_step = it
+                # a second train() on the same trainer (raise-epoch-budget
+                # pattern, test_second_train_call_on_same_trainer_continues)
+                # rebuilds its loss history from _resumed_losses — keep it
+                # current so loss.png / checkpoint 'losses' never truncate
+                # to the last call's segment.
+                self._resumed_losses = list(zip(losses_d, losses_g))
 
         flush_writes()  # surface async checkpoint-write failures before exit
         end = time.time()
@@ -671,6 +710,21 @@ class _BaseGANTrainer(Trainer):
         return last_metrics
 
     # ---------------------------------------------------- checkpoint helper
+
+    # persisted loss-history bound: every eval's save_latest re-serializes
+    # the whole history into the checkpoint sidecar, which is O(total steps)
+    # work and bytes per save. 100k pairs comfortably covers the reference
+    # protocol (100 epochs x 391 steps = 39,100) untouched; million-step
+    # runs persist a strided sample (the in-session loss.png still plots the
+    # full in-memory history; only a later --resume's prefix is decimated).
+    _LOSS_PERSIST_CAP = 100_000
+
+    def _persist_losses(self, losses_d, losses_g):
+        n = len(losses_d)
+        if n <= self._LOSS_PERSIST_CAP:
+            return list(zip(losses_d, losses_g))
+        stride = -(-n // self._LOSS_PERSIST_CAP)  # ceil div
+        return list(zip(losses_d[::stride], losses_g[::stride]))
 
     def _save_best(self, typ: str, iters: int, values, images_denorm,
                    state_snap=None):
@@ -720,7 +774,8 @@ class DCGANTrainer(_BaseGANTrainer):
             self._save_best("is", iters, (is_score,), denorm, snap)
         self.ckpt.save_latest(
             snap,
-            {"bests": dict(self.bests), "losses": list(zip(losses_d, losses_g)),
+            {"bests": dict(self.bests),
+             "losses": self._persist_losses(losses_d, losses_g),
              "serve_config": self._serve_config()},
         )
 
@@ -783,6 +838,7 @@ class CGANTrainer(_BaseGANTrainer):
         submit_write(lambda: save_labeled_grid(_panel_path, _panel_imgs, _panel_names))
         self.ckpt.save_latest(
             snap,
-            {"bests": dict(self.bests), "losses": list(zip(losses_d, losses_g)),
+            {"bests": dict(self.bests),
+             "losses": self._persist_losses(losses_d, losses_g),
              "serve_config": self._serve_config()},
         )

@@ -665,3 +665,134 @@ def test_cosine_lr_resume_bit_identical(tmp_path):
         np.testing.assert_array_equal(np.asarray(twin[k]), np.asarray(got[k]),
                                       err_msg=k)
     MainLogger.reset()
+
+
+def _tiny_trainer(tmp_path, subdir, seed=13, n_rows=64, metrics=None, **cfg_over):
+    """Build a small DCGANTrainer in its own run dir (shared by the
+    hardening tests below)."""
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(seed))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+    cfg = tiny_cfg(tmp_path / subdir)
+    for k, v in cfg_over.items():
+        setattr(cfg, k, v)
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:n_rows]
+    data_pre.labels_np = data_pre.labels_np[:n_rows]
+    return DCGANTrainer(cfg, pg, pd, data_pre,
+                        metrics=metrics or StubMetrics())
+
+
+def test_log_every_zero_disables_console_logs(tmp_path):
+    """--log_every 0 silences per-step logs (mirrors --eval_every 0's
+    'disable' convention) instead of crashing with ZeroDivisionError on the
+    first launch (review finding)."""
+    tr = _tiny_trainer(tmp_path, "lz", log_every=0)
+    last = tr.train()
+    assert last is not None and np.isfinite(last["loss_d"])
+    assert int(tr.state.step) == 4  # 64 rows / bs16 = 4 steps x 1 epoch
+    MainLogger.reset()
+
+
+def test_batch_size_larger_than_dataset_fails_fast(tmp_path):
+    """bs > dataset rows means 0 steps/epoch; the reference's DataLoader
+    would silently yield nothing — jckx raises instead of writing an empty
+    run dir with 'train finish 0.0s' (review finding)."""
+    tr = _tiny_trainer(tmp_path, "bz", n_rows=8)  # bs=16 > 8 rows
+    with pytest.raises(ValueError, match="0 steps/epoch"):
+        tr.train()
+    MainLogger.reset()
+
+
+def test_sigterm_on_final_launch_still_runs_final_eval(tmp_path):
+    """A SIGTERM landing during the run's FINAL launch must not lose the
+    reference-mandated last-step evaluation (dcgan_trainer.py:198-222):
+    training is complete, so a --resume would find nothing left to train
+    and the final bests would never be computed (review finding)."""
+    import signal as _signal
+
+    stub = StubMetrics()
+    tr = _tiny_trainer(tmp_path, "ft", metrics=stub, log_every=2, epoch=1)
+    real_superstep = tr._superstep
+    calls = {"n": 0}
+
+    def kicking(*args):
+        calls["n"] += 1
+        out = real_superstep(*args)
+        if calls["n"] == 2:  # K=2, 4 steps/epoch -> launch 2 is the final one
+            os.kill(os.getpid(), _signal.SIGTERM)
+            for _ in range(10**7):
+                if tr._preempt.is_set():
+                    break
+            assert tr._preempt.is_set()
+        return out
+
+    tr._superstep = kicking
+    tr.train()
+    assert tr.preempted and int(tr.state.step) == 4
+    # evals at it=2 (prev_it==0) AND the final it=4 — without the fix the
+    # preempt branch broke out before the final one
+    assert stub.calls == 2
+    assert os.path.exists(os.path.join(tr.cfg.save_path, "latest.ckpt"))
+    MainLogger.reset()
+
+
+def test_second_train_call_preserves_loss_history(tmp_path):
+    """The raise-epoch-budget pattern must carry the first call's loss
+    history into the second call's checkpoints/loss.png — _resumed_losses
+    is refreshed when train() returns (review finding)."""
+    from jckx.checkpoint.checkpoint import restore_checkpoint
+
+    tr = _tiny_trainer(tmp_path, "lh", epoch=1)
+    tr.train()
+    assert len(tr._resumed_losses) == 4
+    tr.cfg.epoch = 2
+    tr.train()
+    assert len(tr._resumed_losses) == 8  # both segments, not just the last
+    # and the persisted checkpoint carries the full history too
+    _, extra = restore_checkpoint(
+        os.path.join(tr.cfg.save_path, "latest.ckpt"), tr.state)
+    assert len(extra["losses"]) == 8
+    MainLogger.reset()
+
+
+def test_rollback_failure_poisons_trainer(tmp_path):
+    """If the post-divergence rollback itself fails (e.g. a latched async
+    write error re-raised by flush_writes), the trainer must refuse further
+    train() calls — its state is non-finite and step accounting is stale
+    (review finding)."""
+    tr = _tiny_trainer(tmp_path, "rbf", epoch=1)
+    tr.train()  # writes latest.ckpt so a rollback WOULD be possible
+    tr.cfg.epoch = 2
+    tr._superstep = _nan_telemetry(tr._superstep)
+
+    def exploding_rollback(step_hint):
+        raise OSError("disk full")
+
+    tr._rollback_after_divergence = exploding_rollback
+    with pytest.raises(OSError, match="disk full"):
+        tr.train()
+    with pytest.raises(RuntimeError, match="rollback failed"):
+        tr.train()
+    MainLogger.reset()
+
+
+def test_persist_losses_bounded():
+    """Checkpoint sidecars persist at most _LOSS_PERSIST_CAP loss pairs
+    (strided sample) so eval-boundary saves stay O(cap) on million-step
+    runs; under the cap the history is exact (review finding)."""
+    from types import SimpleNamespace
+
+    from jckx.train.gan_trainer import _BaseGANTrainer
+
+    host = SimpleNamespace(_LOSS_PERSIST_CAP=4)
+    exact = _BaseGANTrainer._persist_losses(host, [1, 2, 3], [4, 5, 6])
+    assert exact == [(1, 4), (2, 5), (3, 6)]
+    big_d, big_g = list(range(10)), list(range(10, 20))
+    capped = _BaseGANTrainer._persist_losses(host, big_d, big_g)
+    assert len(capped) <= 4
+    assert capped[0] == (0, 10)  # stride keeps the curve's global shape
+    assert all(d + 10 == g for d, g in capped)
