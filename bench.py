@@ -200,6 +200,13 @@ def main(image_size: int = 64, batch_size: int = 128, remat: str = "none",
         "value": round(img_per_sec_per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec_per_chip / REFERENCE_IMG_PER_SEC, 2),
+        # the reference publishes NO GAN-step throughput; its only number is
+        # the InceptionV3 fine-tune 374 img/s — a cross-WORKLOAD anchor. The
+        # apples-to-apples ratio is bench_finetune.py's (same workload).
+        "vs_baseline_note": ("ratio vs reference InceptionV3 fine-tune "
+                             "374 img/s — CROSS-workload anchor, not a "
+                             "same-workload speedup; see bench_finetune.py "
+                             "for apples-to-apples"),
     }))
 
 

@@ -203,6 +203,9 @@ def main(model: str = "DCGAN", image_size: int = 64, batch_size: int = 512,
         "value": round(img_s_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_s_chip / REFERENCE_IMG_PER_SEC, 2),
+        "vs_baseline_note": ("ratio vs reference InceptionV3 fine-tune "
+                             "374 img/s — CROSS-workload anchor, not a "
+                             "same-workload speedup"),
         "detail": {
             "e2e_service_img_per_s_incl_host_fetch": round(e2e, 1),
             "serve_forward_roofline": roofline,

@@ -314,6 +314,10 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--lambda_gp", type=float, default=d.lambda_gp)
     parser.add_argument("--eval_every", type=int, default=d.eval_every)
     parser.add_argument("--log_every", type=int, default=d.log_every)
+    parser.add_argument("--sample_count", type=int, default=d.sample_count,
+                        help="fixed-noise eval grid size (DCGAN; reference 64)")
+    parser.add_argument("--eval_batch_size", type=int, default=d.eval_batch_size,
+                        help="metric feature-extraction batch")
     parser.add_argument("--lr_schedule", type=str, default=d.lr_schedule,
                         choices=["constant", "cosine"],
                         help="cosine = decay lr from -mlr to -milr over the run "

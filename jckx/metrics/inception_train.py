@@ -65,15 +65,17 @@ def make_optimizer(lr: float, weight_decay: float = 5e-4, momentum: float = 0.9,
 
 
 def make_train_step(lr: float, weight_decay: float, compute_dtype=jnp.bfloat16,
-                    image_size: int = 299):
+                    image_size: int = 299, nesterov: bool = True):
     """Step gathers its batch from the DEVICE-RESIDENT dataset by index:
     uploading a batch per step costs ~0.4 s of tunnel round-trip; uploading
     the epoch's int32 index matrix once costs ~nothing.
 
     ``image_size``: network input side (299 = notebook parity; smaller
     values keep CPU equivalence tests tractable — the graph is
-    size-agnostic down to ~75)."""
-    tx = make_optimizer(lr, weight_decay)
+    size-agnostic down to ~75). ``nesterov``: the reference's ``-snt`` flag
+    given its evident meaning HERE (the SGD trainer it names) — the
+    reference parses it and never reads it (main.py:57)."""
+    tx = make_optimizer(lr, weight_decay, nesterov=nesterov)
 
     def step(params, opt_state, data_u8, labels_all, idx, key):
         u8 = jnp.take(data_u8, idx, axis=0)
@@ -348,6 +350,7 @@ def train(args):
     step, tx, raw_step = make_train_step(
         args.max_learning_rate, args.weight_decay,
         image_size=getattr(args, "image_size", 299),
+        nesterov=bool(getattr(args, "nesterov", 1)),
     )
     sstep = make_superstep(raw_step, mesh=mesh) if args.scan_steps > 0 else None
     opt_state = tx.init(params)
@@ -509,6 +512,9 @@ def get_args(argv=None):
     p.add_argument("-e", "--epoch", type=int, default=300)
     p.add_argument("-mlr", "--max_learning_rate", type=float, default=0.1)
     p.add_argument("-wd", "--weight_decay", type=float, default=5e-4)
+    p.add_argument("-snt", "--nesterov", type=int, default=1,
+                   help="nesterov SGD 0/1 (the reference parses -snt and "
+                        "never reads it; here it steers the SGD it names)")
     p.add_argument("--early_stop", type=int, default=10)
     p.add_argument("--resume", type=int, default=0,
                    help="1 = continue from save_dir's train_state.npz/last_bset.npz")

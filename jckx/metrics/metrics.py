@@ -70,12 +70,19 @@ class Metrics:
         # (bs, num_classes) logits gather on the host read as before.
         n_data = int(mesh.shape.get("data", 1)) if mesh is not None else 1
         self._eval_data_shards = max(1, n_data)
+        self._multiprocess = jax.process_count() > 1
         if mesh is not None and n_data > 1:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             self._batch_sharding = NamedSharding(mesh, P(None, "data"))
+            # multi-host extraction: features come back fully-replicated so
+            # the host-side metric math (IS/FID/intra) reads them on every
+            # process (a non-addressable-sharded output could not be fetched)
+            self._out_sharding = (NamedSharding(mesh, P())
+                                  if self._multiprocess else None)
         else:
             self._batch_sharding = None
+            self._out_sharding = None
         # opt-in space-to-depth stem for the backbone forward (exact same
         # function, rounding-level drift — inception_v3._bconv_1a_s2d);
         # OFF by default so metric absolutes never shift silently
@@ -101,6 +108,15 @@ class Metrics:
                 "params to enable reuse)")
         else:
             self.params = self._load_backbone(config)
+        if self._multiprocess and self._batch_sharding is not None:
+            # backbone leaves loaded/inited locally are process-local arrays;
+            # the mesh-parallel extraction jit needs them on the GLOBAL mesh
+            # (values are identical on every process: same file / same seed)
+            from jckx.parallel.mesh import put_global_tree, replicated_sharding
+
+            self.params = put_global_tree(
+                jax.tree_util.tree_map(np.asarray, self.params),
+                replicated_sharding(self._batch_sharding.mesh))
 
         # jitted extraction pipelines. Batches are dispatched ASYNC (no host
         # sync between launches) and drained once at the end — a per-batch
@@ -157,7 +173,8 @@ class Metrics:
         else:
             self._logger.debug(f"extracting real features for {len(real_labels)} images")
             self.real_features = self._extract_u8(real_images_u8)
-            np.savez_compressed(cache, features=self.real_features)
+            if jax.process_index() == 0:  # lead-only file write (multi-host)
+                np.savez_compressed(cache, features=self.real_features)
         self._real_mu_sigma = None
         self._real_super_stats = None
         self._real_knn_radii = {}  # k → radii of the (fixed) real set
@@ -398,9 +415,14 @@ class Metrics:
             k = min(batches_per_slab, nb_padded - s)
             chunk = images[s * bs : (s + k) * bs].reshape(k, bs, *images.shape[1:])
             # one transfer (per device when sharded: each chip receives only
-            # its bs/n_data rows of every batch)
-            slab = (jax.device_put(chunk, self._batch_sharding)
-                    if self._batch_sharding is not None else jax.device_put(chunk))
+            # its bs/n_data rows of every batch; multi-process each host
+            # uploads only its addressable shards via put_global)
+            if self._batch_sharding is not None:
+                from jckx.parallel.mesh import put_global
+
+                slab = put_global(chunk, self._batch_sharding)
+            else:
+                slab = jax.device_put(chunk)
             slab_outs = [fn_at(slab, i) for i in range(k)]
             # bound device memory: async dispatch would otherwise enqueue
             # every slab's upload before the first frees — block on the
@@ -431,7 +453,9 @@ class Metrics:
             # train step's layout) — ICI collective, no host round-trip. Only
             # the sharded path pays the eager reshape dispatch; unsharded
             # slabs stay flat so the whole extraction stays at nb launches.
-            images_dev = jax.device_put(
+            from jckx.parallel.mesh import reshard
+
+            images_dev = reshard(
                 images_dev.reshape(nb, bs, *images_dev.shape[1:]),
                 self._batch_sharding)
             fn_at = self._fn_at(fn, bs)
@@ -462,16 +486,22 @@ class Metrics:
         cache_key = (id(fn), bs, flat)
         fn_at = self._fn_at_cache.get(cache_key)
         if fn_at is None:
+            # multi-process: replicate the (small) feature output so the
+            # host metric math can fetch it on every process
+            jit_kw = ({"out_shardings": self._out_sharding}
+                      if self._out_sharding is not None else {})
             if flat:
                 fn_at = jax.jit(
                     lambda slab, i: fn(
-                        jax.lax.dynamic_slice_in_dim(slab, i * bs, bs, axis=0))
+                        jax.lax.dynamic_slice_in_dim(slab, i * bs, bs, axis=0)),
+                    **jit_kw,
                 )
             else:
                 fn_at = jax.jit(
                     lambda slab, i: fn(
                         jax.lax.dynamic_index_in_dim(
-                            slab, i, axis=0, keepdims=False))
+                            slab, i, axis=0, keepdims=False)),
+                    **jit_kw,
                 )
             self._fn_at_cache[cache_key] = fn_at
         return fn_at

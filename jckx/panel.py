@@ -59,8 +59,10 @@ BEST_OF = {"fid": min, "is": max, "intra_fid": min,
            "density": max, "coverage": max}
 
 # per-launch telemetry scalars summarized as a per-run median (gan_trainer
-# logs one record per device launch; the first launch folds the XLA compile
-# into its wall time, so it is dropped when more samples exist)
+# logs one record per device launch; each session's first launch folds the
+# XLA compile into its wall time, so collect() drops the first record after
+# every session_start marker — falling back to dropping the last-seen one
+# for pre-marker logs — so resumed runs aggregate fairly)
 TELEMETRY_MEDIANS = ("images_per_sec", "step_ms")
 
 

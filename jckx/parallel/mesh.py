@@ -92,6 +92,51 @@ def spatial_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     return NamedSharding(mesh, P(None, axis, None, None))
 
 
+def put_global(arr, sharding: NamedSharding):
+    """Place a host-global array on a (possibly multi-process) mesh.
+
+    jckx's multi-host contract (SURVEY §2 comm backend; the reference's
+    vestigial ``gpu_rank``/``parallel`` hooks made real): every process
+    holds the SAME host-global value — identical dataset files, identical
+    seeded permutations, identical init keys — so each process materializes
+    only its addressable shards and the per-process pieces assemble into one
+    global ``jax.Array``. Single-process this is a plain ``device_put``
+    (identical behavior and cost to before); multi-process it is the feed
+    path that ``jax.device_put`` of a host array cannot provide (it would
+    need every shard addressable)."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
+def put_global_tree(tree, shardings):
+    """``put_global`` over a pytree. ``shardings`` is either one sharding
+    applied to every leaf or a matching pytree of shardings (e.g. the
+    ``tp_state_sharding`` tree). Single-process this is ONE ``device_put``
+    call over the whole tree (batched dispatch — per-leaf puts would cost a
+    ~0.4 s round-trip each through the remote TPU runtime)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    if isinstance(shardings, jax.sharding.Sharding):
+        return jax.tree_util.tree_map(lambda x: put_global(x, shardings), tree)
+    return jax.tree_util.tree_map(put_global, tree, shardings)
+
+
+def reshard(tree, sharding):
+    """Reshard device-resident (global) arrays to ``sharding``.
+
+    Single-process: ``jax.device_put`` (a no-op when already placed).
+    Multi-process: a jitted identity with ``out_shardings`` — every process
+    participates in the XLA resharding program (an ICI collective when data
+    actually moves), which is the supported way to move GLOBAL arrays whose
+    shards are not all process-addressable."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.jit(lambda t: t, out_shardings=sharding)(tree)
+
+
 def tp_state_sharding(state, mesh: Mesh, axis: str = MODEL_AXIS, min_dim: int = 128):
     """Tensor-parallel sharding tree for a GANTrainState (or any pytree of
     conv-net params + mirrored optimizer moments).

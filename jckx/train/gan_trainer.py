@@ -47,7 +47,7 @@ from jckx.logging.main_logger import MainLogger
 from jckx.logging.utils import time_to_str
 from jckx.models import cgan, dcgan
 from jckx.models.dcgan import GANGeometry, param_count, summary
-from jckx.parallel import make_mesh
+from jckx.parallel import make_mesh, put_global, put_global_tree, reshard
 from jckx.train.state import GANTrainState, make_optimizer
 from jckx.train.steps import make_cgan_train_step, make_dcgan_train_step
 from jckx.train.trainer import Trainer
@@ -74,6 +74,16 @@ class _BaseGANTrainer(Trainer):
         # combined data×model parallelism (the reference's analog is the
         # single-device pick, utils.py:4-8); default = all devices on 'data'
         self.mesh = mesh if mesh is not None else make_mesh(cfg.mesh_shape, cfg.mesh_axes)
+        # multi-host: every process runs this same trainer over the GLOBAL
+        # mesh; host-global values (dataset, permutations, init) are identical
+        # on all processes by construction, device placement goes through
+        # put_global (per-process addressable shards), and only the lead
+        # process writes files (checkpoints, grids, logs — the logger gates
+        # itself; metrics.jsonl and console both land on process 0 only)
+        self._lead = jax.process_index() == 0
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+
+        self._repl_sharding = NamedSharding(self.mesh, _P())
         n_data_shards = self.mesh.shape.get("data", 1)
         if cfg.batch_size % n_data_shards:
             raise ValueError(
@@ -112,8 +122,11 @@ class _BaseGANTrainer(Trainer):
                 f"{self._stream.workers} gather workers)"
             )
         else:
-            self.images_dev = jax.device_put(data_pre.images_u8)
-            self.labels_dev = jax.device_put(data_pre.labels_np.astype(np.int32))
+            # replicated across the (global) mesh — one transfer per local
+            # device's worth; multi-process each host uploads its own copies
+            self.images_dev = put_global(data_pre.images_u8, self._repl_sharding)
+            self.labels_dev = put_global(
+                data_pre.labels_np.astype(np.int32), self._repl_sharding)
             if cfg.num_worker:
                 self.logger.debug(
                     "data plane: HBM-resident — -w/--num_worker has no role "
@@ -166,8 +179,6 @@ class _BaseGANTrainer(Trainer):
         # copy), so the next superstep's buffer donation can't invalidate
         # it. Flushed at train end and before any restore.
         self.ckpt = BestMetricCheckpointer(self.save_path, async_fetch=True)
-        self._snapshot_fn = jax.jit(
-            lambda st: jax.tree_util.tree_map(jnp.copy, st))
         self.logger.debug(f"save path: {self.save_path}")
 
         self.bests = {"fid": 1e10, "is": 0.0, "intra_fid": 1e10}
@@ -213,25 +224,39 @@ class _BaseGANTrainer(Trainer):
 
         from jckx.parallel import MODEL_AXIS, tp_state_sharding
 
-        repl = NamedSharding(self.mesh, P())
+        repl = self._repl_sharding
         idx_sh = NamedSharding(self.mesh, P(None, "data"))
+        self._idx_sharding = idx_sh
 
         # 'model' axis role (cfg.model_axis_mode): TP shards params/moments on
         # output channels; spatial shards activation height (GSPMD halo
         # exchanges handle the convs). Without a model axis both are no-ops.
         self._state_sharding = repl
-        self._repl_sharding = repl
         spatial_spec = None
         if MODEL_AXIS in self.mesh.axis_names and self.mesh.shape[MODEL_AXIS] > 1:
             if self.cfg.model_axis_mode == "tp":
                 self._state_sharding = tp_state_sharding(
                     self.state, self.mesh, min_dim=self.cfg.tp_min_dim
                 )
-                self.state = jax.device_put(self.state, self._state_sharding)
             else:  # "spatial"
                 spatial_spec = NamedSharding(
                     self.mesh, P("data", MODEL_AXIS, None, None)
                 )
+        # place the state on the (global) mesh once — host leaves are
+        # identical on every process (same init keys / same checkpoint file),
+        # so multi-process placement is per-process addressable shards
+        self.state = put_global_tree(self.state, self._state_sharding)
+
+        # eval/checkpoint snapshot: one fused on-device copy, UN-DONATED.
+        # Multi-process the checkpoint writer (process 0) must be able to
+        # fetch every leaf to host, so the snapshot program also gathers to
+        # fully-replicated (an ICI all-gather when the state is TP-sharded;
+        # every process runs it, only the lead writes the file).
+        _copy = lambda st: jax.tree_util.tree_map(jnp.copy, st)  # noqa: E731
+        if jax.process_count() > 1:
+            self._snapshot_fn = jax.jit(_copy, out_shardings=repl)
+        else:
+            self._snapshot_fn = jax.jit(_copy)
 
         def _one_step(s, u8, lab):
             real = decode_batch(u8, size, cd)
@@ -377,7 +402,11 @@ class _BaseGANTrainer(Trainer):
         self.state, extra = restore_checkpoint(path, self.state)
         self.bests.update(extra.get("bests", {}))
         self._resumed_losses = extra.get("losses", [])
+        # restored leaves are host numpy (flax from_bytes) — int() is free;
+        # read BEFORE re-placing the state on the (global) mesh, the same
+        # placement _build_jits did for the initial state
         self._host_step = int(self.state.step)
+        self.state = put_global_tree(self.state, self._state_sharding)
         self.logger.warning(
             f"rolled back to {path} (step {self._host_step}) after divergence"
         )
@@ -406,7 +435,7 @@ class _BaseGANTrainer(Trainer):
               if self.cfg.ema_decay > 0 and self.state.ema_g is not None
               else self.state.params_g)
         if self._state_sharding is not self._repl_sharding:
-            pg = jax.device_put(pg, self._repl_sharding)
+            pg = reshard(pg, self._repl_sharding)
         return pg
 
     def _fixed_eval_inputs(self):
@@ -415,9 +444,18 @@ class _BaseGANTrainer(Trainer):
             # 10 z per class, class-major (cgan_trainer.py:144-153)
             z = jax.random.normal(key, (10 * self.num_classes, self.geo.z_dim))
             labels = jnp.repeat(jnp.arange(self.num_classes), 10)
-            return z, jax.nn.one_hot(labels, self.num_classes)
-        z = jax.random.normal(key, (self.cfg.sample_count, self.geo.z_dim))
-        return z, None
+            onehot = jax.nn.one_hot(labels, self.num_classes)
+        else:
+            z = jax.random.normal(key, (self.cfg.sample_count, self.geo.z_dim))
+            onehot = None
+        if jax.process_count() > 1:
+            # threefry is device-independent, so every process computed the
+            # same values locally; lift them onto the global mesh so the
+            # sampler and the mesh-parallel extraction see global arrays
+            z = put_global(np.asarray(z), self._repl_sharding)
+            if onehot is not None:
+                onehot = put_global(np.asarray(onehot), self._repl_sharding)
+        return z, onehot
 
     def _evaluate(self, iters: int, losses_d, losses_g):
         raise NotImplementedError
@@ -459,9 +497,12 @@ class _BaseGANTrainer(Trainer):
         losses_d = [l[0] for l in self._resumed_losses]
         losses_g = [l[1] for l in self._resumed_losses]
 
-        # real-image grid artifact (dcgan_trainer.py:144-148)
-        first = self.data_pre.images_u8[:64]
-        save_image_grid(os.path.join(self.save_path, "real_image.png"), first, ncol=8, padding=5)
+        # real-image grid artifact (dcgan_trainer.py:144-148); lead-only like
+        # every file write in a multi-process run
+        if self._lead:
+            first = self.data_pre.images_u8[:64]
+            save_image_grid(os.path.join(self.save_path, "real_image.png"),
+                            first, ncol=8, padding=5)
 
         start = time.time()
         self.logger.debug("train start")
@@ -469,8 +510,14 @@ class _BaseGANTrainer(Trainer):
         # on its first device launch; panel.collect() uses these markers to
         # drop the compile-inflated first telemetry record of EVERY session
         # (not just the file's first), so resumed runs aggregate fairly.
+        # Once per TRAINER INSTANCE: a second train() on the same trainer
+        # reuses this instance's jits, so its first launch is compile-free
+        # and must not cost the panel another dropped sample (ADVICE r3).
+        # A new trainer instance re-jits (fresh closures) → fresh marker.
         it = self._host_step
-        self.logger.scalars({"event": "session_start", "step": it})
+        if not getattr(self, "_session_marked", False):
+            self._session_marked = True
+            self.logger.scalars({"event": "session_start", "step": it})
         last_metrics = None
 
         # Resume: fast-forward to the checkpointed position. The epoch loop
@@ -546,10 +593,10 @@ class _BaseGANTrainer(Trainer):
 
                 def _upload(rows: np.ndarray, k: int):
                     slab, labs = self._stream.take(rows)
-                    slab = jax.device_put(
+                    slab = put_global(
                         slab.reshape((k, bs) + slab.shape[1:]), self._slab_sharding
                     )
-                    labs = jax.device_put(labs.reshape(k, bs), self._slab_sharding)
+                    labs = put_global(labs.reshape(k, bs), self._slab_sharding)
                     return slab, labs
 
             for epoch in range(start_epoch, cfg.epoch):
@@ -578,7 +625,11 @@ class _BaseGANTrainer(Trainer):
                         self.state, ms = self._superstep(self.state, slab, labs)
                         del slab, labs  # release this slab's HBM before the next swap
                     else:
-                        idx = jnp.asarray(order[done : done + k], jnp.int32)
+                        # every process computes the SAME order (same seeded
+                        # rng); each uploads only its addressable idx shards
+                        idx = put_global(
+                            np.ascontiguousarray(order[done : done + k], np.int32),
+                            self._idx_sharding)
                         self.state, ms = self._superstep(
                             self.state, self.images_dev, self.labels_dev, idx
                         )
@@ -653,12 +704,14 @@ class _BaseGANTrainer(Trainer):
                             f"SIGTERM received — saving latest.ckpt at step {it} "
                             f"and exiting (continue with --resume)"
                         )
-                        self.ckpt.save_latest(
-                            DeviceSnapshot(self._snapshot_fn(self.state)),
-                            {"bests": dict(self.bests),
-                             "losses": self._persist_losses(losses_d, losses_g),
-                             "serve_config": self._serve_config()},
-                        )
+                        snap = DeviceSnapshot(self._snapshot_fn(self.state))
+                        if self._lead:
+                            self.ckpt.save_latest(
+                                snap,
+                                {"bests": dict(self.bests),
+                                 "losses": self._persist_losses(losses_d, losses_g),
+                                 "serve_config": self._serve_config()},
+                            )
                         if not last_step_of_run:
                             break
                         # the signal landed during the run's FINAL launch:
@@ -706,7 +759,9 @@ class _BaseGANTrainer(Trainer):
         flush_writes()  # surface async checkpoint-write failures before exit
         end = time.time()
         self.logger.debug(f"train finish\ttime: {time_to_str(end - start)}")
-        save_loss_curve(os.path.join(self.save_path, "loss.png"), losses_d, losses_g)
+        if self._lead:
+            save_loss_curve(os.path.join(self.save_path, "loss.png"),
+                            losses_d, losses_g)
         return last_metrics
 
     # ---------------------------------------------------- checkpoint helper
@@ -724,10 +779,20 @@ class _BaseGANTrainer(Trainer):
         if n <= self._LOSS_PERSIST_CAP:
             return list(zip(losses_d, losses_g))
         stride = -(-n // self._LOSS_PERSIST_CAP)  # ceil div
-        return list(zip(losses_d[::stride], losses_g[::stride]))
+        out = list(zip(losses_d[::stride], losses_g[::stride]))
+        # the strided sample can drop the tail (n=12, stride 3 keeps
+        # 0,3,6,9) — always keep the final pair so a resume's plot/history
+        # ends at the actual last step
+        if (n - 1) % stride:
+            out.append((losses_d[-1], losses_g[-1]))
+        return out
 
     def _save_best(self, typ: str, iters: int, values, images_denorm,
                    state_snap=None):
+        if not self._lead:
+            # multi-process: best-tracking state (self.bests) is updated on
+            # every process identically by the caller; files come from one
+            return
         # snapshot bests: the writer json.dumps later; the live dict keeps
         # mutating and would stamp future bests onto this state's sidecar
         extra = {"bests": dict(self.bests), "iters": iters,
@@ -760,7 +825,9 @@ class DCGANTrainer(_BaseGANTrainer):
         self.logger.scalars({"step": iters, "fid": fid, "is": is_score,
                              **self._extra_metrics(feats)})
 
-        denorm = np.asarray(0.5 * fake.astype(jnp.float32) + 0.5, np.float32)
+        # denormalize host-side: the replicated fake grid fetches cleanly on
+        # every process, and host f32 math is bit-identical to the device op
+        denorm = 0.5 * np.asarray(fake, np.float32) + 0.5
         # ONE un-donated snapshot per eval; the writer fetches it to host
         # once and every save of this boundary shares that copy
         snap = DeviceSnapshot(self._snapshot_fn(self.state))
@@ -772,12 +839,13 @@ class DCGANTrainer(_BaseGANTrainer):
             self.bests["is"] = is_score
             self.logger.debug(f"{iters} highest is")
             self._save_best("is", iters, (is_score,), denorm, snap)
-        self.ckpt.save_latest(
-            snap,
-            {"bests": dict(self.bests),
-             "losses": self._persist_losses(losses_d, losses_g),
-             "serve_config": self._serve_config()},
-        )
+        if self._lead:
+            self.ckpt.save_latest(
+                snap,
+                {"bests": dict(self.bests),
+                 "losses": self._persist_losses(losses_d, losses_g),
+                 "serve_config": self._serve_config()},
+            )
 
 
 class CGANTrainer(_BaseGANTrainer):
@@ -809,8 +877,9 @@ class CGANTrainer(_BaseGANTrainer):
                              "intra_fid": intra,
                              **self._extra_metrics(feats)})
 
-        # one sample per class (cgan_trainer.py:243); single small host read
-        per_class = np.asarray(0.5 * fake[::10].astype(jnp.float32) + 0.5, np.float32)
+        # one sample per class (cgan_trainer.py:243); single small host read,
+        # denormalized host-side (replicated arrays fetch on every process)
+        per_class = 0.5 * np.asarray(fake[::10], np.float32) + 0.5
         names = [self.data_pre.idx_to_labels[i] for i in range(self.num_classes)]
         values = (is_score, fid, intra)
         # ONE un-donated snapshot per eval; the writer fetches it to host
@@ -829,16 +898,18 @@ class CGANTrainer(_BaseGANTrainer):
             self.logger.debug(f"{iters} highest is")
             self._save_best("is", iters, values, per_class, snap)
 
-        img_dir = os.path.join(self.save_path, "img")
-        from jckx.checkpoint.checkpoint import submit_write
+        if self._lead:
+            img_dir = os.path.join(self.save_path, "img")
+            from jckx.checkpoint.checkpoint import submit_write
 
-        _panel_path = os.path.join(img_dir, f"{iters}_fake_image.png")
-        _panel_imgs = per_class[: min(100, len(per_class))]
-        _panel_names = names[: min(100, len(names))]
-        submit_write(lambda: save_labeled_grid(_panel_path, _panel_imgs, _panel_names))
-        self.ckpt.save_latest(
-            snap,
-            {"bests": dict(self.bests),
-             "losses": self._persist_losses(losses_d, losses_g),
-             "serve_config": self._serve_config()},
-        )
+            _panel_path = os.path.join(img_dir, f"{iters}_fake_image.png")
+            _panel_imgs = per_class[: min(100, len(per_class))]
+            _panel_names = names[: min(100, len(names))]
+            submit_write(lambda: save_labeled_grid(_panel_path, _panel_imgs,
+                                                   _panel_names))
+            self.ckpt.save_latest(
+                snap,
+                {"bests": dict(self.bests),
+                 "losses": self._persist_losses(losses_d, losses_g),
+                 "serve_config": self._serve_config()},
+            )

@@ -109,7 +109,7 @@ def main(cfg: Config):
             f"-t/--test: no latest.ckpt under {cfg.save_path} "
             f"(dir contains: {have or 'nothing'})")
     os.makedirs(cfg.save_path, exist_ok=True)
-    if not cfg.test:
+    if not cfg.test and jax.process_index() == 0:
         # persist the RESOLVED config so --resume/-t can inherit it
         # (get_arg_parse._inherit_run_config): a resume that repeats only
         # --resume -pm <dir> gets the original lr/ema/dataset/geometry back

@@ -1,10 +1,22 @@
 """Child program for tests/test_multihost.py — one process of an N-process
 CPU bring-up (the lone-host / fail-fast variants run it with different env).
 
+Modes (argv[1], default "bringup"):
+- ``bringup``: jax.distributed.initialize + one cross-process psum.
+- ``step``:   ONE fused DCGAN train step jitted over the GLOBAL mesh with a
+  'data'-sharded batch — prints a sha256 digest of the updated params so the
+  parent can assert 2-process × 4-device ≡ 1-process × 8-device bit-parity.
+- ``train``:  a tiny 2-eval DCGANTrainer.train() over the global mesh
+  (resident idx feed, eval sampling, checkpoint cadence) — prints final
+  telemetry + params digest + bests for the same cross-process parity check.
+
+In step/train modes the distributed init only runs when cluster env is
+present, so the SAME script doubles as the single-process control run.
 Prints ONE JSON line describing what happened so the parent test can assert
 on it; exits non-zero on unexpected states.
 """
 
+import hashlib
 import json
 import os
 import sys
@@ -14,12 +26,209 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _digest(tree) -> str:
+    """sha256 over every leaf's float32 bytes in flatten order (leaves are
+    replicated global arrays — host-fetchable on every process)."""
+    import jax
+    import numpy as np
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(tree):
+        h.update(np.ascontiguousarray(np.asarray(leaf, np.float32)).tobytes())
+    return h.hexdigest()
+
+
+def _dump_params(tree) -> str:
+    """Lead process writes the flattened leaves to an .npz so the parent can
+    compare runs ELEMENTWISE across process topologies (where bitwise
+    equality is off the table: cross-process collectives reassociate float
+    sums at the last-ulp level). Returns the dump path."""
+    import jax
+    import numpy as np
+
+    path = os.path.join(os.environ["JCKX_CHILD_SAVE_ROOT"], "params_dump.npz")
+    if jax.process_index() == 0:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez(path, **{f"l{i:03d}": np.asarray(x, np.float32)
+                          for i, x in enumerate(jax.tree_util.tree_leaves(tree))})
+    return path
+
+
+class _StubMetrics:
+    """Deterministic fake metric engine (no InceptionV3 in the child)."""
+
+    intra_fid_divisor = 100.0
+
+    def __init__(self):
+        self.calls = 0
+
+    def inception_score(self, images=None, splits=10, logits=None):
+        self.calls += 1
+        return 1.0 + 0.1 * self.calls
+
+    def extract_features(self, images):
+        import numpy as np
+
+        return np.random.RandomState(0).randn(len(images), 8).astype(np.float32)
+
+    def fid(self, images_tanh=None, intra_fid=False, label=0, features=None):
+        return 100.0 / self.calls if self.calls else 100.0
+
+    def intra_fid(self, images_tanh=None, features=None):
+        return 100.0 / self.calls if self.calls else 100.0
+
+
+def _maybe_init():
+    """Distributed init for step/train: only when cluster env says so — the
+    same mode then serves as the single-process control run."""
+    from jckx.utils.device import cluster_env_present, init_multihost
+
+    if cluster_env_present():
+        ok, err = init_multihost()
+        if not ok:
+            raise RuntimeError(f"cluster env present but init failed: {err}")
+
+
+def mode_step() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from jckx.configs import Config
+    from jckx.data.pipeline import decode_batch
+    from jckx.enums import ModelEnum
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.parallel import put_global, put_global_tree
+    from jckx.rng import KeyChain, seed_everything
+    from jckx.train.state import GANTrainState, make_optimizer
+    from jckx.train.steps import make_dcgan_train_step
+
+    cfg = Config()
+    cfg.model = ModelEnum.DCGAN
+    cfg.batch_size = 16
+    cfg.image_size = 16
+    cfg.base_width = 8
+    cfg.compute_dtype = "float32"
+
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(7))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+    tx = make_optimizer(cfg)
+    state = GANTrainState(
+        params_g=pg, params_d=pd, opt_g=tx.init(pg), opt_d=tx.init(pd),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.fold_in(jax.random.PRNGKey(cfg.seed), 1), ema_g=None)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+
+    state = put_global_tree(state, repl)
+    # host-global batch, identical on every process (seeded), 'data'-sharded
+    u8 = np.random.RandomState(3).randint(
+        0, 256, (cfg.batch_size, 16, 16, 3), dtype=np.uint8)
+    batch = put_global(u8, batch_sh)
+
+    base = make_dcgan_train_step(cfg, geo)
+
+    def one(s, b):
+        return base(s, decode_batch(b, cfg.image_size, jnp.float32))
+
+    step = jax.jit(one, in_shardings=(repl, batch_sh),
+                   out_shardings=(repl, repl))
+    state, ms = step(state, batch)
+    return {
+        "outcome": "step",
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "digest": _digest((state.params_g, state.params_d)),
+        "dump": _dump_params((state.params_g, state.params_d)),
+        "loss_d": repr(float(np.asarray(ms["loss_d"]))),
+        "loss_g": repr(float(np.asarray(ms["loss_g"]))),
+    }
+
+
+def mode_train() -> dict:
+    import jax
+    import numpy as np
+
+    from jckx.configs import Config
+    from jckx.data.pipeline import DCGANDataPreprocessor
+    from jckx.enums import ModelEnum
+    from jckx.models import dcgan
+    from jckx.models.dcgan import GANGeometry
+    from jckx.rng import KeyChain, seed_everything
+    from jckx.train.gan_trainer import DCGANTrainer
+
+    save_root = os.environ["JCKX_CHILD_SAVE_ROOT"]
+    cfg = Config()
+    cfg.model = ModelEnum.DCGAN
+    cfg.dataset = "synthetic"
+    cfg.synthetic_size = 0  # tiny default; truncated below
+    cfg.batch_size = 16
+    cfg.epoch = 2
+    cfg.image_size = 16
+    cfg.base_width = 8
+    cfg.num_classes = 10
+    cfg.compute_dtype = "float32"
+    cfg.max_learning_rate = 2e-4
+    cfg.log_every = 4
+    cfg.eval_every = 4  # 2 epochs × 4 steps/epoch → evals at 1, 4, 8
+    cfg.log_file = 0
+    cfg.ema_decay = 0.999  # exercise the EMA branch cross-process too
+    cfg.data_dir = os.path.join(save_root, "data")
+    cfg.save_root = save_root
+    cfg.save_path = os.path.join(save_root, "dcgan", "run")
+    if os.environ.get("JCKX_CHILD_STREAM"):
+        # host-streaming data plane: the double-buffered slab gather+upload
+        # crosses the process boundary via put_global too
+        cfg.data_placement = "stream"
+
+    data_pre = DCGANDataPreprocessor(cfg)
+    data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps/epoch
+    data_pre.labels_np = data_pre.labels_np[:64]
+    data_pre.transform_data()
+    geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
+    keys = KeyChain(seed_everything(5))
+    pg = dcgan.generator_init(keys.next(), geo)
+    pd = dcgan.discriminator_init(keys.next(), geo)
+
+    tr = DCGANTrainer(cfg, pg, pd, data_pre, metrics=_StubMetrics())
+    last = tr.train()
+    return {
+        "outcome": "train",
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "digest": _digest((tr.state.params_g, tr.state.params_d,
+                           tr.state.ema_g)),
+        "dump": _dump_params((tr.state.params_g, tr.state.params_d,
+                              tr.state.ema_g)),
+        "last": {k: repr(float(v)) for k, v in sorted(last.items())},
+        "bests": {k: repr(float(v)) for k, v in sorted(tr.bests.items())},
+        "save_path": cfg.save_path,
+        "has_latest": os.path.exists(os.path.join(cfg.save_path, "latest.ckpt")),
+        "step": int(np.asarray(tr.state.step)),
+    }
+
+
 def main() -> int:
+    mode = sys.argv[1] if len(sys.argv) > 1 else "bringup"
+
     import jax
 
     from jckx.utils.device import honor_jax_platforms_env, init_multihost
 
     honor_jax_platforms_env()
+
+    if mode in ("step", "train"):
+        _maybe_init()
+        rec = mode_step() if mode == "step" else mode_train()
+        print(json.dumps(rec))
+        return 0
+
     try:
         ok, err = init_multihost()
     except Exception as e:  # noqa: BLE001 — the fail-fast branch under test

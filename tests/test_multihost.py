@@ -42,6 +42,42 @@ def _run(env, timeout=240):
                           capture_output=True, text=True, timeout=timeout)
 
 
+def _run_two_process(mode, tmp_path, devices_per_proc=4, timeout=600, **env):
+    """Launch 2 coordinated child processes in ``mode``; return their JSON
+    records (sorted by process_index) plus each process's private save root
+    (private on purpose: it proves the non-lead process writes NO files)."""
+    port = _free_port()
+    roots = [str(tmp_path / f"proc{i}") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CHILD, mode], cwd=REPO,
+            env=_child_env(devices_per_proc,
+                           JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                           JAX_NUM_PROCESSES=2, JAX_PROCESS_ID=i,
+                           JCKX_CHILD_SAVE_ROOT=roots[i], **env),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=timeout) for p in procs]
+    recs = []
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, f"child failed:\n{out}\n{err}"
+        recs.append(json.loads(out.strip().splitlines()[-1]))
+    recs.sort(key=lambda r: r["process_index"])
+    return recs, roots
+
+
+def _run_solo(mode, tmp_path, devices=8, timeout=600):
+    """The single-process 8-device control run of the same child mode."""
+    root = str(tmp_path / "solo")
+    r = subprocess.run(
+        [sys.executable, CHILD, mode], cwd=REPO,
+        env=_child_env(devices, JCKX_CHILD_SAVE_ROOT=root),
+        capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, f"solo child failed:\n{r.stdout}\n{r.stderr}"
+    return json.loads(r.stdout.strip().splitlines()[-1]), root
+
+
 def test_two_process_bringup_and_global_collective():
     """2 processes × 4 virtual CPU devices: jax.distributed.initialize via
     the coordinator, both agree on process_index/count, the GLOBAL 8-device
@@ -68,6 +104,93 @@ def test_two_process_bringup_and_global_collective():
         assert r["process_count"] == 2
         assert r["global_devices"] == 8 and r["local_devices"] == 4
         assert r["psum"] == float(sum(range(8)))  # crossed the process boundary
+
+
+def _assert_dumps_close(path_a, path_b, atol, rtol):
+    """Elementwise parity of two child params dumps. Bitwise equality holds
+    WITHIN a topology (asserted via sha256 digests); ACROSS topologies the
+    cross-process collective reassociates the batch all-reduce, shifting
+    sums at the last-ulp level (measured ~5e-7 on the step loss), so the
+    cross-topology contract is a tight numeric tolerance."""
+    import numpy as np
+
+    with np.load(path_a) as za, np.load(path_b) as zb:
+        assert sorted(za.files) == sorted(zb.files)
+        for k in za.files:
+            np.testing.assert_allclose(za[k], zb[k], atol=atol, rtol=rtol,
+                                       err_msg=f"leaf {k}")
+
+
+def test_two_process_fused_step_matches_single_process(tmp_path):
+    """ONE fused DCGAN train step over the global 8-device mesh: 2 processes
+    × 4 devices, batch 'data'-sharded across the process boundary. The two
+    processes must agree BIT-identically, and the result must match the
+    1-process × 8-device control elementwise (see _assert_dumps_close for
+    why cross-topology is tolerance, not bitwise). This is the train-step
+    seam that bring-up alone never crossed (VERDICT r3 weak #1)."""
+    recs, _ = _run_two_process("step", tmp_path)
+    solo, _ = _run_solo("step", tmp_path)
+    assert [r["process_count"] for r in recs] == [2, 2]
+    assert recs[0]["digest"] == recs[1]["digest"]  # processes agree bitwise
+    _assert_dumps_close(recs[0]["dump"], solo["dump"], atol=1e-6, rtol=1e-5)
+    for key in ("loss_d", "loss_g"):
+        assert recs[0][key] == recs[1][key]
+        import numpy as np
+
+        np.testing.assert_allclose(float(recs[0][key]), float(solo[key]),
+                                   rtol=1e-5)
+
+
+def test_two_process_trainer_train_matches_single_process(tmp_path):
+    """A tiny 2-epoch / 3-eval DCGANTrainer.train() ACROSS processes: the
+    resident idx feed (per-process addressable shards), EMA, eval sampling,
+    and checkpoint cadence all cross the process boundary. The two processes
+    must agree bitwise; telemetry + final params must match the
+    single-process control within collective-reassociation tolerance; and
+    only the lead process may write files."""
+    import numpy as np
+
+    recs, roots = _run_two_process("train", tmp_path)
+    solo, _ = _run_solo("train", tmp_path)
+
+    for r in (recs[0], recs[1], solo):
+        assert r["step"] == 8  # 2 epochs × 4 steps/epoch
+    assert recs[0]["digest"] == recs[1]["digest"]  # processes agree bitwise
+    assert recs[0]["last"] == recs[1]["last"]
+    assert recs[0]["bests"] == recs[1]["bests"]
+    # cross-topology: 8 steps of compounding, keep the tolerance honest
+    _assert_dumps_close(recs[0]["dump"], solo["dump"], atol=1e-5, rtol=1e-4)
+    for k, v in recs[0]["last"].items():
+        np.testing.assert_allclose(float(v), float(solo["last"][k]),
+                                   rtol=1e-3, atol=1e-5, err_msg=f"last[{k}]")
+    assert recs[0]["bests"] == solo["bests"]  # StubMetrics: device-independent
+
+    # lead-only writes: process 0 has the checkpoint, process 1's private
+    # save root contains no files at all (directories are fine)
+    assert recs[0]["has_latest"] and solo["has_latest"]
+    assert not recs[1]["has_latest"]
+    stray = [os.path.join(dp, f) for dp, _, fs in os.walk(roots[1]) for f in fs]
+    assert stray == [], f"non-lead process wrote files: {stray}"
+
+
+def test_two_process_streaming_trainer_matches_resident_solo(tmp_path):
+    """Same trainer run but on the HOST-STREAMING data plane across 2
+    processes: the double-buffered slab gather+upload goes through
+    put_global per process. Streaming is bit-identical to resident within a
+    topology (r3 contract), so the 2-process streaming run must match the
+    single-process RESIDENT control within collective-reassociation
+    tolerance — one test pins both planes' cross-process behavior."""
+    import numpy as np
+
+    recs, roots = _run_two_process("train", tmp_path, JCKX_CHILD_STREAM=1)
+    solo, _ = _run_solo("train", tmp_path)  # resident plane control
+    assert recs[0]["digest"] == recs[1]["digest"]
+    _assert_dumps_close(recs[0]["dump"], solo["dump"], atol=1e-5, rtol=1e-4)
+    for k, v in recs[0]["last"].items():
+        np.testing.assert_allclose(float(v), float(solo["last"][k]),
+                                   rtol=1e-3, atol=1e-5, err_msg=f"last[{k}]")
+    stray = [os.path.join(dp, f) for dp, _, fs in os.walk(roots[1]) for f in fs]
+    assert stray == [], f"non-lead process wrote files: {stray}"
 
 
 def test_multihost_lone_host_degrades():

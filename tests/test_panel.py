@@ -392,3 +392,51 @@ def test_panel_preemption_on_raw_sigterm_child(tmp_path, monkeypatch, capsys):
     assert launched == [1]
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert result["preempted"] is True and result["ok"] is False
+
+
+@pytest.mark.slow
+def test_panel_real_subprocess_smoke(tmp_path):
+    """The ACTUAL fork-main.py-per-seed path, un-monkeypatched (VERDICT r3
+    weak #6): 2 seeds × 1 epoch of a tiny npz dataset through REAL child
+    processes — env inheritance, exit-code plumbing, metrics collection —
+    then a rerun with a raised epoch budget that must auto-append --resume
+    (latest.ckpt exists) and have each child continue from its own
+    persisted config. Real (full-InceptionV3) metrics at miniature sizes."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    npz = str(tmp_path / "tiny.npz")
+    np.savez(npz, x=rng.randint(0, 256, (32, 16, 16, 3), dtype=np.uint8),
+             y=(np.arange(32) % 10).astype(np.int64))
+
+    base = ["--seeds", "11,22", "--model", "DCGAN",
+            "--save_root", str(tmp_path), "--panel_name", "smoke",
+            "--dataset", "npz", "--data_path", npz,
+            "-b", "16", "--image_size", "16", "--base_width", "8",
+            "--compute_dtype", "float32", "--eval_every", "2",
+            "--log_every", "2", "--sample_count", "16",
+            "--eval_batch_size", "8", "--data_dir", str(tmp_path / "data"),
+            "--log_file", "1"]  # metrics.jsonl is what collect() reads
+
+    rc = panel.main(base + ["-e", "1"])
+    assert rc == 0
+    with open(tmp_path / "dcgan" / "smoke" / "panel.json") as f:
+        verdict = json.load(f)
+    assert verdict["ok"] is True
+    assert set(verdict["per_seed"]) == {"11", "22"}
+    for seed, row in verdict["per_seed"].items():
+        assert row["exit_code"] == 0
+        assert row["evals"] >= 1 and "best_fid" in row and "best_is" in row
+        assert row["last_step"] == 2  # 32 rows / bs 16 × 1 epoch
+        assert os.path.exists(os.path.join(
+            str(tmp_path), "dcgan", "smoke", f"seed_{seed}", "latest.ckpt"))
+
+    # raised budget rerun: children must pick up --resume and continue
+    rc2 = panel.main(base + ["-e", "2"])
+    assert rc2 == 0
+    with open(tmp_path / "dcgan" / "smoke" / "panel.json") as f:
+        verdict2 = json.load(f)
+    assert verdict2["ok"] is True
+    for row in verdict2["per_seed"].values():
+        assert row["exit_code"] == 0
+        assert row["last_step"] == 4  # resumed 2 → trained to 4, not restarted
