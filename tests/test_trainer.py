@@ -796,3 +796,10 @@ def test_persist_losses_bounded():
     assert len(capped) <= 4
     assert capped[0] == (0, 10)  # stride keeps the curve's global shape
     assert all(d + 10 == g for d, g in capped)
+    assert capped[-1] == (9, 19)  # last index on the stride grid: no append
+    # off-grid tail (n=12, stride 3 keeps 0,3,6,9): the FINAL pair is always
+    # persisted so a resume's history ends at the actual last step (ADVICE r3)
+    d12, g12 = list(range(12)), list(range(12, 24))
+    tail = _BaseGANTrainer._persist_losses(host, d12, g12)
+    assert tail[-1] == (11, 23)
+    assert len(tail) <= 4 + 1  # at most one extra pair beyond the cap
