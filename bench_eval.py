@@ -142,6 +142,14 @@ def main(n_images: int = 50_000, batch: int = 2048, fast_stem: bool = False,
                   "published eval rate (1,280 img/s, inceptionnet.ipynb cell 14)",
         "value": round(fid_dt, 2),
         "unit": "seconds",
+        # the wall value times a HOST-array 50k fid() — upload-bound through
+        # this machine's TPU tunnel, whose transfer rate varies by session
+        # (observed 93-149 s for identical code). Cross-session comparisons
+        # should use detail.steady_state_feature_img_per_s_device_resident
+        # (the trainers' production eval path, compute-dominated).
+        "value_note": ("host-upload-path wall; session-variant tunnel "
+                       "transfer — compare steady_state detail across "
+                       "sessions, not this wall"),
         "vs_baseline": round(steady_img_s / ref_eval_img_s, 2),
         "detail": {
             "real_feature_cache_build_s": round(build_dt, 2),

@@ -159,34 +159,59 @@ def make_eval_fn(compute_dtype=jnp.bfloat16, image_size: int = 299):
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_logits_fn(logits_fn, bs: int):
+def _batched_logits_fn(logits_fn, bs: int, batched_layout: bool = False,
+                       out_sharding=None):
     """jit wrapper that fuses the batch slice into the forward dispatch.
-    Cached on (logits_fn, bs) so per-epoch evaluate() calls reuse one
-    compiled executable instead of re-tracing."""
-    @jax.jit
-    def at(params, dev, i):
-        batch = jax.lax.dynamic_slice_in_dim(dev, i * bs, bs, axis=0)
-        return logits_fn(params, batch)
+    Cached on its full signature so per-epoch evaluate() calls reuse one
+    compiled executable instead of re-tracing. ``batched_layout``: the
+    device set arrives (nb, bs, ...) with bs sharded on the mesh's 'data'
+    axis (eval_device_set(mesh=...)) — batch i is a leading-axis index that
+    never crosses the sharding. ``out_sharding``: replicate the (small)
+    logits so multi-process hosts can fetch them."""
+    jit_kw = {"out_shardings": out_sharding} if out_sharding is not None else {}
+    if batched_layout:
+        @functools.partial(jax.jit, **jit_kw)
+        def at(params, dev, i):
+            return logits_fn(params, jax.lax.dynamic_index_in_dim(
+                dev, i, axis=0, keepdims=False))
+    else:
+        @functools.partial(jax.jit, **jit_kw)
+        def at(params, dev, i):
+            batch = jax.lax.dynamic_slice_in_dim(dev, i * bs, bs, axis=0)
+            return logits_fn(params, batch)
 
     return at
 
 
-def evaluate(params, logits_fn, images_u8, labels, batch_size=256, device_images=None):
+def evaluate(params, logits_fn, images_u8, labels, batch_size=256,
+             device_images=None, mesh=None):
     """top-1 / top-5 / superclass accuracy + mean CE (notebook get_eval).
 
     ``device_images``: optional pre-padded device copy of ``images_u8`` (see
     eval_device_set) — callers evaluating every epoch pass it to avoid
-    re-uploading the eval split each time (~0.4 s/transfer on the tunnel)."""
+    re-uploading the eval split each time (~0.4 s/transfer on the tunnel).
+    ``mesh``: data-parallel eval over the fine-tune mesh — the set is laid
+    out (nb, bs, ...) with bs sharded on 'data' (multi-host: every process
+    holds the same host split and uploads only its addressable shards)."""
     n = len(labels)
     bs = min(batch_size, n)
-    nb = (n + bs - 1) // bs
     if device_images is None:
-        device_images = eval_device_set(images_u8, bs)
+        device_images = eval_device_set(images_u8, bs, mesh=mesh)
     dev = device_images
+    batched_layout = dev.ndim == np.asarray(images_u8).ndim + 1
+    if batched_layout:
+        nb, bs = int(dev.shape[0]), int(dev.shape[1])
+    else:
+        nb = (n + bs - 1) // bs
+    out_sh = None
+    if mesh is not None and jax.process_count() > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        out_sh = NamedSharding(mesh, P())
     # slice INSIDE the jit (index is a traced scalar): one dispatch per batch
     # instead of two — an eager dev[i*bs:...] costs its own ~0.4 s dispatch
     # on the tunnel, every batch, every epoch (same pattern as Metrics._fn_at)
-    at = _batched_logits_fn(logits_fn, bs)
+    at = _batched_logits_fn(logits_fn, bs, batched_layout, out_sh)
     outs = [at(params, dev, i) for i in range(nb)]
     logits = np.asarray(jnp.concatenate(outs), np.float32)[:n]
     top1 = (logits.argmax(-1) == labels).mean()
@@ -204,14 +229,32 @@ def evaluate(params, logits_fn, images_u8, labels, batch_size=256, device_images
     return dict(top1=float(top1), top5=float(top5), superclass=float(sup), loss=float(ce))
 
 
-def eval_device_set(images_u8, batch_size: int = 256):
-    """Pad the eval split to a batch multiple and upload it ONCE."""
+def eval_device_set(images_u8, batch_size: int = 256, mesh=None):
+    """Pad the eval split to a batch multiple and upload it ONCE.
+
+    ``mesh``: shard the eval batches data-parallel over the fine-tune mesh —
+    the set is laid out (nb, bs, ...) with bs rounded up to a shard multiple
+    and sharded P(None, 'data'); multi-host each process uploads only its
+    addressable shards (put_global)."""
     n = images_u8.shape[0]
     bs = min(batch_size, n)
+    if mesh is None:
+        pad = (bs - n % bs) % bs
+        imgs = (np.concatenate([images_u8, images_u8[-1:].repeat(pad, axis=0)])
+                if pad else images_u8)
+        return jax.device_put(jnp.asarray(imgs))
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from jckx.parallel import put_global
+
+    shards = int(mesh.shape.get("data", 1))
+    bs = ((bs + shards - 1) // shards) * shards
     pad = (bs - n % bs) % bs
     imgs = (np.concatenate([images_u8, images_u8[-1:].repeat(pad, axis=0)])
-            if pad else images_u8)
-    return jax.device_put(jnp.asarray(imgs))
+            if pad else np.asarray(images_u8))
+    nb = imgs.shape[0] // bs
+    return put_global(imgs.reshape(nb, bs, *imgs.shape[1:]),
+                      NamedSharding(mesh, P(None, "data")))
 
 
 def save_npz(path: str, params, async_write: bool = False) -> None:
@@ -291,7 +334,20 @@ def train(args):
         # file logging with no explicit run dir → log next to the checkpoints
         # (MainLogger defers attaching until save_path is non-empty)
         args.save_path = args.save_dir
+    # multi-host bring-up BEFORE any jax backend touch (the logger's rank
+    # gate calls jax.process_index(), which would initialize a solo backend
+    # and make a later distributed init fail) — same semantics as main.py
+    _mh_err = None
+    if getattr(args, "multihost", 0):
+        from jckx.utils.device import init_multihost
+
+        ok, _mh_err = init_multihost()
     logger = MainLogger(args)
+    if _mh_err is not None:
+        logger.warning(f"--multihost requested but not in a cluster: {_mh_err}")
+    # lead-only file writes (checkpoints/sidecars) in a multi-process run;
+    # the logger gates itself on the same predicate
+    lead = jax.process_index() == 0
     # synthetic_size: CIFAR proportions (train N, test N/5) so a 50k run
     # reproduces the reference data scale (inceptionnet.ipynb cell 14's
     # "391it" loop; drop-last batching makes it 390 full batches here,
@@ -333,10 +389,14 @@ def train(args):
         x, xt = x.repeat(3, axis=-1), xt.repeat(3, axis=-1)
 
     mesh = None
-    if getattr(args, "mesh_shape", ""):
+    if getattr(args, "mesh_shape", "") or jax.process_count() > 1:
+        # a multi-process run ALWAYS trains over the global mesh (default:
+        # all devices on 'data') — a solo local jit would train N divergent
+        # duplicate runs
         from jckx.parallel import make_mesh, parse_mesh_shape
 
-        mesh = make_mesh(parse_mesh_shape(args.mesh_shape), ("data",))
+        mesh = make_mesh(parse_mesh_shape(getattr(args, "mesh_shape", "")),
+                         ("data",))
         if args.batch_size % mesh.shape["data"]:
             raise ValueError(
                 f"batch_size {args.batch_size} not divisible by data axis "
@@ -364,20 +424,32 @@ def train(args):
     if cap:
         steps_per_epoch = min(steps_per_epoch, cap)
 
-    # one-time HBM upload of the raw dataset; per-step host work is an index
-    data_dev = jax.device_put(jnp.asarray(x))
-    labels_dev = jax.device_put(jnp.asarray(y.astype(np.int32)))
+    # one-time HBM upload of the raw dataset; per-step host work is an index.
+    # Over a mesh the set replicates explicitly (multi-host: per-process
+    # addressable shards via put_global — every host has the same files)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from jckx.parallel import put_global, put_global_tree
+
+        _repl = NamedSharding(mesh, P())
+        _idx_sh = NamedSharding(mesh, P(None, "data"))
+        data_dev = put_global(np.asarray(x), _repl)
+        labels_dev = put_global(np.asarray(y, np.int32), _repl)
+    else:
+        data_dev = jax.device_put(jnp.asarray(x))
+        labels_dev = jax.device_put(jnp.asarray(y.astype(np.int32)))
 
     xt_eval = xt[: args.eval_samples]
     yt_eval = yt[: args.eval_samples]
-    xt_dev = eval_device_set(xt_eval)  # one upload for all epochs
+    xt_dev = eval_device_set(xt_eval, mesh=mesh)  # one upload for all epochs
     # optional train-split eval each epoch (the notebook runs get_eval on
     # BOTH splits, cell 14; off by default — train loss/acc already stream
     # from the fused step and the extra fwd pass is pure cost)
     x_eval = y_eval = x_dev = None
     if getattr(args, "eval_train", 0):
         x_eval, y_eval = x[: args.eval_samples], y[: args.eval_samples]
-        x_dev = eval_device_set(x_eval)
+        x_dev = eval_device_set(x_eval, mesh=mesh)
 
     best_acc, best_loss, patience = 0.0, 1e10, 0
     epoch = -1  # sidecar-safe when the epoch budget is 0
@@ -404,10 +476,38 @@ def train(args):
             rng.permutation(len(y))
         logger.debug(f"resumed at epoch {start_epoch} "
                      f"(best top1 {best_acc:.4f}, best loss {best_loss:.4f})")
+    if mesh is not None:
+        # place params/opt on the (global) mesh once — covers fresh init AND
+        # the host-numpy leaves a resume just loaded; multi-process this is
+        # per-process addressable shards (identical values on every host)
+        params = put_global_tree(params, _repl)
+        opt_state = put_global_tree(opt_state, _repl)
+    multiproc = jax.process_count() > 1
+    if multiproc and sstep is not None:
+        # AOT-compile the superstep BEFORE any dispatch, then rendezvous:
+        # the first dispatch initializes the cross-process communicators,
+        # whose peer wait (~30 s) is far shorter than this program's compile
+        # on a slow host. The AOT compile also warms the persistent XLA
+        # cache, so the dispatch-path compile right after is a fast reload.
+        from jckx.utils.device import multihost_barrier
+
+        k0 = min(args.scan_steps, steps_per_epoch)
+        idx0 = put_global(np.zeros((k0, bs), np.int32), _idx_sh)
+        key0 = put_global(np.asarray(key), _repl)
+        sstep.lower(params, opt_state, data_dev, labels_dev, idx0,
+                    key0).compile()
+        multihost_barrier("jckx_finetune_compiled")
     start = time.time()
     for epoch in range(start_epoch, args.epoch):
         order = rng.permutation(len(y))[: steps_per_epoch * bs].reshape(steps_per_epoch, bs)
-        order_dev = jax.device_put(jnp.asarray(order.astype(np.int32)))  # ONE put/epoch
+        # ONE put/epoch; sharded on 'data' over the mesh. Multi-process the
+        # per-launch index windows are placed from host instead (each process
+        # uploads only its addressable shards of the SAME seeded permutation)
+        order_dev = None
+        if not multiproc:
+            order_dev = (put_global(order.astype(np.int32), _idx_sh)
+                         if mesh is not None
+                         else jax.device_put(jnp.asarray(order.astype(np.int32))))
         losses, accs = [], []
         if sstep is not None:
             K = args.scan_steps
@@ -415,9 +515,16 @@ def train(args):
             while done < steps_per_epoch:
                 k = min(K, steps_per_epoch - done)
                 key = jax.random.fold_in(key, done + 7)
+                if multiproc:
+                    idx_in = put_global(
+                        np.ascontiguousarray(order[done : done + k], np.int32),
+                        _idx_sh)
+                    key_in = put_global(np.asarray(key), _repl)
+                else:
+                    idx_in, key_in = order_dev[done : done + k], key
                 params, opt_state, ls, as_ = sstep(
                     params, opt_state, data_dev, labels_dev,
-                    order_dev[done : done + k], key,
+                    idx_in, key_in,
                 )
                 losses.append(jnp.mean(ls))
                 accs.append(jnp.mean(as_))
@@ -443,10 +550,12 @@ def train(args):
                 f"when resuming, or --nan_guard 0 to continue anyway")
             raise FloatingPointError(f"training diverged: loss={tr_loss} at epoch {epoch}")
 
-        ev = evaluate(params, logits_fn, xt_eval, yt_eval, device_images=xt_dev)
+        ev = evaluate(params, logits_fn, xt_eval, yt_eval, device_images=xt_dev,
+                      mesh=mesh)
         tr_ev = {}
         if x_dev is not None:
-            t = evaluate(params, logits_fn, x_eval, y_eval, device_images=x_dev)
+            t = evaluate(params, logits_fn, x_eval, y_eval, device_images=x_dev,
+                         mesh=mesh)
             tr_ev = {f"train_eval_{k}": v for k, v in t.items()}
             logger.debug(
                 f"Epoch: {epoch}  train-eval top1 {t['top1']:.4f} "
@@ -463,17 +572,21 @@ def train(args):
         improved = False
         if ev["top1"] > best_acc:
             best_acc = ev["top1"]; improved = True
-            save_npz(os.path.join(args.save_dir, "acc_bset.npz"), params,
-                     async_write=True)
+            if lead:
+                save_npz(os.path.join(args.save_dir, "acc_bset.npz"), params,
+                         async_write=True)
         if ev["loss"] < best_loss:
             best_loss = ev["loss"]; improved = True
-            save_npz(os.path.join(args.save_dir, "loss_bset.npz"), params,
+            if lead:
+                save_npz(os.path.join(args.save_dir, "loss_bset.npz"), params,
+                         async_write=True)
+        if lead:
+            save_npz(os.path.join(args.save_dir, "last_bset.npz"), params,
                      async_write=True)
-        save_npz(os.path.join(args.save_dir, "last_bset.npz"), params,
-                 async_write=True)
         patience = 0 if improved else patience + 1
-        _save_train_state(state_path, params, opt_state, epoch, best_acc,
-                          best_loss, patience, key)
+        if lead:
+            _save_train_state(state_path, params, opt_state, epoch, best_acc,
+                              best_loss, patience, key)
         if patience >= args.early_stop:
             logger.debug(f"early stopping at epoch {epoch} (patience {args.early_stop})")
             break
@@ -487,12 +600,14 @@ def train(args):
     # Metrics quality is only as good as the backbone that made it)
     import json
 
-    with open(os.path.join(args.save_dir, "summary.json"), "w") as f:
-        json.dump({"dataset": args.dataset, "synthetic_fallback": bool(synthetic),
-                   "epochs_run": epoch + 1, "epoch_budget": args.epoch,
-                   "batch_size": bs, "best_top1": best_acc,
-                   "best_loss": best_loss,
-                   "wall_s": round(time.time() - start, 1)}, f, indent=2)
+    if lead:
+        with open(os.path.join(args.save_dir, "summary.json"), "w") as f:
+            json.dump({"dataset": args.dataset,
+                       "synthetic_fallback": bool(synthetic),
+                       "epochs_run": epoch + 1, "epoch_budget": args.epoch,
+                       "batch_size": bs, "best_top1": best_acc,
+                       "best_loss": best_loss,
+                       "wall_s": round(time.time() - start, 1)}, f, indent=2)
     logger.debug(f"fine-tune finish\ttime: {time_to_str(time.time() - start)}  "
                  f"best top1 {best_acc:.4f} best loss {best_loss:.4f}")
     return best_acc, best_loss
@@ -527,6 +642,12 @@ def get_args(argv=None):
                    help="1 = also run the eval pass on the train split each epoch (notebook get_eval parity)")
     p.add_argument("--mesh_shape", type=str, default="",
                    help="data-parallel mesh, e.g. '8' — batch shards over chips, sync-BN via XLA collectives")
+    p.add_argument("--multihost", type=int, default=0,
+                   help="jax.distributed bring-up before training (pod runs; "
+                        "same degrade/fail-fast semantics as main.py). "
+                        "Multi-process runs always train over the GLOBAL "
+                        "mesh; checkpoints/sidecars are written by process "
+                        "0 only (use a shared --save_dir on pods)")
     p.add_argument("--image_size", type=int, default=299,
                    help="network input side (299 = notebook parity; ≥75; smaller for smoke runs)")
     p.add_argument("--max_steps_per_epoch", type=int, default=0,

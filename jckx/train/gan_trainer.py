@@ -567,6 +567,31 @@ class _BaseGANTrainer(Trainer):
         # fired after the loop exited) must not make a LATER train() on the
         # same trainer re-preempt after a single launch — the retry/continue
         # pattern is supported (test_second_train_call_on_same_trainer_continues)
+        # Multi-process: AOT-compile the superstep BEFORE the first dispatch,
+        # then rendezvous at a coordination-service barrier. The first
+        # dispatch initializes the cross-process communicators, whose peer
+        # wait (~30 s) can be far shorter than a big program's compile on a
+        # slow host — the fast process would time out waiting for one still
+        # compiling. The AOT compile also warms the persistent XLA cache.
+        if jax.process_count() > 1:
+            from jckx.utils.device import multihost_barrier
+
+            k0 = min(K, steps_per_epoch)
+            if self._streaming:
+                shape = (k0, bs) + self.data_pre.images_u8.shape[1:]
+                slab0 = put_global(np.zeros(shape, np.uint8),
+                                   self._slab_sharding)
+                labs0 = put_global(
+                    np.zeros((k0, bs), self.data_pre.labels_np.dtype),
+                    self._slab_sharding)
+                self._superstep.lower(self.state, slab0, labs0).compile()
+            else:
+                idx0 = put_global(np.zeros((k0, bs), np.int32),
+                                  self._idx_sharding)
+                self._superstep.lower(self.state, self.images_dev,
+                                      self.labels_dev, idx0).compile()
+            multihost_barrier("jckx_gan_superstep_compiled")
+
         self._preempt.clear()
         self.preempted = False
         prev_term = None

@@ -76,6 +76,26 @@ def init_multihost():
         return False, e
 
 
+def multihost_barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Rendezvous all processes at a COORDINATION-SERVICE barrier (plain
+    RPC — no device collective, so it works while executables are still
+    compiling). Used between AOT-compile and first dispatch: XLA's CPU Gloo
+    communicator init waits only ~30 s for peers, while a big program can
+    take minutes to compile on a slow host — the process that finishes
+    first would otherwise time out waiting for one still compiling.
+    No-op single-process or if the distributed client is unavailable."""
+    if jax.process_count() <= 1:
+        return
+    try:
+        from jax._src import distributed
+
+        client = getattr(distributed.global_state, "client", None)
+        if client is not None:
+            client.wait_at_barrier(name, timeout_ms)
+    except Exception:  # noqa: BLE001 — barrier is best-effort insurance
+        pass
+
+
 def honor_jax_platforms_env() -> None:
     """Re-assert JAX_PLATFORMS in-process.
 

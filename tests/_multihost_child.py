@@ -214,6 +214,68 @@ def mode_train() -> dict:
     }
 
 
+def mode_finetune() -> dict:
+    """InceptionV3 fine-tune across processes via its OWN --multihost flag
+    (bring-up inside inception_train.train, not _maybe_init): 2 epochs of
+    the tiny 75² synthetic protocol over the global 8-device mesh."""
+    import jax
+    import numpy as np
+
+    from jckx.metrics.inception_train import get_args, train
+
+    save_root = os.environ["JCKX_CHILD_SAVE_ROOT"]
+    args = get_args([
+        "--dataset", "synthetic", "--synthetic_size", "64",
+        # ONE training step at a tame lr: the ~1e-7 reassociation delta of
+        # the cross-process all-reduce amplifies CHAOTICALLY through a
+        # 100-BN-layer net over multiple SGD steps (measured: 8 steps at
+        # lr 5e-3 turned last-ulp drift into an 87% CE gap), so the
+        # cross-topology parity witness must be a short-horizon one —
+        # elementwise params after one step, not a multi-step CE scalar
+        "-b", "16", "-e", "1", "--max_steps_per_epoch", "1",
+        "--image_size", "75", "-mlr", "0.001",
+        "--mesh_shape", "8", "--multihost", "1",
+        "--data_dir", os.path.join(save_root, "data"),
+        "--save_dir", os.path.join(save_root, "iception_v3"),
+        "--log_file", "0",
+    ])
+    best_acc, best_loss = train(args)
+    # last_bset is written unconditionally (by the lead) every epoch — the
+    # right lead-gating witness regardless of whether the bests improved
+    ckpt = os.path.join(save_root, "iception_v3", "last_bset.npz")
+    # dump the (deterministic, seeded) INIT backbone too, so the parent can
+    # compare topologies by UPDATE-NORM ratio — the repo's established
+    # standard for this depth (tests/test_inception_train.py: cross-layout
+    # reduction reorder flips ReLU boundaries in the ~90-layer backward, so
+    # elementwise parity is unattainable; the shallow GANs ARE elementwise)
+    if jax.process_index() == 0 and os.path.exists(ckpt):
+        from jckx.metrics import inception_v3
+        from jckx.metrics.metrics import flatten_params
+
+        with np.load(ckpt) as z:
+            ncls = int(z["fc/w"].shape[1])
+        init_flat = flatten_params(inception_v3.init(args.seed,
+                                                     num_classes=ncls))
+        np.savez(os.path.join(save_root, "init_params.npz"), **init_flat)
+    digest = ""
+    if os.path.exists(ckpt):
+        h = hashlib.sha256()
+        with np.load(ckpt) as z:
+            for k in sorted(z.files):
+                h.update(np.ascontiguousarray(z[k]).tobytes())
+        digest = h.hexdigest()
+    return {
+        "outcome": "finetune",
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "best_acc": repr(float(best_acc)),
+        "best_loss": repr(float(best_loss)),
+        "has_ckpt": os.path.exists(ckpt),
+        "ckpt": ckpt,
+        "ckpt_digest": digest,
+    }
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "bringup"
 
@@ -223,6 +285,9 @@ def main() -> int:
 
     honor_jax_platforms_env()
 
+    if mode == "finetune":
+        print(json.dumps(mode_finetune()))
+        return 0
     if mode in ("step", "train"):
         _maybe_init()
         rec = mode_step() if mode == "step" else mode_train()
