@@ -410,8 +410,7 @@ class Metrics:
         else:
             nb_padded = nb
 
-        outs = []
-        for s in range(0, nb_padded, batches_per_slab):
+        def _make_slab(s):
             k = min(batches_per_slab, nb_padded - s)
             chunk = images[s * bs : (s + k) * bs].reshape(k, bs, *images.shape[1:])
             # one transfer (per device when sharded: each chip receives only
@@ -420,16 +419,27 @@ class Metrics:
             if self._batch_sharding is not None:
                 from jckx.parallel.mesh import put_global
 
-                slab = put_global(chunk, self._batch_sharding)
-            else:
-                slab = jax.device_put(chunk)
+                return put_global(chunk, self._batch_sharding), k
+            return jax.device_put(chunk), k
+
+        # double-buffered: device_put is async, so initiating slab s+1's
+        # host gather + transfer WHILE the device chews slab s hides the
+        # upload behind compute (same discipline as the trainer's streaming
+        # plane). The block on slab s's last batch then bounds residency at
+        # two ≤256 MB slabs + outputs — still nowhere near HBM.
+        outs = []
+        starts = list(range(0, nb_padded, batches_per_slab))
+        slab, k = _make_slab(starts[0])
+        for si in range(len(starts)):
             slab_outs = [fn_at(slab, i) for i in range(k)]
-            # bound device memory: async dispatch would otherwise enqueue
-            # every slab's upload before the first frees — block on the
-            # slab's last batch (one ~0.4 s sync per 256 MB slab)
-            if nb_padded > batches_per_slab:
+            nxt = (_make_slab(starts[si + 1])
+                   if si + 1 < len(starts) else None)
+            if len(starts) > 1:
                 jax.block_until_ready(slab_outs[-1])
             outs.extend(slab_outs)
+            del slab  # release before swapping in the prefetched one
+            if nxt is not None:
+                slab, k = nxt
         out = np.asarray(jnp.concatenate(outs), np.float32)
         return out.reshape(nb_padded * bs, -1)[: nb * bs][:n]
 

@@ -550,3 +550,32 @@ def test_extract_features_mesh_sharded_matches_single_device():
     np.testing.assert_allclose(f1, f8, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(f8, f8_dev, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(real1, real8, rtol=1e-5, atol=1e-6)
+
+
+def test_multi_slab_double_buffered_extraction_matches_single_slab(monkeypatch):
+    """Host-array sets above _SLAB_BYTES stream in ≤256 MB slabs with the
+    next slab's upload prefetched while the device chews the current one
+    (double-buffered, r4). Shrink the slab budget so a small set spans
+    several slabs — incl. a tail that the shared-executable padding rounds
+    up — and pin feature equality against the one-slab path."""
+    import tempfile
+
+    from jckx.metrics.metrics import Metrics
+
+    rng = np.random.RandomState(7)
+    real_u8 = rng.randint(0, 255, size=(8, 16, 16, 3), dtype=np.uint8)
+    labels = rng.randint(0, 100, size=(8,))
+    # 18 images / bs 4 → 5 padded batches; slab budget of 2 batches → 3
+    # slabs with a padded tail (nb=5 → nb_padded=6)
+    fake = rng.uniform(-1, 1, size=(18, 16, 16, 3)).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as td:
+        m = Metrics((real_u8, labels), batch_size=4,
+                    compute_dtype=jnp.float32, cache_dir=td, num_classes=100)
+        one_slab = m.extract_features(fake)
+        row = fake[:1].nbytes
+        monkeypatch.setattr(Metrics, "_SLAB_BYTES", row * 4 * 2)
+        multi_slab = m.extract_features(fake)
+
+    assert one_slab.shape == multi_slab.shape == (18, 100)
+    np.testing.assert_allclose(one_slab, multi_slab, rtol=1e-6, atol=1e-7)
