@@ -558,7 +558,11 @@ class _BaseGANTrainer(Trainer):
         # kill — for the duration of train() only. The handler just sets a
         # latch; the loop below checkpoints latest.ckpt at the next launch
         # boundary (state is consistent there: the scan has retired, telemetry
-        # is host-side) and returns. --resume then continues bit-identically,
+        # is host-side) and returns. Multi-host: the scheduler must deliver
+        # SIGTERM to EVERY worker (maintenance events do) — a worker
+        # signaled alone stops launching while its peers block at the next
+        # collective until the coordination-service heartbeat expires.
+        # --resume then continues bit-identically,
         # same as the kill-and-resume soak but without losing the steps since
         # the last eval. Handler installation is main-thread-only (signal
         # module restriction); library callers on worker threads keep their

@@ -164,8 +164,9 @@ def mode_train() -> dict:
     from jckx.train.gan_trainer import DCGANTrainer
 
     save_root = os.environ["JCKX_CHILD_SAVE_ROOT"]
+    conditional = bool(os.environ.get("JCKX_CHILD_CGAN"))
     cfg = Config()
-    cfg.model = ModelEnum.DCGAN
+    cfg.model = ModelEnum.CGAN if conditional else ModelEnum.DCGAN
     cfg.dataset = "synthetic"
     cfg.synthetic_size = 0  # tiny default; truncated below
     cfg.batch_size = 16
@@ -181,22 +182,38 @@ def mode_train() -> dict:
     cfg.ema_decay = 0.999  # exercise the EMA branch cross-process too
     cfg.data_dir = os.path.join(save_root, "data")
     cfg.save_root = save_root
-    cfg.save_path = os.path.join(save_root, "dcgan", "run")
+    cfg.save_path = os.path.join(save_root,
+                                 "cgan" if conditional else "dcgan", "run")
     if os.environ.get("JCKX_CHILD_STREAM"):
         # host-streaming data plane: the double-buffered slab gather+upload
         # crosses the process boundary via put_global too
         cfg.data_placement = "stream"
 
-    data_pre = DCGANDataPreprocessor(cfg)
-    data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps/epoch
-    data_pre.labels_np = data_pre.labels_np[:64]
-    data_pre.transform_data()
     geo = GANGeometry(z_dim=100, image_size=16, channels=3, base_width=8)
     keys = KeyChain(seed_everything(5))
-    pg = dcgan.generator_init(keys.next(), geo)
-    pd = dcgan.discriminator_init(keys.next(), geo)
+    if conditional:
+        # CGAN leg: one-hot label feed, conditional sampling, intra-FID
+        # bests, per-class panel writes — all crossing the process boundary
+        from jckx.data.pipeline import CGANDataPreprocessor
+        from jckx.models import cgan
+        from jckx.train.gan_trainer import CGANTrainer
 
-    tr = DCGANTrainer(cfg, pg, pd, data_pre, metrics=_StubMetrics())
+        data_pre = CGANDataPreprocessor(cfg)
+        data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps/epoch
+        data_pre.labels_np = data_pre.labels_np[:64]
+        data_pre.transform_data()
+        ncls = data_pre.num_classes
+        pg = cgan.cgenerator_init(keys.next(), geo, ncls)
+        pd = cgan.cdiscriminator_init(keys.next(), geo, ncls)
+        tr = CGANTrainer(cfg, pg, pd, data_pre, metrics=_StubMetrics())
+    else:
+        data_pre = DCGANDataPreprocessor(cfg)
+        data_pre.images_u8 = data_pre.images_u8[:64]  # 4 steps/epoch
+        data_pre.labels_np = data_pre.labels_np[:64]
+        data_pre.transform_data()
+        pg = dcgan.generator_init(keys.next(), geo)
+        pd = dcgan.discriminator_init(keys.next(), geo)
+        tr = DCGANTrainer(cfg, pg, pd, data_pre, metrics=_StubMetrics())
     last = tr.train()
     return {
         "outcome": "train",

@@ -67,12 +67,12 @@ def _run_two_process(mode, tmp_path, devices_per_proc=4, timeout=600, **env):
     return recs, roots
 
 
-def _run_solo(mode, tmp_path, devices=8, timeout=600):
+def _run_solo(mode, tmp_path, devices=8, timeout=600, env=()):
     """The single-process 8-device control run of the same child mode."""
     root = str(tmp_path / "solo")
     r = subprocess.run(
         [sys.executable, CHILD, mode], cwd=REPO,
-        env=_child_env(devices, JCKX_CHILD_SAVE_ROOT=root),
+        env=_child_env(devices, JCKX_CHILD_SAVE_ROOT=root, **dict(env)),
         capture_output=True, text=True, timeout=timeout)
     assert r.returncode == 0, f"solo child failed:\n{r.stdout}\n{r.stderr}"
     return json.loads(r.stdout.strip().splitlines()[-1]), root
@@ -169,6 +169,28 @@ def test_two_process_trainer_train_matches_single_process(tmp_path):
     # save root contains no files at all (directories are fine)
     assert recs[0]["has_latest"] and solo["has_latest"]
     assert not recs[1]["has_latest"]
+    stray = [os.path.join(dp, f) for dp, _, fs in os.walk(roots[1]) for f in fs]
+    assert stray == [], f"non-lead process wrote files: {stray}"
+
+
+def test_two_process_cgan_trainer_matches_single_process(tmp_path):
+    """The CONDITIONAL trainer across processes: one-hot label feed,
+    conditional eval sampling (class-major 10×K grid), intra-FID bests and
+    the per-class panel write all cross the process boundary. Same parity
+    contract as the DCGAN leg."""
+    import numpy as np
+
+    recs, roots = _run_two_process("train", tmp_path, JCKX_CHILD_CGAN=1)
+    solo, _ = _run_solo("train", tmp_path, env={"JCKX_CHILD_CGAN": "1"})
+    for r in (recs[0], recs[1], solo):
+        assert r["step"] == 8
+    assert recs[0]["digest"] == recs[1]["digest"]
+    assert recs[0]["bests"] == recs[1]["bests"] == solo["bests"]
+    _assert_dumps_close(recs[0]["dump"], solo["dump"], atol=1e-5, rtol=1e-4)
+    for k, v in recs[0]["last"].items():
+        np.testing.assert_allclose(float(v), float(solo["last"][k]),
+                                   rtol=1e-3, atol=1e-5, err_msg=f"last[{k}]")
+    assert recs[0]["has_latest"] and not recs[1]["has_latest"]
     stray = [os.path.join(dp, f) for dp, _, fs in os.walk(roots[1]) for f in fs]
     assert stray == [], f"non-lead process wrote files: {stray}"
 
