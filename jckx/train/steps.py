@@ -90,13 +90,24 @@ def _fused_prop_fake_side(D_in, vjp_gpath, fake_n, params_d, cfg):
     return bce_f, loss_g, jnp.mean(jax.nn.sigmoid(logits_f)), grads_d_fake, grads_g
 
 
-def make_dcgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
-    """Returns step(state, real_batch) -> (new_state, metrics). Jit-ready."""
+def make_dcgan_train_step(cfg: Config, geo: GANGeometry,
+                          fake_constraint: Callable = None) -> Callable:
+    """Returns step(state, real_batch) -> (new_state, metrics). Jit-ready.
+
+    ``fake_constraint``: optional identity-semantics hook applied to G's
+    image output (e.g. ``lax.with_sharding_constraint`` to the spatial
+    layout). Measured neutral for spatial mode (GSPMD already propagates
+    the REAL batch's sharding to the generated side — the A/B in
+    tools/profiling/spatial_halo_cost.py --constrain_fake shows an
+    identical op inventory); kept as the explicit-layout hook for custom
+    sharding experiments."""
     cd = _dtype(cfg)
     tx = make_optimizer(cfg)
     lam, f = cfg.lambda_gp, cfg.instance_noise
     remat = getattr(cfg, "remat", "none")
-    G = _maybe_remat(lambda p, z: dcgan.generator_apply(p, z, geo, cd), remat in ("g", "both"))
+    G0 = _maybe_remat(lambda p, z: dcgan.generator_apply(p, z, geo, cd), remat in ("g", "both"))
+    G = (G0 if fake_constraint is None
+         else (lambda p, z: fake_constraint(G0(p, z))))
     D = _maybe_remat(lambda p, x: dcgan.discriminator_apply(p, x, geo, cd), remat in ("d", "both"))
 
     if getattr(cfg, "fused_prop", 0):

@@ -53,7 +53,8 @@ def _shape_bytes(shape_str: str) -> int:
     return size * _DTYPE_BYTES[dt]
 
 
-def analyze(image_size: int, batch_size: int, n_devices: int, spatial_ways: int):
+def analyze(image_size: int, batch_size: int, n_devices: int,
+            spatial_ways: int, constrain_fake: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -84,9 +85,11 @@ def analyze(image_size: int, batch_size: int, n_devices: int, spatial_ways: int)
         opt_d=tx.init(params_d), step=jnp.zeros((), jnp.int32),
         rng=jax.random.PRNGKey(2), ema_g=None)
 
-    base = make_dcgan_train_step(cfg, geo)
     spatial_spec = NamedSharding(mesh, P("data", MODEL_AXIS, None, None))
     repl = NamedSharding(mesh, P())
+    fc = ((lambda x: jax.lax.with_sharding_constraint(x, spatial_spec))
+          if constrain_fake else None)
+    base = make_dcgan_train_step(cfg, geo, fake_constraint=fc)
 
     def step(s, u8):
         real = decode_batch(u8, image_size, jnp.bfloat16)
@@ -118,6 +121,7 @@ def analyze(image_size: int, batch_size: int, n_devices: int, spatial_ways: int)
     total_bytes = float(ca.get("bytes accessed", 0.0))
     report = {
         "geometry": f"{image_size}x{image_size} bs{batch_size}",
+        "constrain_fake": bool(constrain_fake),
         "mesh": {"data": n_devices // spatial_ways, "model": spatial_ways,
                  "mode": "spatial"},
         "step_flops": float(ca.get("flops", 0.0)),
@@ -139,11 +143,15 @@ def main():
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--devices", type=int, default=8)
     p.add_argument("--spatial_ways", type=int, default=2)
+    p.add_argument("--constrain_fake", type=int, default=0,
+                   help="1 = also pin G's output to the spatial layout "
+                        "(the trainer's setting)")
     a = p.parse_args()
     os.environ.setdefault(
         "XLA_FLAGS", f"--xla_force_host_platform_device_count={a.devices}")
     print(json.dumps(analyze(a.image_size, a.batch_size, a.devices,
-                             a.spatial_ways), indent=1))
+                             a.spatial_ways, bool(a.constrain_fake)),
+                     indent=1))
 
 
 if __name__ == "__main__":
