@@ -174,6 +174,28 @@ def run_checks(data_dir: str = "./data", probe_timeout_s: float = 60.0,
                           "synthetic_fallback": True,
                           "data_dir": os.path.abspath(data_dir)}
 
+    # multi-host posture ---------------------------------------------------
+    # what a --multihost launch would do HERE: join a cluster (env present),
+    # or degrade with a warning (lone host). Reported, never attempted —
+    # jax.distributed.initialize is one-shot per process.
+    try:
+        import jax as _jax
+
+        from jckx.utils.device import cluster_env_present
+
+        report["multihost"] = {
+            "cluster_env_present": cluster_env_present(),
+            "process_index": _jax.process_index(),
+            "process_count": _jax.process_count(),
+            "note": ("--multihost would JOIN this cluster (fail-fast if "
+                     "init fails)" if cluster_env_present() else
+                     "--multihost would degrade to single-host (no cluster "
+                     "env: coordinator address / JAX_NUM_PROCESSES / "
+                     "multi-worker TPU_WORKER_HOSTNAMES all absent)"),
+        }
+    except Exception as e:  # noqa: BLE001
+        report["multihost"] = {"error": f"{type(e).__name__}: {e}"}
+
     # metric backbone ------------------------------------------------------
     bdir = os.path.join(save_root, "iception_v3")  # (sic) reference dropin
     found = [f for f in ("loss_bset.npz", "loss_bset.pt")

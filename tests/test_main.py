@@ -104,6 +104,11 @@ def test_doctor_report(tmp_path, capsys):
     assert rep["datasets"]["synthetic_fallback"] is True
     assert rep["metric_backbone"]["found"] == []
     assert "inception_train" in rep["metric_backbone"]["note"]
+    # multi-host posture: this test box has no cluster env → a --multihost
+    # launch would degrade, and doctor says so without attempting init
+    assert rep["multihost"]["cluster_env_present"] is False
+    assert rep["multihost"]["process_count"] == 1
+    assert "degrade" in rep["multihost"]["note"]
 
 
 def test_doctor_boxed_timeout_flags_hard_exit():
