@@ -192,6 +192,9 @@ def run_checks(data_dir: str = "./data", probe_timeout_s: float = 60.0,
                      "--multihost would degrade to single-host (no cluster "
                      "env: coordinator address / JAX_NUM_PROCESSES / "
                      "multi-worker TPU_WORKER_HOSTNAMES all absent)"),
+            "runbook": "MIGRATION.md § Multi-host training runbook "
+                       "(per-process env, degrade/fail-fast matrix, "
+                       "compile barrier, lead-only writes)",
         }
     except Exception as e:  # noqa: BLE001
         report["multihost"] = {"error": f"{type(e).__name__}: {e}"}

@@ -491,9 +491,12 @@ def train(args):
         # cache, so the dispatch-path compile right after is a fast reload.
         from jckx.utils.device import multihost_barrier
 
+        # shapes-only placeholders: .lower() needs no materialized arrays,
+        # so skip the zero alloc + put_global upload (ADVICE r4)
         k0 = min(args.scan_steps, steps_per_epoch)
-        idx0 = put_global(np.zeros((k0, bs), np.int32), _idx_sh)
-        key0 = put_global(np.asarray(key), _repl)
+        idx0 = jax.ShapeDtypeStruct((k0, bs), np.int32, sharding=_idx_sh)
+        key0 = jax.ShapeDtypeStruct(np.asarray(key).shape,
+                                    np.asarray(key).dtype, sharding=_repl)
         sstep.lower(params, opt_state, data_dev, labels_dev, idx0,
                     key0).compile()
         multihost_barrier("jckx_finetune_compiled")

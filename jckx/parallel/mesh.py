@@ -15,6 +15,7 @@ the same code runs across hosts (mesh is built from ``jax.devices()``).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -124,6 +125,16 @@ def put_global_tree(tree, shardings):
     return jax.tree_util.tree_map(put_global, tree, shardings)
 
 
+@functools.lru_cache(maxsize=64)
+def _reshard_identity(sharding):
+    """One jitted identity PER sharding (jit's own cache then handles input
+    shapes). Building a fresh ``jax.jit`` per reshard() call re-traced the
+    identity on every invocation — and reshard sits on per-eval hot paths
+    (Metrics device-resident extraction, the trainer's TP param gather),
+    where a remote re-lower costs 10-300 s (ADVICE r4)."""
+    return jax.jit(lambda t: t, out_shardings=sharding)
+
+
 def reshard(tree, sharding):
     """Reshard device-resident (global) arrays to ``sharding``.
 
@@ -131,10 +142,11 @@ def reshard(tree, sharding):
     Multi-process: a jitted identity with ``out_shardings`` — every process
     participates in the XLA resharding program (an ICI collective when data
     actually moves), which is the supported way to move GLOBAL arrays whose
-    shards are not all process-addressable."""
+    shards are not all process-addressable. The jitted identity is cached
+    per sharding (module-level LRU) so repeated evals reuse one executable."""
     if jax.process_count() == 1:
         return jax.device_put(tree, sharding)
-    return jax.jit(lambda t: t, out_shardings=sharding)(tree)
+    return _reshard_identity(sharding)(tree)
 
 
 def tp_state_sharding(state, mesh: Mesh, axis: str = MODEL_AXIS, min_dim: int = 128):

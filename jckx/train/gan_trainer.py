@@ -580,18 +580,23 @@ class _BaseGANTrainer(Trainer):
         if jax.process_count() > 1:
             from jckx.utils.device import multihost_barrier
 
+            # .lower() only needs SHAPES: ShapeDtypeStruct placeholders with
+            # the real shardings, not materialized zero arrays — a real slab
+            # would cost a (k0, bs, H, W, C) host alloc + put_global upload
+            # (tens-to-hundreds of MB at ~0.4 s/transfer, transiently doubling
+            # slab residency) just to compile (ADVICE r4).
             k0 = min(K, steps_per_epoch)
             if self._streaming:
                 shape = (k0, bs) + self.data_pre.images_u8.shape[1:]
-                slab0 = put_global(np.zeros(shape, np.uint8),
-                                   self._slab_sharding)
-                labs0 = put_global(
-                    np.zeros((k0, bs), self.data_pre.labels_np.dtype),
-                    self._slab_sharding)
+                slab0 = jax.ShapeDtypeStruct(shape, np.uint8,
+                                             sharding=self._slab_sharding)
+                labs0 = jax.ShapeDtypeStruct(
+                    (k0, bs), self.data_pre.labels_np.dtype,
+                    sharding=self._slab_sharding)
                 self._superstep.lower(self.state, slab0, labs0).compile()
             else:
-                idx0 = put_global(np.zeros((k0, bs), np.int32),
-                                  self._idx_sharding)
+                idx0 = jax.ShapeDtypeStruct((k0, bs), np.int32,
+                                            sharding=self._idx_sharding)
                 self._superstep.lower(self.state, self.images_dev,
                                       self.labels_dev, idx0).compile()
             multihost_barrier("jckx_gan_superstep_compiled")

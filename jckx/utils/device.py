@@ -83,7 +83,12 @@ def multihost_barrier(name: str, timeout_ms: int = 600_000) -> None:
     communicator init waits only ~30 s for peers, while a big program can
     take minutes to compile on a slow host — the process that finishes
     first would otherwise time out waiting for one still compiling.
-    No-op single-process or if the distributed client is unavailable."""
+    No-op single-process or if the distributed client is unavailable.
+    Best-effort, but never SILENT (ADVICE r4): a swallowed barrier timeout
+    means a peer died during compile and the survivor would otherwise fail
+    minutes later with an opaque communicator error — so every failure
+    (including a jax._src.distributed API break on upgrade) logs a warning
+    naming the barrier before proceeding."""
     if jax.process_count() <= 1:
         return
     try:
@@ -92,8 +97,13 @@ def multihost_barrier(name: str, timeout_ms: int = 600_000) -> None:
         client = getattr(distributed.global_state, "client", None)
         if client is not None:
             client.wait_at_barrier(name, timeout_ms)
-    except Exception:  # noqa: BLE001 — barrier is best-effort insurance
-        pass
+    except Exception as e:  # noqa: BLE001 — barrier is best-effort insurance
+        from jckx.logging.main_logger import MainLogger
+
+        MainLogger().warning(
+            f"multihost barrier {name!r} failed ({type(e).__name__}: {e}) — "
+            "proceeding, but if a peer died during compile the next "
+            "collective will fail; check peer logs")
 
 
 def honor_jax_platforms_env() -> None:

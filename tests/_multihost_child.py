@@ -231,6 +231,62 @@ def mode_train() -> dict:
     }
 
 
+def mode_eval() -> dict:
+    """REAL-Inception Metrics across the process boundary (VERDICT r4 weak
+    #1): construct a real ``Metrics`` (full InceptionV3 backbone — the repo's
+    fine-tuned loss_bset.npz, loaded identically on every process) on the
+    GLOBAL mesh and run the reference eval-loop triple (IS + FID + intra-FID,
+    /root/reference/metrics.py:80-141) plus the device-resident extraction
+    path. This executes the multi-process branches of metrics.py for the
+    first time outside a stub: backbone put_global_tree + replicated feature
+    out-sharding (ctor), the per-process slab upload in _batched, and the
+    reshard in _batched_device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from jckx.metrics.metrics import Metrics
+    from jckx.parallel import put_global
+    from jckx.parallel.mesh import replicated_sharding
+
+    save_root = os.environ["JCKX_CHILD_SAVE_ROOT"]
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    rng = np.random.RandomState(11)
+    real_u8 = rng.randint(0, 256, (16, 16, 16, 3), dtype=np.uint8)
+    labels = rng.randint(0, 100, (16,))
+    m = Metrics((real_u8, labels), batch_size=8, compute_dtype=jnp.float32,
+                cache_dir=os.path.join(save_root, "cache"), num_classes=10,
+                mesh=mesh)
+
+    # class-major 10×K fake grid, the trainer's eval shape; extract ONCE and
+    # feed all three metrics from the shared features (trainer discipline)
+    fake = rng.uniform(-1, 1, (100, 32, 32, 3)).astype(np.float32)
+    feats = m.extract_features(fake)
+    rec = {
+        "outcome": "eval",
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "multiprocess_branch": bool(m._multiprocess
+                                    and m._out_sharding is not None),
+        "is": repr(m.inception_score(logits=feats)),
+        "fid": repr(m.fid(features=feats)),
+        "intra_fid": repr(m.intra_fid(features=feats)),
+        "feat_digest": hashlib.sha256(
+            np.ascontiguousarray(feats, np.float32).tobytes()).hexdigest(),
+    }
+    # device-resident extraction: a GLOBAL device array (what the trainer's
+    # eval sampler hands over) through _batched_device → reshard
+    fake_dev = put_global(fake[:16], replicated_sharding(mesh))
+    feats_dev = m.extract_features(fake_dev)
+    rec["dev_matches_host"] = bool(
+        np.allclose(feats_dev, feats[:16], rtol=1e-5, atol=1e-6))
+    cache_dir = os.path.join(save_root, "cache")
+    rec["cache_files"] = sorted(os.listdir(cache_dir)) if os.path.isdir(
+        cache_dir) else []
+    return rec
+
+
 def mode_finetune() -> dict:
     """InceptionV3 fine-tune across processes via its OWN --multihost flag
     (bring-up inside inception_train.train, not _maybe_init): 2 epochs of
@@ -305,9 +361,10 @@ def main() -> int:
     if mode == "finetune":
         print(json.dumps(mode_finetune()))
         return 0
-    if mode in ("step", "train"):
+    if mode in ("step", "train", "eval"):
         _maybe_init()
-        rec = mode_step() if mode == "step" else mode_train()
+        rec = {"step": mode_step, "train": mode_train,
+               "eval": mode_eval}[mode]()
         print(json.dumps(rec))
         return 0
 

@@ -215,6 +215,42 @@ def test_two_process_streaming_trainer_matches_resident_solo(tmp_path):
     assert stray == [], f"non-lead process wrote files: {stray}"
 
 
+def test_two_process_real_inception_metrics_match_single_process(tmp_path):
+    """The REAL Metrics engine (full InceptionV3 backbone, no stub) across 2
+    processes — the reference eval-loop triple IS/FID/intra-FID
+    (/root/reference/metrics.py:80-141) computed over the global mesh. This
+    executes the multi-process branches the trainer legs stub out
+    (metrics.py: backbone put_global_tree + replicated feature out-sharding,
+    per-process slab upload, device-resident reshard): the two processes
+    must agree bitwise, match the 1-process × 8-device control (extraction
+    is per-sample data-parallel — no cross-process reduction — so the
+    contract is a tight tolerance), and only the lead process may write the
+    real-feature cache."""
+    import numpy as np
+
+    recs, roots = _run_two_process("eval", tmp_path, timeout=900)
+    solo, _ = _run_solo("eval", tmp_path, timeout=900)
+
+    assert [r["process_count"] for r in recs] == [2, 2]
+    assert all(r["multiprocess_branch"] for r in recs)
+    assert not solo["multiprocess_branch"]
+    # the two processes run ONE SPMD program → bitwise agreement
+    assert recs[0]["feat_digest"] == recs[1]["feat_digest"]
+    for k in ("is", "fid", "intra_fid"):
+        assert recs[0][k] == recs[1][k]
+        np.testing.assert_allclose(float(eval(recs[0][k])),
+                                   float(eval(solo[k])),
+                                   rtol=1e-4, atol=1e-5, err_msg=k)
+    # the global-device-array extraction path agrees with the host path
+    assert all(r["dev_matches_host"] for r in recs + [solo])
+    # lead-only real-feature cache write: process 0 (and solo) produced the
+    # keyed .npz, process 1's private cache dir holds no files at all
+    assert any(f.startswith("metric_data_jckx_") for f in recs[0]["cache_files"])
+    assert recs[1]["cache_files"] == []
+    stray = [os.path.join(dp, f) for dp, _, fs in os.walk(roots[1]) for f in fs]
+    assert stray == [], f"non-lead process wrote files: {stray}"
+
+
 def test_two_process_inception_finetune_matches_single_process(tmp_path):
     """The metric-backbone fine-tune trainer ALSO trains across processes
     (its own --multihost flag): one sync-BN SGD step + sharded eval of the
