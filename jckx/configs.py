@@ -110,6 +110,12 @@ class Config:
     # leaves smaller than this stay replicated under TP (z-projection,
     # 3-channel output conv, scalars); lower it only for toy geometries
     tp_min_dim: int = 128
+    # spatial mode only: constrain G/D grads replicated after jax.grad so
+    # XLA all-reduces bf16 grads instead of all-gathering the f32 sharded
+    # Adam outputs (r5 real-v5e AOT A/B: −40% cross-shard bytes/step at
+    # 128²; identity semantics — a GSPMD layout hint, not an algorithm
+    # change). 0 restores XLA's own strategy.
+    spatial_replicate_grads: int = 1
     # data plane: "hbm" keeps the uint8 dataset device-resident (CIFAR-scale;
     # zero host work per step), "stream" gathers per-superstep slabs on host
     # (num_worker C++ gather threads) and uploads one transfer per launch,
@@ -363,6 +369,11 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
                         choices=["tp", "spatial"],
                         help="what the 'model' mesh axis shards: conv output channels (tp) or activation height (spatial)")
     parser.add_argument("--tp_min_dim", type=int, default=d.tp_min_dim)
+    parser.add_argument("--spatial_replicate_grads", type=int,
+                        default=d.spatial_replicate_grads,
+                        help="spatial mode: 1 pins grads replicated (kills "
+                             "XLA's f32 sharded-Adam all-gathers, -40% "
+                             "cross-shard bytes at 128²); 0 = XLA's choice")
     parser.add_argument("--data_placement", type=str, default=d.data_placement,
                         choices=["auto", "hbm", "stream"])
     parser.add_argument("--hbm_data_budget", type=int, default=d.hbm_data_budget)

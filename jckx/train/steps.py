@@ -91,7 +91,8 @@ def _fused_prop_fake_side(D_in, vjp_gpath, fake_n, params_d, cfg):
 
 
 def make_dcgan_train_step(cfg: Config, geo: GANGeometry,
-                          fake_constraint: Callable = None) -> Callable:
+                          fake_constraint: Callable = None,
+                          grad_constraint: Callable = None) -> Callable:
     """Returns step(state, real_batch) -> (new_state, metrics). Jit-ready.
 
     ``fake_constraint``: optional identity-semantics hook applied to G's
@@ -100,7 +101,17 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry,
     the REAL batch's sharding to the generated side — the A/B in
     tools/profiling/spatial_halo_cost.py --constrain_fake shows an
     identical op inventory); kept as the explicit-layout hook for custom
-    sharding experiments."""
+    sharding experiments.
+
+    ``grad_constraint``: optional identity-semantics hook applied to the
+    G/D gradient pytrees right after ``jax.grad`` (e.g. constrain every
+    leaf replicated). Motivation (r5, real-TPU AOT analysis): under
+    spatial sharding XLA lets the filter-grad convs produce kernel-
+    H-sharded gradients and then runs a sharded f32 Adam update whose
+    params+moments all-gather back to replicated — 3 f32 gathers per big
+    kernel per step where one bf16 grad all-reduce would do; pinning the
+    grads replicated forces the cheap reduction (A/B via
+    tools/profiling/spatial_halo_cost.py --replicate_grads)."""
     cd = _dtype(cfg)
     tx = make_optimizer(cfg)
     lam, f = cfg.lambda_gp, cfg.instance_noise
@@ -140,6 +151,8 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry,
                 lambda pd, x: D(pd, x), vjp_gpath,
                 jax.lax.stop_gradient(fake_n), state.params_d, cfg)
             grads_d = jax.tree_util.tree_map(jnp.add, grads_d_rg, grads_d_fake)
+            if grad_constraint is not None:
+                grads_d, grads_g = grad_constraint(grads_d), grad_constraint(grads_g)
 
             upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
             params_d = optax.apply_updates(state.params_d, upd_d)
@@ -198,6 +211,8 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry,
             return loss_for_grad, aux
 
         grads_d, aux = jax.grad(d_loss_fn, has_aux=True)(state.params_d)
+        if grad_constraint is not None:
+            grads_d = grad_constraint(grads_d)
         upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, upd_d)
 
@@ -209,6 +224,8 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry,
             return bce_from_logits(logits, cfg.label_real), jnp.mean(jax.nn.sigmoid(logits))
 
         (loss_g, d_gz2), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_g)
+        if grad_constraint is not None:
+            grads_g = grad_constraint(grads_g)
         upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, upd_g)
 
@@ -235,8 +252,10 @@ def make_dcgan_train_step(cfg: Config, geo: GANGeometry,
     return step
 
 
-def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
-    """Conditional variant: step(state, real_batch, labels_onehot)."""
+def make_cgan_train_step(cfg: Config, geo: GANGeometry,
+                         grad_constraint: Callable = None) -> Callable:
+    """Conditional variant: step(state, real_batch, labels_onehot).
+    ``grad_constraint``: same hook as make_dcgan_train_step."""
     cd = _dtype(cfg)
     tx = make_optimizer(cfg)
     lam, f = cfg.lambda_gp, cfg.instance_noise
@@ -284,6 +303,8 @@ def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
                 lambda pd, x: D(pd, x, labels, k_df), vjp_gpath,
                 jax.lax.stop_gradient(fake_n), state.params_d, cfg)
             grads_d = jax.tree_util.tree_map(jnp.add, grads_d_rg, grads_d_fake)
+            if grad_constraint is not None:
+                grads_d, grads_g = grad_constraint(grads_d), grad_constraint(grads_g)
 
             upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
             params_d = optax.apply_updates(state.params_d, upd_d)
@@ -342,6 +363,8 @@ def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
             return loss_for_grad, aux
 
         grads_d, aux = jax.grad(d_loss_fn, has_aux=True)(state.params_d)
+        if grad_constraint is not None:
+            grads_d = grad_constraint(grads_d)
         upd_d, opt_d = tx.update(grads_d, state.opt_d, state.params_d)
         params_d = optax.apply_updates(state.params_d, upd_d)
 
@@ -352,6 +375,8 @@ def make_cgan_train_step(cfg: Config, geo: GANGeometry) -> Callable:
             return bce_from_logits(logits, cfg.label_real), jnp.mean(jax.nn.sigmoid(logits))
 
         (loss_g, d_gz2), grads_g = jax.value_and_grad(g_loss_fn, has_aux=True)(state.params_g)
+        if grad_constraint is not None:
+            grads_g = grad_constraint(grads_g)
         upd_g, opt_g = tx.update(grads_g, state.opt_g, state.params_g)
         params_g = optax.apply_updates(state.params_g, upd_g)
 

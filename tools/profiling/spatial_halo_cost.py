@@ -1,24 +1,40 @@
-"""Spatial-partitioning halo-exchange cost analysis (no multi-chip needed).
+"""Spatial-partitioning cross-shard traffic analysis (no multi-chip needed).
 
 The trainer's ``--model_axis_mode spatial`` shards activation HEIGHT over
-the mesh's ``model`` axis; GSPMD inserts halo exchanges (collective-permute
-of the conv boundary rows) between the shards. With one chip attached this
-machine cannot TIME the exchanges — but XLA's compiled program for the
-virtual mesh states exactly what they are: this tool compiles the REAL
-fused DCGAN step spatially sharded on an N-way virtual CPU mesh, walks the
-optimized HLO, and reports every cross-shard communication op with its
-payload bytes, next to the step's total HBM byte budget and the v5e ICI
-bandwidth — i.e. whether halo traffic could ever bind on real hardware.
+the mesh's ``model`` axis; GSPMD inserts the cross-shard communication
+(halo collective-permutes, filter-grad reductions, layer-boundary
+gathers). With one chip attached this machine cannot TIME the exchanges —
+but XLA's compiled program states exactly what they are: this tool
+compiles the REAL fused DCGAN step spatially sharded on an 8-way mesh,
+walks the optimized HLO, and reports every cross-shard communication op
+with its payload bytes, next to the step's total HBM byte budget and the
+v5e ICI bandwidth — i.e. whether cross-shard traffic could ever bind on
+real hardware.
+
+Two lowering paths:
+
+- ``--tpu_topology v5e:2x4`` (DEFAULT): AOT-compiles against a detached
+  TPU topology descriptor (``jax.experimental.topologies``) — the
+  resulting module is the REAL v5e SPMD program, bf16 convs and all. This
+  is the ground truth: no chips needed, just the TPU compiler.
+- ``--tpu_topology ""``: the r4 virtual-CPU-mesh path. KNOWN ARTIFACT
+  (r5 finding): the CPU backend legalizes every bf16 convolution to f32
+  (converts hoisted above the collectives), so the CPU module shows f32
+  activation all-gathers at every D scale that DO NOT EXIST in the TPU
+  program — the TPU module gathers bf16, only at the smallest spatial
+  scale, and syncs filter grads by all-reduce instead. r4's "inherent
+  f32 all-gathers" conclusion came from this artifact; keep the CPU path
+  only for comparing partitioner behavior across backends.
 
 Methodology note: shapes in the optimized HLO are PER-PARTITION (SPMD), so
 payload bytes are per-chip per-op; "bytes_total" multiplies by op count
 only (each chip sends/receives its own boundary rows concurrently over
-ICI). CPU-backend HLO uses the same SPMD partitioner as TPU — the op
-inventory is the design's, the backend only changes the leaf kernels.
+ICI).
 
-Usage (repo root, no TPU required):
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python tools/profiling/spatial_halo_cost.py [--image_size 128]
+Usage (repo root, no TPU attached — the topology path needs only the
+compiler):
+    python tools/profiling/spatial_halo_cost.py [--image_size 128]
+    python tools/profiling/spatial_halo_cost.py --image_size 256 --batch_size 32
 """
 
 import argparse
@@ -53,83 +69,165 @@ def _shape_bytes(shape_str: str) -> int:
     return size * _DTYPE_BYTES[dt]
 
 
-def analyze(image_size: int, batch_size: int, n_devices: int,
-            spatial_ways: int, constrain_fake: bool = False):
+def _comm_inventory(hlo: str) -> dict:
+    """op → {count, bytes_total, by_dtype} over the optimized SPMD module.
+    Tuple shapes (e.g. fused all-reduces) sum their element payloads.
+    TPU modules spell collectives ASYNC (`all-gather-start` + `-done`);
+    counting the `-start` (whose result shape is the payload, sometimes
+    inside a (s32[],s32[],…) context tuple) and ignoring the `-done` keeps
+    one entry per transfer on both backends."""
+    comm = {}
+    for line in hlo.splitlines():
+        m = re.search(r"\s(collective-permute|all-reduce|all-gather"
+                      r"|reduce-scatter|all-to-all)(-start|-done)?\(", line)
+        if not m or "=" not in line[:m.start()]:
+            continue
+        op = m.group(1)
+        if m.group(2) == "-done":  # count each async transfer once, at -start
+            continue
+        kind = comm.setdefault(op, {"count": 0, "bytes_total": 0,
+                                    "by_dtype": {}})
+        kind["count"] += 1
+        # result shape(s) sit between '=' and the op keyword; async -start
+        # tuple shapes contain SPACES ('(bf16[..]{..}, bf16[..]{..})'), so
+        # parse the whole prefix, not one whitespace token
+        prefix = line[:m.start()]
+        parts = re.findall(r"[a-z0-9]+\[[\d,]*\]", prefix)
+        if m.group(2) == "-start":
+            # async tuple is (in-buf, out-buf, ctx…): the moved payload is
+            # the LARGEST element (out-buffer) — summing would double-count
+            # the aliased input buffer
+            nbytes = max((_shape_bytes(p) for p in parts), default=0)
+            parts = sorted(parts, key=_shape_bytes, reverse=True)[:1]
+        else:  # sync form; fused all-reduce tuples are N separate buffers
+            nbytes = sum(_shape_bytes(p) for p in parts)
+        kind["bytes_total"] += nbytes
+        dt = re.match(r"([a-z0-9]+)\[", parts[0]).group(1) if parts else "?"
+        d = kind["by_dtype"].setdefault(dt, {"count": 0, "bytes": 0})
+        d["count"] += 1
+        d["bytes"] += nbytes
+    return comm
+
+
+def _build_step(image_size: int, batch_size: int, mesh, constrain_fake: bool,
+                shapes_only: bool, replicate_grads: bool = False):
+    """The trainer's spatial-mode step, jitted over ``mesh``; returns
+    (jitted, example_args) where args are ShapeDtypeStructs when
+    ``shapes_only`` (the AOT-topology path cannot materialize arrays)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    jax.config.update("jax_platforms", "cpu")
     from jckx.configs import Config
+    from jckx.data.pipeline import decode_batch
     from jckx.models import dcgan
     from jckx.models.dcgan import GANGeometry
-    from jckx.parallel import MODEL_AXIS, make_mesh
+    from jckx.parallel import MODEL_AXIS
     from jckx.train.state import GANTrainState, make_optimizer
     from jckx.train.steps import make_dcgan_train_step
-    from jckx.data.pipeline import decode_batch
 
-    mesh = make_mesh(shape=(n_devices // spatial_ways, spatial_ways),
-                     axes=("data", MODEL_AXIS))
     cfg = Config()
     cfg.image_size = image_size
     cfg.batch_size = batch_size
     cfg.compute_dtype = "bfloat16"
     geo = GANGeometry(z_dim=cfg.z_dim, image_size=image_size,
                       channels=cfg.channels, base_width=cfg.base_width)
-    params_g = dcgan.generator_init(jax.random.PRNGKey(0), geo)
-    params_d = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
-    tx = make_optimizer(cfg)
-    state = GANTrainState(
-        params_g=params_g, params_d=params_d, opt_g=tx.init(params_g),
-        opt_d=tx.init(params_d), step=jnp.zeros((), jnp.int32),
-        rng=jax.random.PRNGKey(2), ema_g=None)
+
+    def make_state():
+        pg = dcgan.generator_init(jax.random.PRNGKey(0), geo)
+        pd = dcgan.discriminator_init(jax.random.PRNGKey(1), geo)
+        tx = make_optimizer(cfg)
+        return GANTrainState(
+            params_g=pg, params_d=pd, opt_g=tx.init(pg), opt_d=tx.init(pd),
+            step=jnp.zeros((), jnp.int32), rng=jax.random.PRNGKey(2),
+            ema_g=None)
 
     spatial_spec = NamedSharding(mesh, P("data", MODEL_AXIS, None, None))
     repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
     fc = ((lambda x: jax.lax.with_sharding_constraint(x, spatial_spec))
           if constrain_fake else None)
-    base = make_dcgan_train_step(cfg, geo, fake_constraint=fc)
+    gc = ((lambda tree: jax.tree_util.tree_map(
+        lambda g: jax.lax.with_sharding_constraint(g, repl), tree))
+        if replicate_grads else None)
+    base = make_dcgan_train_step(cfg, geo, fake_constraint=fc,
+                                 grad_constraint=gc)
 
     def step(s, u8):
         real = decode_batch(u8, image_size, jnp.bfloat16)
         real = jax.lax.with_sharding_constraint(real, spatial_spec)
         return base(s, real)
 
-    u8 = np.zeros((batch_size, image_size, image_size, 3), np.uint8)
-    jitted = jax.jit(step, in_shardings=(repl, NamedSharding(mesh, P("data"))),
-                     out_shardings=(repl, repl))
-    compiled = jitted.lower(state, u8).compile()
-    ca = compiled.cost_analysis() or {}
-    hlo = compiled.as_text()
+    if shapes_only:
+        state = jax.tree_util.tree_map(
+            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=repl),
+            jax.eval_shape(make_state))
+        u8 = jax.ShapeDtypeStruct(
+            (batch_size, image_size, image_size, 3), np.uint8,
+            sharding=batch_sh)
+        jitted = jax.jit(step, out_shardings=(repl, repl))
+    else:
+        state = make_state()
+        u8 = np.zeros((batch_size, image_size, image_size, 3), np.uint8)
+        jitted = jax.jit(step, in_shardings=(repl, batch_sh),
+                         out_shardings=(repl, repl))
+    return jitted, (state, u8)
 
-    # cross-shard communication inventory of the optimized SPMD module
-    comm = {}
-    for line in hlo.splitlines():
-        m = re.search(r"=\s*(\S+)\s+(collective-permute|all-reduce|all-gather"
-                      r"|reduce-scatter|all-to-all)\(", line)
-        if not m:
-            continue
-        shape_str, op = m.groups()
-        kind = comm.setdefault(op, {"count": 0, "bytes_total": 0})
-        kind["count"] += 1
-        # tuple shapes: sum the element payloads
-        parts = re.findall(r"[a-z0-9]+\[[\d,]*\]", shape_str)
-        kind["bytes_total"] += sum(_shape_bytes(p) for p in parts)
+
+def analyze(image_size: int, batch_size: int, n_devices: int,
+            spatial_ways: int, constrain_fake: bool = False,
+            tpu_topology: str = "v5e:2x4", replicate_grads: bool = False):
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from jckx.parallel import MODEL_AXIS, make_mesh
+
+    if tpu_topology:
+        from jax.experimental import topologies
+
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name=tpu_topology)
+        if len(topo.devices) != n_devices:
+            raise SystemExit(f"topology {tpu_topology} has "
+                             f"{len(topo.devices)} devices, not {n_devices}")
+        mesh = Mesh(np.array(topo.devices).reshape(
+            n_devices // spatial_ways, spatial_ways), ("data", MODEL_AXIS))
+        backend = f"tpu-aot:{tpu_topology}"
+    else:
+        jax.config.update("jax_platforms", "cpu")
+        mesh = make_mesh(shape=(n_devices // spatial_ways, spatial_ways),
+                         axes=("data", MODEL_AXIS))
+        backend = "cpu-virtual (KNOWN f32-conv legalization artifact)"
+
+    jitted, args = _build_step(image_size, batch_size, mesh, constrain_fake,
+                               shapes_only=bool(tpu_topology),
+                               replicate_grads=replicate_grads)
+    compiled = jitted.lower(*args).compile()
+    ca = compiled.cost_analysis() or {}
+    comm = _comm_inventory(compiled.as_text())
 
     halo = comm.get("collective-permute", {"count": 0, "bytes_total": 0})
+    cross = sum(k["bytes_total"] for k in comm.values())
     total_bytes = float(ca.get("bytes accessed", 0.0))
     report = {
         "geometry": f"{image_size}x{image_size} bs{batch_size}",
+        "backend": backend,
         "constrain_fake": bool(constrain_fake),
+        "replicate_grads": bool(replicate_grads),
         "mesh": {"data": n_devices // spatial_ways, "model": spatial_ways,
                  "mode": "spatial"},
         "step_flops": float(ca.get("flops", 0.0)),
         "step_bytes_accessed_per_chip": total_bytes,
         "cross_shard_ops": comm,
+        "cross_shard_bytes_per_chip_per_step": cross,
         "halo_bytes_per_chip_per_step": halo["bytes_total"],
         "halo_vs_hbm_traffic": (round(halo["bytes_total"] / total_bytes, 5)
                                 if total_bytes else None),
+        "cross_shard_vs_hbm_traffic": (round(cross / total_bytes, 5)
+                                       if total_bytes else None),
+        "cross_shard_ici_floor_us": round(1e6 * cross / ICI_BYTES_PER_S, 2),
         "halo_ici_floor_us": round(1e6 * halo["bytes_total"] / ICI_BYTES_PER_S, 2),
         "note": ("per-partition shapes: bytes are per-chip; ICI floor assumes "
                  "one conservative 45 GB/s link, exchanges not overlapped"),
@@ -138,7 +236,7 @@ def analyze(image_size: int, batch_size: int, n_devices: int,
 
 
 def main():
-    p = argparse.ArgumentParser(description="spatial halo cost analysis")
+    p = argparse.ArgumentParser(description="spatial cross-shard cost analysis")
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--devices", type=int, default=8)
@@ -146,11 +244,20 @@ def main():
     p.add_argument("--constrain_fake", type=int, default=0,
                    help="1 = also pin G's output to the spatial layout "
                         "(the trainer's setting)")
+    p.add_argument("--replicate_grads", type=int, default=0,
+                   help="1 = constrain G/D grads replicated after jax.grad "
+                        "(kills the sharded-f32-Adam all-gather path)")
+    p.add_argument("--tpu_topology", default="v5e:2x4",
+                   help="detached TPU topology to AOT-compile against "
+                        "(ground truth); '' = r4's virtual-CPU-mesh path "
+                        "(known f32-conv legalization artifact)")
     a = p.parse_args()
-    os.environ.setdefault(
-        "XLA_FLAGS", f"--xla_force_host_platform_device_count={a.devices}")
+    if not a.tpu_topology:
+        os.environ.setdefault(
+            "XLA_FLAGS", f"--xla_force_host_platform_device_count={a.devices}")
     print(json.dumps(analyze(a.image_size, a.batch_size, a.devices,
-                             a.spatial_ways, bool(a.constrain_fake)),
+                             a.spatial_ways, bool(a.constrain_fake),
+                             a.tpu_topology, bool(a.replicate_grads)),
                      indent=1))
 
 
