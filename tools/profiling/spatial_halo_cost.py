@@ -110,10 +110,14 @@ def _comm_inventory(hlo: str) -> dict:
 
 
 def _build_step(image_size: int, batch_size: int, mesh, constrain_fake: bool,
-                shapes_only: bool, replicate_grads: bool = False):
-    """The trainer's spatial-mode step, jitted over ``mesh``; returns
-    (jitted, example_args) where args are ShapeDtypeStructs when
-    ``shapes_only`` (the AOT-topology path cannot materialize arrays)."""
+                shapes_only: bool, replicate_grads: bool = False,
+                mode: str = "spatial"):
+    """The trainer's model-axis step (``mode``: "spatial" shards activation
+    height, "tp" shards params/moments on output channels via
+    ``tp_state_sharding`` — the same layouts gan_trainer._build_jits
+    wires), jitted over ``mesh``; returns (jitted, example_args) where args
+    are ShapeDtypeStructs when ``shapes_only`` (the AOT-topology path
+    cannot materialize arrays)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -150,34 +154,46 @@ def _build_step(image_size: int, batch_size: int, mesh, constrain_fake: bool,
           if constrain_fake else None)
     gc = ((lambda tree: jax.tree_util.tree_map(
         lambda g: jax.lax.with_sharding_constraint(g, repl), tree))
-        if replicate_grads else None)
+        if replicate_grads and mode == "spatial" else None)
     base = make_dcgan_train_step(cfg, geo, fake_constraint=fc,
                                  grad_constraint=gc)
 
+    state_shape = jax.eval_shape(make_state)
+    if mode == "tp":
+        from jckx.parallel import tp_state_sharding
+
+        st_sh = tp_state_sharding(state_shape, mesh, min_dim=cfg.tp_min_dim)
+    else:
+        st_sh = repl
+
     def step(s, u8):
         real = decode_batch(u8, image_size, jnp.bfloat16)
-        real = jax.lax.with_sharding_constraint(real, spatial_spec)
+        if mode == "spatial":
+            real = jax.lax.with_sharding_constraint(real, spatial_spec)
         return base(s, real)
 
     if shapes_only:
         state = jax.tree_util.tree_map(
-            lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=repl),
-            jax.eval_shape(make_state))
+            lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+            state_shape,
+            st_sh if mode == "tp" else jax.tree_util.tree_map(
+                lambda _: repl, state_shape))
         u8 = jax.ShapeDtypeStruct(
             (batch_size, image_size, image_size, 3), np.uint8,
             sharding=batch_sh)
-        jitted = jax.jit(step, out_shardings=(repl, repl))
+        jitted = jax.jit(step, out_shardings=(st_sh, repl))
     else:
         state = make_state()
         u8 = np.zeros((batch_size, image_size, image_size, 3), np.uint8)
-        jitted = jax.jit(step, in_shardings=(repl, batch_sh),
-                         out_shardings=(repl, repl))
+        jitted = jax.jit(step, in_shardings=(st_sh, batch_sh),
+                         out_shardings=(st_sh, repl))
     return jitted, (state, u8)
 
 
 def analyze(image_size: int, batch_size: int, n_devices: int,
             spatial_ways: int, constrain_fake: bool = False,
-            tpu_topology: str = "v5e:2x4", replicate_grads: bool = False):
+            tpu_topology: str = "v5e:2x4", replicate_grads: bool = False,
+            mode: str = "spatial"):
     import jax
     import numpy as np
     from jax.sharding import Mesh
@@ -203,7 +219,7 @@ def analyze(image_size: int, batch_size: int, n_devices: int,
 
     jitted, args = _build_step(image_size, batch_size, mesh, constrain_fake,
                                shapes_only=bool(tpu_topology),
-                               replicate_grads=replicate_grads)
+                               replicate_grads=replicate_grads, mode=mode)
     compiled = jitted.lower(*args).compile()
     ca = compiled.cost_analysis() or {}
     comm = _comm_inventory(compiled.as_text())
@@ -217,7 +233,7 @@ def analyze(image_size: int, batch_size: int, n_devices: int,
         "constrain_fake": bool(constrain_fake),
         "replicate_grads": bool(replicate_grads),
         "mesh": {"data": n_devices // spatial_ways, "model": spatial_ways,
-                 "mode": "spatial"},
+                 "mode": mode},
         "step_flops": float(ca.get("flops", 0.0)),
         "step_bytes_accessed_per_chip": total_bytes,
         "cross_shard_ops": comm,
@@ -244,6 +260,9 @@ def main():
     p.add_argument("--constrain_fake", type=int, default=0,
                    help="1 = also pin G's output to the spatial layout "
                         "(the trainer's setting)")
+    p.add_argument("--mode", default="spatial", choices=["spatial", "tp"],
+                   help="model-axis strategy to analyze (same layouts the "
+                        "trainer wires)")
     p.add_argument("--replicate_grads", type=int, default=0,
                    help="1 = constrain G/D grads replicated after jax.grad "
                         "(kills the sharded-f32-Adam all-gather path)")
@@ -257,7 +276,8 @@ def main():
             "XLA_FLAGS", f"--xla_force_host_platform_device_count={a.devices}")
     print(json.dumps(analyze(a.image_size, a.batch_size, a.devices,
                              a.spatial_ways, bool(a.constrain_fake),
-                             a.tpu_topology, bool(a.replicate_grads)),
+                             a.tpu_topology, bool(a.replicate_grads),
+                             a.mode),
                      indent=1))
 
 
