@@ -120,6 +120,28 @@ def test_spatial_trainer_matches_replicated(tmp_path):
     _assert_close(ref, sp)
 
 
+def test_spatial_replicate_grads_identity_semantics(tmp_path):
+    """--spatial_replicate_grads is a GSPMD LAYOUT hint, not an algorithm
+    change (r5: it kills XLA's kernel-H-sharded f32 Adam all-gathers —
+    −40% cross-shard bytes on the real v5e module): training with the pin
+    (default 1) must match training without it (0, XLA's own strategy)
+    within layout-reassociation tolerance. The ≡-replicated spatial tests
+    above already run the default; this pins the off-path too."""
+    cfg1 = _cfg(tmp_path, run="sp_rg1")
+    cfg1.mesh_shape, cfg1.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    cfg1.model_axis_mode = "spatial"
+    assert cfg1.spatial_replicate_grads == 1  # the default
+    _, on, on_last = _train(cfg1)
+
+    cfg0 = _cfg(tmp_path, run="sp_rg0")
+    cfg0.mesh_shape, cfg0.mesh_axes = (4, 2), ("data", MODEL_AXIS)
+    cfg0.model_axis_mode = "spatial"
+    cfg0.spatial_replicate_grads = 0
+    _, off, off_last = _train(cfg0)
+    assert abs(on_last["loss_d"] - off_last["loss_d"]) < 1e-3
+    _assert_close(on, off)
+
+
 def test_spatial_trainer_matches_replicated_cgan(tmp_path):
     """The conditional family under --model_axis_mode spatial (activation
     height sharded on the model axis) trains ≡ the unsharded layout — the
