@@ -31,6 +31,8 @@ _COMMANDS = {
                 "(jckx.metrics.inception_train)",
     "panel": "train the same config across N seeds, one quality verdict "
              "(jckx.panel)",
+    "plan": "AOT capacity planner: compile the train step for a TPU "
+            "topology, report collectives/memory/roofline (jckx.plan)",
 }
 
 
@@ -91,6 +93,10 @@ def main(argv=None) -> int:
         return m(rest)
     if cmd == "panel":
         from jckx.panel import main as m
+
+        return m(rest)
+    if cmd == "plan":
+        from jckx.plan import main as m
 
         return m(rest)
     # finetune

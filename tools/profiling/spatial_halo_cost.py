@@ -50,63 +50,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 # quote 400 Gbps/link); use a conservative single-link figure for the bound
 ICI_BYTES_PER_S = 45e9
 
-_DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
-                "s8": 1, "u8": 1, "pred": 1, "f64": 8, "s64": 8, "u64": 8}
-
-
-def _shape_bytes(shape_str: str) -> int:
-    """'bf16[32,8,128,256]{...}' → payload bytes (0 for tuples/tokens)."""
-    m = re.match(r"([a-z0-9]+)\[([\d,]*)\]", shape_str)
-    if not m:
-        return 0
-    dt, dims = m.groups()
-    if dt not in _DTYPE_BYTES:
-        return 0
-    size = 1
-    for d in dims.split(","):
-        if d:
-            size *= int(d)
-    return size * _DTYPE_BYTES[dt]
-
-
-def _comm_inventory(hlo: str) -> dict:
-    """op → {count, bytes_total, by_dtype} over the optimized SPMD module.
-    Tuple shapes (e.g. fused all-reduces) sum their element payloads.
-    TPU modules spell collectives ASYNC (`all-gather-start` + `-done`);
-    counting the `-start` (whose result shape is the payload, sometimes
-    inside a (s32[],s32[],…) context tuple) and ignoring the `-done` keeps
-    one entry per transfer on both backends."""
-    comm = {}
-    for line in hlo.splitlines():
-        m = re.search(r"\s(collective-permute|all-reduce|all-gather"
-                      r"|reduce-scatter|all-to-all)(-start|-done)?\(", line)
-        if not m or "=" not in line[:m.start()]:
-            continue
-        op = m.group(1)
-        if m.group(2) == "-done":  # count each async transfer once, at -start
-            continue
-        kind = comm.setdefault(op, {"count": 0, "bytes_total": 0,
-                                    "by_dtype": {}})
-        kind["count"] += 1
-        # result shape(s) sit between '=' and the op keyword; async -start
-        # tuple shapes contain SPACES ('(bf16[..]{..}, bf16[..]{..})'), so
-        # parse the whole prefix, not one whitespace token
-        prefix = line[:m.start()]
-        parts = re.findall(r"[a-z0-9]+\[[\d,]*\]", prefix)
-        if m.group(2) == "-start":
-            # async tuple is (in-buf, out-buf, ctx…): the moved payload is
-            # the LARGEST element (out-buffer) — summing would double-count
-            # the aliased input buffer
-            nbytes = max((_shape_bytes(p) for p in parts), default=0)
-            parts = sorted(parts, key=_shape_bytes, reverse=True)[:1]
-        else:  # sync form; fused all-reduce tuples are N separate buffers
-            nbytes = sum(_shape_bytes(p) for p in parts)
-        kind["bytes_total"] += nbytes
-        dt = re.match(r"([a-z0-9]+)\[", parts[0]).group(1) if parts else "?"
-        d = kind["by_dtype"].setdefault(dt, {"count": 0, "bytes": 0})
-        d["count"] += 1
-        d["bytes"] += nbytes
-    return comm
+# shared with the jckx.plan capacity planner — one parser, one set of
+# HLO-text traps (async -start tuples, per-partition shapes)
+from jckx.utils.hlo import comm_inventory as _comm_inventory  # noqa: E402
+from jckx.utils.hlo import shape_bytes as _shape_bytes  # noqa: E402, F401
 
 
 def _build_step(image_size: int, batch_size: int, mesh, constrain_fake: bool,
