@@ -176,5 +176,9 @@ if __name__ == "__main__":
                     help="1 = also time KID + PRDC on the 50k feature set")
     ap.add_argument("--n", type=int, default=50_000,
                     help="image count (reduce for CPU smokes)")
+    ap.add_argument("--batch", type=int, default=2048,
+                    help="extraction batch size (A/B the eval forward's "
+                         "batching)")
     a = ap.parse_args()
-    main(n_images=a.n, fast_stem=bool(a.fast_stem), extra=bool(a.extra))
+    main(n_images=a.n, batch=a.batch, fast_stem=bool(a.fast_stem),
+         extra=bool(a.extra))
