@@ -372,8 +372,8 @@ def get_arg_parse(argv: Optional[list] = None) -> Config:
     parser.add_argument("--spatial_replicate_grads", type=int,
                         default=d.spatial_replicate_grads,
                         help="spatial mode: 1 pins grads replicated (kills "
-                             "XLA's f32 sharded-Adam all-gathers, -40% "
-                             "cross-shard bytes at 128²); 0 = XLA's choice")
+                             "XLA's f32 sharded-Adam all-gathers, -40%% "
+                             "cross-shard bytes at 128 sq); 0 = XLA's choice")
     parser.add_argument("--data_placement", type=str, default=d.data_placement,
                         choices=["auto", "hbm", "stream"])
     parser.add_argument("--hbm_data_budget", type=int, default=d.hbm_data_budget)

@@ -34,6 +34,18 @@ def test_reference_flags_and_defaults():
     assert cfg.seed == 12345
 
 
+def test_cli_help_formats_cleanly():
+    """`main.py -h` must render: argparse expands help strings with %, so a
+    bare '%' in any help text raises TypeError at PRINT time, not at parse
+    time (regression: r5 briefly shipped '-40%' in a help string and every
+    `-h` crashed while all flag-parsing tests stayed green)."""
+    import pytest
+
+    with pytest.raises(SystemExit) as e:
+        get_arg_parse(["-h"])
+    assert e.value.code == 0
+
+
 def test_short_flags_parse():
     cfg = get_arg_parse(["-m", "CGAN", "-b", "64", "-e", "7", "-mlr", "0.002",
                          "-pm", "run42", "-lf", "0", "-w", "2", "-t", "1"])
